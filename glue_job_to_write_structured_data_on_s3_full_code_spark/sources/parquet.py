@@ -1,0 +1,53 @@
+"""Parquet catalog-table scans (reference operator S1/S2, SURVEY.md §2.1).
+
+The reference reads Hive/Glue catalog tables with a snapshot-partition
+filter (``select * from inbound.tbl where snapshot_dt = '…'``,
+FULL.py:205-211) and re-reads staged parquet directly (OUTBOUND.py:228).
+Here both collapse to ``spark.read.parquet`` — partition pruning and
+filter/column pushdown are Catalyst built-ins once predicates are stated
+declaratively (SURVEY.md §4), so scans stay cheap at 100 TB as long as the
+caller filters on the partition column before any wide operation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's synthetic star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Filters applied by the caller push down to the scan."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (reference pattern D4:
+    every intermediate becomes a view so SQL and DataFrame code interleave,
+    FULL.py:219 and ~25 siblings)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,69 @@
+"""Local replica of the driver's Spark-vs-DuckDB oracle comparison:
+row-count + column names + order-insensitive canonical value multiset.
+Stricter than a hash — on mismatch it shows the first differing rows.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import numpy as np
+import pandas as pd
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        # 12 significant digits: tolerant of cross-engine last-ulp noise,
+        # strict enough to catch real value bugs.
+        return f"{f:.12g}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (datetime, pd.Timestamp)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if pd.isna(v):
+        return "NULL"
+    return str(v)
+
+
+def canon_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(_canon_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows)
+
+
+def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "query") -> None:
+    got = spark_df.toPandas()
+    want = duck_con.execute(oracle_sql).fetchdf()
+
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch\n spark: {sorted(got.columns)}\n duck:  {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
+
+    g, w = canon_rows(got), canon_rows(want)
+    if g != w:
+        diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
+        only_g = [r for r in g if r not in set(w)][:3]
+        only_w = [r for r in w if r not in set(g)][:3]
+        raise AssertionError(
+            f"{name}: value mismatch (cols sorted: {sorted(got.columns)})\n"
+            f"first pairwise diffs: {diffs}\n"
+            f"spark-only rows: {only_g}\nduck-only rows: {only_w}"
+        )
