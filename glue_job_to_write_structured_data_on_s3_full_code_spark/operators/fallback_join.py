@@ -1,0 +1,101 @@
+"""Waterfall fallback join — the reference's most distinctive operator
+(J4+J5, SURVEY.md §2.4).
+
+FULL.py:738-942 (sales branch) and :950-1057 (TV branch) enrich each lead
+with a dealer row by trying progressively looser join conditions: join on
+the strict key set, split matched/unmatched on the join-result null test
+(FULL.py:765-766), re-join only the misses on the next key set, repeat,
+and finally stamp default values on whatever is still unmatched
+(FULL.py:905-907). Every round keeps the top-1 candidate per fact row via
+``row_number() over (partition by leadid order by sallivedate desc)``
+(FULL.py:744). The matched tiers are unioned at the end (FULL.py:942).
+
+This module generalizes that cascade into one reusable operator.
+
+Scale design (100 TB fact, small dim — the reference's dealer master is a
+lookup table):
+- the dim is deduplicated (reference does ``select distinct *``,
+  FULL.py:749) and **broadcast**, so each round is a broadcast join with
+  no fact-side shuffle;
+- each round's input is only the previous round's *misses*, which shrinks
+  geometrically — the reference's semantics, and also the efficient plan;
+- top-1 per fact key is computed on the (small) join fan-out with a window;
+  ties must be broken by a unique dim column for determinism;
+- tiers are combined with ``unionByName`` (the reference's positional
+  ``unionAll`` at FULL.py:942 silently relies on column order — SURVEY.md
+  §7 flags this; unionByName is the safe equivalent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .top1 import top1_per_group
+
+
+@dataclass
+class FallbackTier:
+    """One round of the waterfall.
+
+    ``condition(fact, dim) -> Column`` builds the join predicate (may be an
+    OR-of-equalities theta condition like FULL.py:747-752).
+    ``dim_filter`` optionally restricts the dim for this round (the
+    reference filters ``dealertype in ('S','3S','2S')`` per round,
+    FULL.py:749).
+    """
+
+    condition: "callable"
+    dim_filter: Column | None = None
+    name: str = ""
+
+
+def fallback_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    tiers: list[FallbackTier],
+    fact_key: list[str],
+    order_cols: list[Column],
+    defaults: dict[str, "Column"],
+    matched_probe: str,
+    tier_col: str | None = None,
+) -> DataFrame:
+    """Enrich ``fact`` with columns of ``dim`` via a tiered join cascade.
+
+    matched_probe : dim column whose non-nullness marks a match
+        (the reference probes ``mulcode_dealer is null``, FULL.py:765).
+    defaults : values stamped on rows no tier matched (FULL.py:905-907);
+        keys must cover every dim column.
+    tier_col : optional output column recording which tier matched
+        (tier name, or 'default').
+    """
+    dim = dim.distinct()  # reference: select distinct * from dealermaster
+    dim_cols = [c for c in dim.columns]
+
+    remaining = fact
+    matched_parts: list[DataFrame] = []
+    for i, tier in enumerate(tiers):
+        tier_dim = dim.where(tier.dim_filter) if tier.dim_filter is not None else dim
+        joined = remaining.join(
+            F.broadcast(tier_dim), tier.condition(remaining, tier_dim), "left"
+        )
+        best = top1_per_group(joined, fact_key, order_cols)
+        hit = best.where(F.col(matched_probe).isNotNull())
+        if tier_col:
+            hit = hit.withColumn(tier_col, F.lit(tier.name or f"tier{i}"))
+        matched_parts.append(hit)
+        remaining = best.where(F.col(matched_probe).isNull()).drop(*dim_cols)
+
+    fallback = remaining
+    for c in dim_cols:
+        fallback = fallback.withColumn(c, defaults[c])
+    if tier_col:
+        fallback = fallback.withColumn(tier_col, F.lit("default"))
+    matched_parts.append(fallback)
+
+    out = matched_parts[0]
+    for part in matched_parts[1:]:
+        out = out.unionByName(part)
+    return out

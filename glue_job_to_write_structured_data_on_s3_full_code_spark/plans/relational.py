@@ -1,0 +1,492 @@
+"""Relational core — SURVEY.md §2.3-2.8 operator coverage as driver queries.
+
+Each entry exercises one reference operator family on the test star schema
+and carries a DuckDB oracle. Numeric policy: monetary sums go through
+``decimal(27,6)`` then cast to double, so both engines do exact decimal
+accumulation and a single final rounding — float-sum order noise cannot
+break the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (
+    anti_join_new_rows,
+    scalable_key,
+    sequential_key,
+    top1_per_group,
+)
+from ..session import tune
+from ..sources import read_table
+
+
+def _dsum(col) -> F.Column:
+    """Deterministic cross-engine sum of a double column."""
+    return F.sum(F.col(col).cast("decimal(27,6)") if isinstance(col, str) else col.cast("decimal(27,6)")).cast("double")
+
+
+# --- A-group: aggregation (SURVEY §2.5; capability required by driver oracle
+# even though the reference only uses count/distinct/having) -----------------
+
+def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped groupBy/agg: map-side partial aggregation + one
+    shuffle on the (tiny-cardinality) group key — the scalable agg shape."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(27,6)")
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity       AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       cast(sum(cast(l_extendedprice  AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 6)      AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6)      AS avg_disc,
+       count(*)                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def regional_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join (reference J1 star enrichment,
+    FULL.py:411-475): fact shuffles once for the agg, every dim broadcast."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              (li.l_suppkey == supplier.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+REGIONAL_REVENUE_ORACLE = """
+SELECT n_name,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --- P-group: projections / filters (SURVEY §2.3) ---------------------------
+
+def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P4/P5/P6/P8 combined: every predicate lands in PushedFilters and
+    the scan reads only 5 columns (check with .explain('formatted'))."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-06-01")))
+        & (F.col("l_returnflag") != "A")
+        & (F.col("l_returnflag").isin("N", "R"))
+        & (F.col("l_quantity").isNotNull())
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+FILTER_PUSHDOWN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_returnflag <> 'A'
+  AND l_returnflag IN ('N', 'R')
+  AND l_quantity IS NOT NULL
+  AND l_quantity > 45
+"""
+
+
+def distinct_option_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/P10/D5: the reference's option-set lookup build — 7 ``select
+    distinct attributevalue, value`` CTEs over one EAV table (FULL.py:331-409)."""
+    tune(spark)
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH opts AS (
+            SELECT DISTINCT o_orderpriority AS option_code, o_orderstatus AS status_code
+            FROM orders_v
+        )
+        SELECT option_code, status_code FROM opts
+        """
+    )
+
+
+DISTINCT_OPTION_ORACLE = """
+SELECT DISTINCT o_orderpriority AS option_code, o_orderstatus AS status_code
+FROM orders
+"""
+
+
+# --- A2: group-by/having duplicate detection (FULL.py:1075-1084) ------------
+
+def groupby_having_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+        .where(F.col("cnt") > 1)
+    )
+
+
+GROUPBY_HAVING_ORACLE = """
+SELECT p_name, count(*) AS cnt, count(DISTINCT p_brand) AS n_brands
+FROM part
+GROUP BY p_name
+HAVING count(*) > 1
+"""
+
+
+# --- W-group: windows (SURVEY §2.6) -----------------------------------------
+
+def window_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/J5: newest lineitem per order (the reference's top-1 dedup,
+    FULL.py:744). (l_orderkey, l_linenumber) is NOT unique in the test
+    data, so the tiebreak chain extends to (partkey, suppkey) which is —
+    exactly the determinism hazard SURVEY.md §7 flags for ties on
+    ``sallivedate``."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return top1_per_group(
+        li,
+        ["l_orderkey"],
+        [
+            F.col("l_shipdate").desc(),
+            F.col("l_linenumber").desc(),
+            F.col("l_partkey").desc(),
+            F.col("l_suppkey").desc(),
+        ],
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+WINDOW_TOP1_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC, l_suppkey DESC
+    ) AS rn
+    FROM lineitem
+)
+WHERE rn = 1
+"""
+
+
+_SURROGATE_ORACLE = """
+SELECT concat('PM', lpad(cast(row_number() OVER (ORDER BY c_custkey) AS VARCHAR), 9, '0'))
+           AS surrogate_id,
+       c_custkey, c_name
+FROM customer
+"""
+
+
+def sequential_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 exact parity: global sequential business key (FULL.py:413)."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    return sequential_key(cust, ["c_custkey"]).select(
+        "surrogate_id", "c_custkey", "c_name"
+    )
+
+
+def scalable_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ids as :func:`sequential_surrogate_key` (same oracle!) without
+    the single-task global window — the 100 TB-safe variant."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    return scalable_key(cust, ["c_custkey"], num_partitions=8).select(
+        "surrogate_id", "c_custkey", "c_name"
+    )
+
+
+# --- J-group: joins (SURVEY §2.4) -------------------------------------------
+
+def disjunctive_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: OR-of-equalities left join with the reference's SQL precedence
+    ``a = b OR c = d AND e`` ⇒ ``a=b OR (c=d AND e)`` (FULL.py:747-752).
+    Plans as BroadcastNestedLoopJoin — the dim must be broadcast-small."""
+    tune(spark)
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    cond = (sup.s_nationkey == nat.n_nationkey) | (
+        (sup.s_suppkey == nat.n_nationkey) & (sup.s_acctbal < 0)
+    )
+    return sup.join(F.broadcast(nat), cond, "left").select(
+        "s_suppkey", "s_name", "s_acctbal", "n_nationkey", "n_name"
+    )
+
+
+DISJUNCTIVE_JOIN_ORACLE = """
+SELECT s_suppkey, s_name, s_acctbal, n_nationkey, n_name
+FROM supplier LEFT JOIN nation
+  ON s_nationkey = n_nationkey OR s_suppkey = n_nationkey AND s_acctbal < 0
+"""
+
+
+def anti_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: null-guarded NOT-IN incremental load (OUTBOUND.py:206-224) as a
+    left_anti join — only key columns shuffle, never the payload."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    already_loaded = orders.where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01"))
+    )
+    return anti_join_new_rows(orders, already_loaded, "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+
+
+ANTI_JOIN_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+FROM orders
+WHERE o_orderkey NOT IN (
+    SELECT coalesce(o_orderkey, -1) FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01'
+)
+"""
+
+
+def self_join_dup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: the reference's model/variant disambiguation (FULL.py:1086-1104) —
+    left join a table to its own grouped-duplicate set and suffix ambiguous
+    names with their key."""
+    tune(spark)
+    part = read_table(spark, sf_dir, "part")
+    dups = (
+        part.groupBy("p_name")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select(F.col("p_name").alias("dup_name"))
+    )
+    return part.join(
+        F.broadcast(dups), part.p_name == dups.dup_name, "left"
+    ).select(
+        "p_partkey",
+        F.when(
+            F.col("dup_name").isNotNull(),
+            F.concat(F.col("p_name"), F.lit(" ["), F.col("p_partkey").cast("string"), F.lit("]")),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("display_name"),
+    )
+
+
+SELF_JOIN_DUP_ORACLE = """
+WITH dups AS (
+    SELECT p_name AS dup_name FROM part GROUP BY p_name HAVING count(*) > 1
+)
+SELECT p_partkey,
+       CASE WHEN dup_name IS NOT NULL
+            THEN concat(p_name, ' [', cast(p_partkey AS VARCHAR), ']')
+            ELSE p_name END AS display_name
+FROM part LEFT JOIN dups ON p_name = dup_name
+"""
+
+
+# --- U-group: set ops + reconciliation (SURVEY §2.7, §5) --------------------
+
+def union_except_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: split → unionByName → bidirectional exceptAll must count 0
+    both ways (the reference's MINUS reconciliation, OUTBOUND.py:422-449)."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    open_part = orders.where(F.col("o_orderstatus") == "O")
+    rest = orders.where(F.col("o_orderstatus") != "O")
+    reunified = open_part.unionByName(rest)
+    src_minus_tgt = orders.exceptAll(reunified).agg(
+        F.count("*").alias("src_minus_tgt")
+    )
+    tgt_minus_src = reunified.exceptAll(orders).agg(
+        F.count("*").alias("tgt_minus_src")
+    )
+    return src_minus_tgt.crossJoin(tgt_minus_src)
+
+
+UNION_EXCEPT_ORACLE = """
+WITH reunified AS (
+    SELECT * FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderstatus <> 'O'
+)
+SELECT
+    (SELECT count(*) FROM (SELECT * FROM orders EXCEPT ALL SELECT * FROM reunified)) AS src_minus_tgt,
+    (SELECT count(*) FROM (SELECT * FROM reunified EXCEPT ALL SELECT * FROM orders)) AS tgt_minus_src
+"""
+
+
+# --- F-group: scalar functions (SURVEY §2.8) --------------------------------
+
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8/F14 on one row-level select: concat_ws, substring_index parse-
+    back (the reference's dealer-code parsing, FULL.py:720-726), lpad key
+    build, trim, nullif/coalesce defaulting, CASE buckets, substring."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    ck = F.concat_ws("-", F.col("c_mktsegment"), F.col("c_name"))
+    return cust.select(
+        "c_custkey",
+        ck.alias("compound_key"),
+        F.substring_index(F.substring_index(ck, "-", 2), "-", -1).alias("parsed_name"),
+        F.concat(F.lit("CK"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")).alias("padded_key"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed_name"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("DEFAULT")).alias("segment_or_default"),
+        F.when(F.col("c_acctbal") < 0, "NEGATIVE")
+        .when(F.col("c_acctbal") < 5000, "MID")
+        .otherwise("HIGH")
+        .alias("balance_bucket"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.lower(F.col("c_mktsegment")).alias("segment_lower"),
+    )
+
+
+SCALAR_SUITE_ORACLE = """
+SELECT c_custkey,
+       concat_ws('-', c_mktsegment, c_name)                    AS compound_key,
+       split_part(concat_ws('-', c_mktsegment, c_name), '-', 2) AS parsed_name,
+       concat('CK', lpad(cast(c_custkey AS VARCHAR), 9, '0'))  AS padded_key,
+       trim(concat('  ', c_name, '  '))                        AS trimmed_name,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'DEFAULT')  AS segment_or_default,
+       CASE WHEN c_acctbal < 0    THEN 'NEGATIVE'
+            WHEN c_acctbal < 5000 THEN 'MID'
+            ELSE 'HIGH' END                                    AS balance_bucket,
+       substring(c_name, 1, 8)                                 AS name_prefix,
+       lower(c_mktsegment)                                     AS segment_lower
+FROM customer
+"""
+
+
+def timezone_shift_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10/F11: the reference's hand-rolled UTC→IST shift
+    ``from_unixtime(unix_timestamp(col) + 5*3600 + 30*60)`` (FULL.py:215-216)
+    and its dd/MM/yyyy renderings (FULL.py:1346-1347)."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.from_unixtime(F.unix_timestamp(F.col("o_orderdate")) + 5 * 3600 + 30 * 60).alias("ist_ts"),
+        F.date_format("o_orderdate", "dd/MM/yyyy").alias("date_dmy"),
+        F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss").alias("ts_dmy"),
+    )
+
+
+TIMEZONE_SHIFT_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS ist_ts,
+       strftime(o_orderdate, '%d/%m/%Y')          AS date_dmy,
+       strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS ts_dmy
+FROM orders
+"""
+
+
+def case_when_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: deep when/otherwise chains — the reference's 17-branch
+    prospectType map (FULL.py:599-615) and IN-list channel correction
+    (FULL.py:1256-1265)."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "P0")
+        .when(F.col("o_orderpriority") == "2-HIGH", "P1")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "P2")
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "P3")
+        .otherwise("P4")
+        .alias("priority_code"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") == "F"),
+            "EXPEDITED_DONE",
+        )
+        .when(F.col("o_orderstatus") == "O", "OPEN")
+        .otherwise("STANDARD")
+        .alias("channel"),
+    )
+
+
+CASE_WHEN_ORACLE = """
+SELECT o_orderkey,
+       CASE o_orderpriority
+            WHEN '1-URGENT' THEN 'P0'
+            WHEN '2-HIGH' THEN 'P1'
+            WHEN '3-MEDIUM' THEN 'P2'
+            WHEN '4-NOT SPECIFIED' THEN 'P3'
+            ELSE 'P4' END AS priority_code,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+            THEN 'EXPEDITED_DONE'
+            WHEN o_orderstatus = 'O' THEN 'OPEN'
+            ELSE 'STANDARD' END AS channel
+FROM orders
+"""
+
+
+REGISTRY: list[tuple] = [
+    ("pricing_summary_agg", pricing_summary_agg, PRICING_SUMMARY_ORACLE),
+    ("regional_revenue_join", regional_revenue_join, REGIONAL_REVENUE_ORACLE),
+    ("filter_pushdown_scan", filter_pushdown_scan, FILTER_PUSHDOWN_ORACLE),
+    ("distinct_option_lookup", distinct_option_lookup, DISTINCT_OPTION_ORACLE),
+    ("groupby_having_dups", groupby_having_dups, GROUPBY_HAVING_ORACLE),
+    ("window_top1_per_group", window_top1_per_group, WINDOW_TOP1_ORACLE),
+    ("sequential_surrogate_key", sequential_surrogate_key, _SURROGATE_ORACLE),
+    ("scalable_surrogate_key", scalable_surrogate_key, _SURROGATE_ORACLE),
+    ("disjunctive_theta_join", disjunctive_theta_join, DISJUNCTIVE_JOIN_ORACLE),
+    ("anti_join_incremental", anti_join_incremental, ANTI_JOIN_ORACLE),
+    ("self_join_dup_suffix", self_join_dup_suffix, SELF_JOIN_DUP_ORACLE),
+    ("union_except_reconcile", union_except_reconcile, UNION_EXCEPT_ORACLE),
+    ("scalar_function_suite", scalar_function_suite, SCALAR_SUITE_ORACLE),
+    ("timezone_shift_format", timezone_shift_format, TIMEZONE_SHIFT_ORACLE),
+    ("case_when_remap", case_when_remap, CASE_WHEN_ORACLE),
+]
