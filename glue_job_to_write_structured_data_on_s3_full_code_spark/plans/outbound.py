@@ -1,0 +1,215 @@
+"""Outbound document job — the reference's OUTBOUND.py re-expressed.
+
+OUTBOUND.py reads the structured table, anti-joins against the serving
+store (206-224), restructures flat columns into nested documents — five
+``struct()`` groups plus an interests array (239-343) — conditionally
+nulls whole structs by prospect type (344-345), writes, and reconciles
+(372-457).
+
+Two oracle-backed queries cover the distinctive semantics:
+
+- :func:`nested_document_json` — the document assembly itself. Every field
+  is coalesced non-null (the reference's own pattern, FULL.py:661-693)
+  which also makes Spark and DuckDB ``to_json`` byte-identical (Spark
+  omits null fields; DuckDB emits ``null``).
+- :func:`conditional_struct_nullout` — the struct null-out, flattened back
+  to columns so the driver hash sees plain values.
+
+:func:`outbound_pipeline` composes the full job (incremental anti-join →
+assembly → partitioned write → reconcile) for the end-to-end test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import anti_join_new_rows, reconcile, top1_per_group
+from ..session import tune
+from ..sources import read_table
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-shaped input: newest order per customer, dim-enriched."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    latest = top1_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return (
+        latest.join(F.broadcast(customer), latest.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+    )
+
+
+def _document(df: DataFrame) -> DataFrame:
+    """OUTBOUND.py:239-343 shape: struct groups + array-of-struct interests
+    (FULL.py:659-696 question/response arrays). All leaves coalesced."""
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit("NA"))
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "LOW")
+        .when(F.col("o_totalprice") < 150000, "MEDIUM")
+        .otherwise("HIGH")
+    )
+    return df.select(
+        F.col("o_orderkey").alias("leadid"),
+        F.struct(
+            F.struct(
+                F.concat(F.lit("PM"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")).alias("prospectId"),
+                F.date_format("o_orderdate", "dd/MM/yyyy").alias("createdDate"),
+                F.coalesce(F.col("o_orderstatus"), F.lit("NA")).alias("status"),
+            ).alias("administration"),
+            F.struct(
+                F.coalesce(F.col("c_name"), F.lit("NA")).alias("customerName"),
+                seg.alias("segment"),
+                F.coalesce(F.col("n_name"), F.lit("NA")).alias("nationName"),
+            ).alias("customerDetails"),
+            F.struct(
+                F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("totalPrice"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("NA")).alias("priority"),
+            ).alias("purchaseDetails"),
+            F.array(
+                F.struct(F.lit("QM001").alias("questionId"), seg.alias("answer")),
+                F.struct(F.lit("QM002").alias("questionId"), bucket.alias("answer")),
+            ).alias("interests"),
+        ).alias("doc"),
+    )
+
+
+def nested_document_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return _document(_base(spark, sf_dir)).select(
+        "leadid", F.to_json("doc").alias("document")
+    )
+
+
+NESTED_DOCUMENT_ORACLE = """
+WITH latest AS (
+    SELECT * FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) = 1
+), base AS (
+    SELECT l.*, c.c_name, c.c_mktsegment, n.n_name
+    FROM latest l
+    LEFT JOIN customer c ON l.o_custkey = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+)
+SELECT o_orderkey AS leadid,
+       to_json(struct_pack(
+           administration := struct_pack(
+               prospectId := concat('PM', lpad(cast(o_custkey AS VARCHAR), 9, '0')),
+               createdDate := strftime(o_orderdate, '%d/%m/%Y'),
+               status := coalesce(o_orderstatus, 'NA')
+           ),
+           customerDetails := struct_pack(
+               customerName := coalesce(c_name, 'NA'),
+               segment := coalesce(c_mktsegment, 'NA'),
+               nationName := coalesce(n_name, 'NA')
+           ),
+           purchaseDetails := struct_pack(
+               totalPrice := coalesce(o_totalprice, 0.0),
+               priority := coalesce(o_orderpriority, 'NA')
+           ),
+           interests := [
+               struct_pack(questionId := 'QM001', answer := coalesce(c_mktsegment, 'NA')),
+               struct_pack(questionId := 'QM002',
+                           answer := CASE WHEN o_totalprice < 50000 THEN 'LOW'
+                                          WHEN o_totalprice < 150000 THEN 'MEDIUM'
+                                          ELSE 'HIGH' END)
+           ]
+       )) AS document
+FROM base
+"""
+
+
+def conditional_struct_nullout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTBOUND.py:344-345: null the whole struct for one prospect type,
+    then flatten — unmatched types keep values, nulled types yield NULLs."""
+    tune(spark)
+    base = _base(spark, sf_dir)
+    doc = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.struct(
+            F.coalesce(F.col("c_name"), F.lit("NA")).alias("customerName"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("NA")).alias("segment"),
+            F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("totalPrice"),
+        )
+    )
+    return base.select(
+        F.col("o_orderkey").alias("leadid"),
+        F.col("o_orderstatus").alias("status"),
+        doc.alias("doc"),
+    ).select(
+        "leadid",
+        "status",
+        F.col("doc.customerName").alias("customer_name"),
+        F.col("doc.segment").alias("segment"),
+        F.col("doc.totalPrice").alias("total_price"),
+    )
+
+
+CONDITIONAL_NULLOUT_ORACLE = """
+WITH latest AS (
+    SELECT * FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) = 1
+), base AS (
+    SELECT l.*, c.c_name, c.c_mktsegment
+    FROM latest l LEFT JOIN customer c ON l.o_custkey = c.c_custkey
+), docs AS (
+    SELECT o_orderkey AS leadid, o_orderstatus AS status,
+           CASE WHEN o_orderstatus = 'P' THEN NULL
+                ELSE struct_pack(
+                    customerName := coalesce(c_name, 'NA'),
+                    segment := coalesce(c_mktsegment, 'NA'),
+                    totalPrice := coalesce(o_totalprice, 0.0)
+                ) END AS doc
+    FROM base
+)
+SELECT leadid, status,
+       struct_extract(doc, 'customerName') AS customer_name,
+       struct_extract(doc, 'segment')      AS segment,
+       struct_extract(doc, 'totalPrice')   AS total_price
+FROM docs
+"""
+
+
+def outbound_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    job_run_id: str = "run0",
+) -> DataFrame:
+    """Full OUTBOUND job: incremental anti-join vs what's already in the
+    store → document assembly → partitioned parquet write (job_run_id
+    partition, OUTBOUND.py:61-65) → bidirectional reconcile of what was
+    written. Returns the reconcile summary."""
+    tune(spark)
+    docs = _document(_base(spark, sf_dir))
+    store_path = os.path.join(target_path, "docstore")
+    try:
+        existing = spark.read.parquet(store_path)
+    except Exception:  # first run — empty store
+        existing = spark.createDataFrame([], "leadid long")
+    new_docs = anti_join_new_rows(docs, existing, "leadid")
+    out = new_docs.withColumn("job_run_id", F.lit(job_run_id))
+    out.write.mode("append").partitionBy("job_run_id").parquet(store_path)
+    written = spark.read.parquet(store_path).where(
+        F.col("job_run_id") == job_run_id
+    ).drop("job_run_id")
+    return reconcile(
+        new_docs.select("leadid", "doc.administration.prospectId"),
+        written.select("leadid", "doc.administration.prospectId"),
+    )
+
+
+REGISTRY = [
+    ("nested_document_json", nested_document_json, NESTED_DOCUMENT_ORACLE),
+    ("conditional_struct_nullout", conditional_struct_nullout, CONDITIONAL_NULLOUT_ORACLE),
+]

@@ -1,0 +1,101 @@
+"""Waterfall fallback-join query — reference J4+J5 (FULL.py:738-942) via the
+reusable :func:`..operators.fallback_join` operator, with a DuckDB oracle
+replicating the cascade as CTEs.
+
+Tier layout mirrors the reference's dealer lookup: same dim, progressively
+looser restriction, defaults for the never-matched (FULL.py:905-907,
+``mulcode='9967', forcode='95'``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import FallbackTier, fallback_join
+from ..session import tune
+from ..sources import read_table
+
+FACT_KEY = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
+
+def waterfall_fallback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sup_key"),
+        "s_name",
+        F.col("s_acctbal").alias("sup_acctbal"),
+    )
+    tiers = [
+        FallbackTier(
+            condition=lambda f, d: f["l_suppkey"] == d["sup_key"],
+            dim_filter=F.col("sup_acctbal") >= 5000,
+            name="premium",
+        ),
+        FallbackTier(
+            condition=lambda f, d: f["l_suppkey"] == d["sup_key"],
+            dim_filter=F.col("sup_acctbal") >= 0,
+            name="standard",
+        ),
+    ]
+    out = fallback_join(
+        li,
+        sup,
+        tiers,
+        fact_key=FACT_KEY,
+        order_cols=[F.col("sup_acctbal").desc(), F.col("sup_key").desc()],
+        defaults={
+            "sup_key": F.lit(-1).cast("long"),
+            "s_name": F.lit("NA"),
+            "sup_acctbal": F.lit(0.0),
+        },
+        matched_probe="s_name",
+        tier_col="matched_tier",
+    )
+    return out.select(*FACT_KEY, "sup_key", "s_name", "sup_acctbal", "matched_tier")
+
+
+WATERFALL_ORACLE = """
+WITH dim AS (
+    SELECT DISTINCT s_suppkey AS sup_key, s_name, s_acctbal AS sup_acctbal
+    FROM supplier
+),
+t1 AS (
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+           d.sup_key, d.s_name, d.sup_acctbal
+    FROM lineitem l
+    LEFT JOIN (SELECT * FROM dim WHERE sup_acctbal >= 5000) d
+      ON l.l_suppkey = d.sup_key
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        ORDER BY d.sup_acctbal DESC, d.sup_key DESC
+    ) = 1
+),
+m1 AS (SELECT *, 'premium' AS matched_tier FROM t1 WHERE s_name IS NOT NULL),
+u1 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM t1 WHERE s_name IS NULL),
+t2 AS (
+    SELECT u.l_orderkey, u.l_linenumber, u.l_partkey, u.l_suppkey,
+           d.sup_key, d.s_name, d.sup_acctbal
+    FROM u1 u
+    LEFT JOIN (SELECT * FROM dim WHERE sup_acctbal >= 0) d
+      ON u.l_suppkey = d.sup_key
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        ORDER BY d.sup_acctbal DESC, d.sup_key DESC
+    ) = 1
+),
+m2 AS (SELECT *, 'standard' AS matched_tier FROM t2 WHERE s_name IS NOT NULL),
+u2 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM t2 WHERE s_name IS NULL),
+def AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(-1 AS BIGINT) AS sup_key, 'NA' AS s_name, 0.0 AS sup_acctbal,
+           'default' AS matched_tier
+    FROM u2
+)
+SELECT * FROM m1
+UNION ALL SELECT * FROM m2
+UNION ALL SELECT * FROM def
+"""
+
+REGISTRY = [("waterfall_fallback_join", waterfall_fallback_join, WATERFALL_ORACLE)]

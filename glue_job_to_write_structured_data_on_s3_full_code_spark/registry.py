@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans.flagship import FLAGSHIP_ORACLE, flagship
-from .plans import relational
+from .plans import outbound, relational, waterfall
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -27,5 +27,6 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 register("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)
-for _name, _fn, _oracle in relational.REGISTRY:
-    register(_name, _fn, _oracle)
+for _module in (relational, waterfall, outbound):
+    for _name, _fn, _oracle in _module.REGISTRY:
+        register(_name, _fn, _oracle)
