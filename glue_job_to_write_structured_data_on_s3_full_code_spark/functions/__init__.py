@@ -1,0 +1,17 @@
+from .text import (
+    tokens,
+    token_count,
+    bpe_ish_tokens,
+    normalized_text,
+    doc_fingerprint,
+    md5_hash60,
+)
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_tokens",
+    "normalized_text",
+    "doc_fingerprint",
+    "md5_hash60",
+]

@@ -3,6 +3,14 @@ from .surrogate import sequential_key, scalable_key
 from .fallback_join import FallbackTier, fallback_join
 from .incremental import anti_join_new_rows
 from .reconcile import reconcile
+from .dedup import (
+    exact_dedup,
+    jaccard_similar_pairs,
+    minhash_lsh_candidates,
+    simhash,
+)
+from .similarity import cosine_topk, lsh_bucketed_topk
+from .multimodal import extract_media_features
 
 __all__ = [
     "top1_per_group",
@@ -12,4 +20,11 @@ __all__ = [
     "fallback_join",
     "anti_join_new_rows",
     "reconcile",
+    "exact_dedup",
+    "jaccard_similar_pairs",
+    "minhash_lsh_candidates",
+    "simhash",
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "extract_media_features",
 ]

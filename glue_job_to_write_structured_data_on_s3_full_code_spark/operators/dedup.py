@@ -1,0 +1,213 @@
+"""Deduplication operators for LLM-training-data pipelines (SURVEY.md §7 M5;
+north star in BASELINE.json). Four tiers, cheapest first:
+
+- :func:`exact_dedup` — hash-groupBy. One shuffle on a 128-bit digest,
+  never on the payload. The 100 TB workhorse.
+- :func:`jaccard_similar_pairs` — n-gram Jaccard via the *inverted-index
+  join* (explode token → join on token → count co-occurrences), NOT
+  pairwise array comparison: cost is Σ posting-list² per token within a
+  blocking key, not N² over documents.
+- :func:`simhash` — 32-bit SimHash fingerprint, pure SQL expressions
+  (md5-nibble bit extraction) so the DuckDB oracle reproduces it exactly.
+- :func:`minhash_lsh_candidates` — MinHash signatures + banded LSH. The
+  scale path for fuzzy dedup: candidates come from equality joins on
+  band keys (shuffle on band hash), verified with exact Jaccard only on
+  the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per identical (normalized) text. Returns the
+    surviving ids + the digest and group size."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(normalized_text(text_col)).alias("digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(normalized_text(text_col))).alias("tok"))
+        .distinct()
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token-set Jaccard over an inverted-index self-join.
+
+    ``block_col`` restricts candidate pairs to equal blocking keys (source,
+    language, length bucket …) — at 100 TB you never run this unblocked.
+    Hot tokens appearing in most docs of a block should additionally be
+    dropped via a document-frequency cap; here the blocks are small enough
+    that the posting-list join is exact and cheap.
+    """
+    doc_tok = _doc_tokens(df, text_col, id_col)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"))
+        doc_tok = doc_tok.join(blocks, "doc_id")
+    sizes = doc_tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+
+    a = doc_tok.select(F.col("doc_id").alias("doc_a"), "tok", *( ["blk"] if block_col else [] ))
+    b = doc_tok.select(F.col("doc_id").alias("doc_b"), "tok", *( ["blk"] if block_col else [] ))
+    join_keys = ["tok", "blk"] if block_col else ["tok"]
+    co = (
+        a.join(b, join_keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        co.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_tok": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_tok": "n_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash as a bit string. Bit j of a token's hash is the high
+    bit of hex nibble j of ``md5(token)`` — expressible identically in
+    DuckDB, so the fingerprint itself is oracle-checkable. One explode +
+    one groupBy; the 32 conditional sums are map-side combined."""
+    doc_tok = _doc_tokens(df, text_col, id_col)
+    high = list("89abcdef")
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.md5(F.col("tok")), j + 1, 1).isin(high), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = doc_tok.groupBy("doc_id").agg(*aggs)
+    bit_cols = [F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(bits)]
+    return sums.select("doc_id", F.concat(*bit_cols).alias("simhash_bits"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy-dup candidate pairs via MinHash + banded LSH, verified with
+    exact shingle-set Jaccard on the candidates only.
+
+    Pipeline (all narrow or equality-shuffle stages):
+    1. word ``shingle_len``-shingles per doc (sliding window via
+       ``F.transform`` over an index sequence — no UDF);
+    2. ``num_hashes`` seeded xxhash64 values per shingle, min per doc →
+       signature (explode + groupBy, map-side combine);
+    3. signature split into ``bands``; docs sharing any band key are
+       candidates (equality join on the band hash — this is the step that
+       makes it sub-quadratic at 100 TB);
+    4. exact Jaccard verification with an inverted-index join restricted
+       to candidate pairs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(normalized_text(text_col)).alias("ts")
+    )
+    n = F.size(F.col("ts"))
+    shingled = toks.select(
+        "doc_id",
+        F.when(
+            n >= shingle_len,
+            F.transform(
+                F.sequence(F.lit(0), n - shingle_len),
+                lambda i: F.concat_ws(
+                    " ", *[F.col("ts")[i + k] for k in range(shingle_len)]
+                ),
+            ),
+        )
+        .otherwise(F.array(F.concat_ws(" ", "ts")))
+        .alias("shingles"),
+    )
+    doc_shingle = shingled.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")
+    )
+
+    hash_cols = [
+        F.min(F.xxhash64(F.lit(seed), F.col("sh"))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = doc_shingle.groupBy("doc_id").agg(*hash_cols)
+
+    rows_per_band = num_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("band_key"),
+            )
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # Exact verification on candidates only.
+    sizes = doc_shingle.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    co = (
+        doc_shingle.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(cand, "doc_a")
+        .join(
+            doc_shingle.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        co.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )

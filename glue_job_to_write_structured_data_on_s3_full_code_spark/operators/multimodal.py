@@ -1,0 +1,77 @@
+"""Multimodal (binary payload) columns — SURVEY.md §7 M5 / task brief.
+
+Media assets are opaque ``binary`` columns with typed metadata. The
+Spark-side plumbing is real and tested: Arrow-batched ``mapInPandas``
+with an explicit output schema, payload-size–aware batching, and
+deterministic feature extraction. The actual image/audio decode is a
+clearly-marked stub (the sandbox has no codec libraries): plug a real
+decoder into :func:`decode_media` and every downstream stage keeps
+working.
+
+Scale notes: payloads never pass through Python row-at-a-time — Arrow
+moves whole batches; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds batch memory when payloads are large (set it so batch ≈ tens of
+MB). The feature extractor emits fixed-width vectors, so the output
+parquet is columnar-friendly and join-able with the embeddings path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, digest string, fake_width int, fake_height int, "
+    "features array<double>"
+)
+
+
+def decode_media(payload: bytes) -> object:
+    """STUB — real deployments plug PIL/ffmpeg/soundfile here.
+
+    Kept separate so the Spark plumbing (schema, batching, partitioning)
+    is testable without codec libraries in the container.
+    """
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this "
+        "environment; extract_media_features uses the deterministic fake "
+        "extractor instead"
+    )
+
+
+def _fake_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decode: metadata + md5-derived 8-dim features.
+
+    Every value is a pure function of the payload bytes, so the DuckDB
+    oracle can replay it — the Arrow/mapInPandas plumbing under test is
+    exactly what a real decoder would ride.
+    """
+    import hashlib
+
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        digest = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "digest": digest,
+                "fake_width": (n % 640).astype("int32"),
+                "fake_height": ((n * 7) % 480).astype("int32"),
+                "features": digest.map(
+                    lambda h: [int(h[i * 2 : i * 2 + 2], 16) / 255.0 for i in range(8)]
+                ),
+            }
+        )
+
+
+def extract_media_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched feature extraction over opaque binary payloads."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_fake_extract, schema=MEDIA_FEATURE_SCHEMA)

@@ -1,0 +1,322 @@
+"""LLM-training-data pipeline queries (SURVEY.md §7 M5 — first-class per
+BASELINE.json north star): dedup, text analysis, similarity search,
+multimodal plumbing. All on the ``documents`` / ``embeddings`` tables.
+
+Oracle policy: everything a DuckDB SQL statement can express carries one
+(including SimHash — its md5-nibble construction was chosen for that);
+MinHash-LSH and the approximate ANN path are genuinely non-SQL (seeded
+xxhash64 banding) and go through the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_ish_tokens, doc_fingerprint, normalized_text, tokens
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_similar_pairs,
+    minhash_lsh_candidates,
+    simhash,
+)
+from ..operators.multimodal import extract_media_features
+from ..operators.similarity import cosine_topk, lsh_bucketed_topk
+from ..session import tune
+from ..sources import read_table
+
+# DuckDB spelling of normalized_text / tokens (regexp_replace needs the 'g'
+# flag there; Spark replaces globally by default).
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+DEDUP_EXACT_ORACLE = f"""
+SELECT md5({_NORM}) AS digest,
+       min(doc_id)  AS keep_id,
+       count(*)     AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_similar_pairs(
+        docs, "text", "doc_id", block_col="source", threshold=0.5
+    )
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, source, unnest({_TOKS}) AS tok
+    FROM documents
+    WHERE {_NORM} <> ''
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), co AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM tok a JOIN tok b ON a.tok = b.tok AND a.source = b.source
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM co
+JOIN sizes sa ON co.doc_a = sa.doc_id
+JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+"""
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", bits=32)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN substr(m, {j + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    concat = ", ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok
+    FROM documents
+    WHERE {_NORM} <> ''
+), h AS (
+    SELECT doc_id, md5(tok) AS m FROM tok
+), sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, concat({concat}) AS simhash_bits FROM sums
+"""
+
+
+SIMHASH_ORACLE = _simhash_oracle(32)
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver check (seeded xxhash64 banding is not ANSI-SQL);
+    exactness of the verification math is covered by dedup_jaccard_pairs,
+    and tests/test_dedup.py checks planted near-duplicates are found."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(normalized_text("text"))
+    n_toks = F.size(toks)
+    chars_nospace = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.when(n_toks > 0, F.round(F.size(F.array_distinct(toks)) / n_toks, 6))
+        .otherwise(0.0)
+        .alias("type_token_ratio"),
+        F.when(n_toks > 0, F.round(chars_nospace / n_toks, 6))
+        .otherwise(0.0)
+        .alias("avg_token_len"),
+        F.when(n_toks > 0, F.round(stop_hits / n_toks, 6))
+        .otherwise(0.0)
+        .alias("stopword_ratio"),
+    )
+
+
+TEXT_QUALITY_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS toks,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS chars_nospace
+    FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks)    AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       CASE WHEN len(toks) > 0
+            THEN round(len(list_distinct(toks)) / len(toks), 6) ELSE 0.0 END AS type_token_ratio,
+       CASE WHEN len(toks) > 0
+            THEN round(chars_nospace / len(toks), 6) ELSE 0.0 END AS avg_token_len,
+       CASE WHEN len(toks) > 0
+            THEN round(len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks), 6)
+            ELSE 0.0 END AS stopword_ratio
+FROM base
+"""
+
+
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-voting language ID. The fixture's lang labels are
+    synthetic (uniform vocabulary), so the value here is the deterministic
+    operator shape, mirrored exactly by the oracle."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(normalized_text("text"))
+    n_toks = F.size(toks)
+    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    ratio = F.when(n_toks > 0, en_hits / n_toks).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("en_score"),
+        F.when(ratio >= 0.05, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+LANGUAGE_ID_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS toks
+    FROM documents
+), scored AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks)
+                ELSE 0.0 END AS ratio
+    FROM base
+)
+SELECT doc_id,
+       round(ratio, 6) AS en_score,
+       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+FROM scored
+"""
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.size(bpe_ish_tokens("text")).alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe").alias("total_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+TOKEN_COUNT_ORACLE = """
+SELECT source,
+       cast(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+           AS total_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+
+def document_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+"""
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: queries = vec_id < 10, k = 5."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+EMBEDDING_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           (SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+              FROM (SELECT unnest(qv) AS a, unnest(cv) AS b) x)
+           / (sqrt((SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.a AS DOUBLE))
+                      FROM (SELECT unnest(qv) AS a) x))
+              * sqrt((SELECT sum(CAST(x.b AS DOUBLE) * CAST(x.b AS DOUBLE))
+                        FROM (SELECT unnest(cv) AS b) x))) AS cosine
+    FROM c CROSS JOIN q
+    WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (sign-LSH bucketed) ANN — rows-only driver check; recall
+    vs the exact baseline is asserted in tests/test_similarity.py."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=4)
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through Arrow/mapInPandas. The
+    deterministic fake decoder is a pure function of the payload bytes, so
+    even the Pandas-UDF path is oracle-checked."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = extract_media_features(payloads)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "digest",
+        "fake_width",
+        "fake_height",
+        F.transform(F.col("features"), lambda x: F.round(x, 9)).alias("features"),
+    )
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS digest,
+       CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS fake_width,
+       CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS fake_height,
+       [round(('0x' || substr(md5(text), i * 2 + 1, 2))::INT / 255.0, 9)
+        FOR i IN range(8)] AS features
+FROM documents
+"""
+
+
+REGISTRY = [
+    ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    ("dedup_jaccard_pairs", dedup_jaccard_pairs, DEDUP_JACCARD_ORACLE),
+    ("simhash_fingerprint", simhash_fingerprint, SIMHASH_ORACLE),
+    ("minhash_lsh_dedup", minhash_lsh_dedup, None),
+    ("text_quality_stats", text_quality_stats, TEXT_QUALITY_ORACLE),
+    ("language_id_heuristic", language_id_heuristic, LANGUAGE_ID_ORACLE),
+    ("token_count_bpe", token_count_bpe, TOKEN_COUNT_ORACLE),
+    ("document_fingerprint", document_fingerprint, DOC_FINGERPRINT_ORACLE),
+    ("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_COSINE_ORACLE),
+    ("embedding_lsh_topk", embedding_lsh_topk, None),
+    ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
+]

@@ -1,0 +1,51 @@
+"""MinHash-LSH is rows-only at the driver, so its semantics are pinned
+here: planted near-duplicates must surface as verified candidate pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm mat near the old wooden door of the house"
+    )
+    near = base.replace("warm", "cold")  # one-token edit → high jaccard
+    far = "completely different words about databases query engines and shuffles"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base + " extra tail words here")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=16, bands=8, verify_threshold=0.5
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in found, f"planted near-dup not found: {found}"
+    assert all(3 not in p for p in found), f"unrelated doc paired: {found}"
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    a = sorted(map(tuple, minhash_lsh_candidates(docs, "text", "doc_id").collect()))
+    b = sorted(map(tuple, minhash_lsh_candidates(docs, "text", "doc_id").collect()))
+    assert a == b
+
+
+def test_exact_dedup_collapses_copies(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    rows = {r.keep_id: r.n_copies for r in exact_dedup(docs, "text", "doc_id").collect()}
+    # normalization collapses case/punct/whitespace → docs 1 and 2 merge
+    assert rows == {1: 2, 3: 1}

@@ -1,0 +1,38 @@
+"""ANN: the approximate LSH path is rows-only at the driver; pin its
+contract here — determinism, true-cosine scores, and nonzero recall
+against the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+
+def test_lsh_subset_of_bucket_and_scores_match_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=50).collect()
+    approx = lsh_bucketed_topk(emb, queries, k=50, num_planes=4).collect()
+
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    # every approx hit that the exact top-50 also contains must agree on score
+    overlap = 0
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            overlap += 1
+            assert abs(exact_scores[key] - r.cosine) < 1e-9
+    assert overlap > 0, "LSH buckets found nothing from the exact top-50"
+
+
+def test_lsh_deterministic(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, lsh_bucketed_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, lsh_bucketed_topk(emb, q, k=5).collect()))
+    assert a == b
