@@ -1,0 +1,77 @@
+"""Structured Streaming wrappers.
+
+The reference has NO streaming (SURVEY.md §2.10) — its incremental pattern
+is batch micro-snapshots: new snapshot partition per run, anti-join against
+the target, idempotent partition overwrite. These wrappers are the
+streaming twins of that pattern, so the same transforms run in either mode:
+
+- :func:`stream_incremental_load` — file-source ``readStream`` →
+  user transform → ``foreachBatch`` anti-join append: exactly the
+  OUTBOUND.py incremental load (J8) with the micro-batch loop handled by
+  Spark instead of an external scheduler. ``Trigger.AvailableNow`` makes
+  it a catch-up batch job; remove the trigger for continuous tailing.
+- :func:`watermarked_hourly_rollup` — windowed aggregation with a
+  watermark for late data; the streaming twin of
+  ``plans.events_queries.events_hourly_rollup``.
+
+State stores, checkpoints and exactly-once bookkeeping are Spark's; at
+scale the knobs that matter are the watermark horizon (state size) and
+``spark.sql.shuffle.partitions`` for the stateful agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental import anti_join_new_rows
+
+
+def stream_incremental_load(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    key: str,
+    target_path: str,
+    checkpoint_path: str,
+    transform=None,
+) -> None:
+    """Incrementally load new files from ``input_path`` into
+    ``target_path``, inserting only keys not already present (the
+    reference's anti-join incremental semantics, OUTBOUND.py:206-224).
+    Runs as an available-now catch-up and returns when caught up."""
+
+    def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:
+            existing = spark.createDataFrame([], out.schema)
+        new_rows = anti_join_new_rows(out, existing, key)
+        new_rows.write.mode("append").parquet(target_path)
+
+    (
+        spark.readStream.schema(schema)
+        .parquet(input_path)
+        .writeStream.foreachBatch(_upsert_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def watermarked_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming windowed agg with late-data watermark; pass a streaming
+    DataFrame with (ts timestamp, event_type string, value double)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"), "event_type", "n_events", "total_value"
+        )
+    )

@@ -1,0 +1,135 @@
+"""Sources (REST, JDBC options, doc-store stand-in, snapshot writes) and
+the Structured Streaming incremental loader."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+    overwrite_partition,
+    read_table,
+    stamp_snapshot,
+    write_snapshot,
+)
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.docstore import (
+    read_document_store,
+    write_document_store,
+)
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.jdbc import jdbc_options
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.rest import (
+    RestIngestionError,
+    fetch_records,
+    ingest_api,
+    stage_and_read_json,
+)
+from glue_job_to_write_structured_data_on_s3_full_code_spark.streaming import (
+    stream_incremental_load,
+)
+
+
+def test_rest_ingest_with_retry_and_validation(spark):
+    calls = {"n": 0}
+
+    def flaky_fetcher(url: str) -> dict:
+        calls["n"] += 1
+        if calls["n"] < 3:  # first two responses malformed, like FULL.py:173-181
+            return {"unexpected": []}
+        return {"data": [{"stateCd": "MH", "cityCd": "BOM"}, {"stateCd": "DL", "cityCd": "DEL"}]}
+
+    df = ingest_api(
+        spark,
+        flaky_fetcher,
+        ["http://fake/cities"],
+        schema="stateCd string, cityCd string",
+        validate=lambda p: "data" in p,
+    )
+    assert df.count() == 2
+    assert calls["n"] == 3
+
+
+def test_rest_gives_up_after_retries():
+    with pytest.raises(RestIngestionError):
+        fetch_records(lambda u: {"nope": 1}, "http://fake", max_retries=2)
+
+
+def test_rest_stage_and_read_json(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        df = stage_and_read_json(
+            spark,
+            ({"id": i, "v": f"x{i}"} for i in range(100)),
+            os.path.join(tmp, "stage"),
+            schema="id long, v string",
+            records_per_file=30,
+        )
+        assert df.count() == 100
+        assert len(os.listdir(os.path.join(tmp, "stage"))) == 4  # 30+30+30+10
+
+
+def test_jdbc_options_parallel_read():
+    opts = jdbc_options(
+        url="jdbc:sqlserver://host;databaseName=db",
+        dbtable="AccountBase",
+        user="u",
+        password="p",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert opts["numPartitions"] == "32" and opts["partitionColumn"] == "id"
+    with pytest.raises(ValueError):
+        jdbc_options(url="jdbc:x", dbtable="t", partition_column="id")
+
+
+def test_docstore_roundtrip(spark, sf_dir):
+    nation = read_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        store = os.path.join(tmp, "store")
+        write_document_store(nation, "parquet_store", store)
+        back = read_document_store(spark, "parquet_store", store)
+        assert back.count() == nation.count()
+
+
+def test_snapshot_partition_overwrite(spark, sf_dir):
+    region = read_table(spark, sf_dir, "region")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        write_snapshot(stamp_snapshot(region, value="d1"), path)
+        write_snapshot(stamp_snapshot(region, value="d2"), path, mode="append")
+        df = spark.read.parquet(path)
+        assert df.select("snapshot_dt").distinct().count() == 2
+        # re-run snapshot d2 only: d1 must survive (dynamic overwrite)
+        overwrite_partition(stamp_snapshot(region.limit(3), value="d2"), path)
+        df2 = spark.read.parquet(path)
+        assert df2.where(F.col("snapshot_dt") == "d1").count() == region.count()
+        assert df2.where(F.col("snapshot_dt") == "d2").count() == 3
+
+
+def test_stream_incremental_load(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    schema = "o_orderkey long, o_custkey long, o_totalprice double"
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "in")
+        tgt = os.path.join(tmp, "tgt")
+        ck1 = os.path.join(tmp, "ck1")
+        ck2 = os.path.join(tmp, "ck2")
+
+        first = orders.where(F.col("o_orderkey") < 500)
+        first.write.parquet(inp)
+        stream_incremental_load(spark, inp, schema, "o_orderkey", tgt, ck1)
+        n1 = spark.read.parquet(tgt).count()
+        assert n1 == first.count()
+
+        # second batch arrives: overlapping + new keys; only new keys land
+        second = orders.where(F.col("o_orderkey") < 800)
+        second.write.mode("append").parquet(inp)
+        stream_incremental_load(spark, inp, schema, "o_orderkey", tgt, ck2)
+        total = spark.read.parquet(tgt)
+        assert total.count() == second.count()  # 0..800 once, no dups
+        assert total.select("o_orderkey").distinct().count() == total.count()
