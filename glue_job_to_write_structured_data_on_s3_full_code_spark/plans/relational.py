@@ -473,6 +473,77 @@ FROM orders
 """
 
 
+# --- beyond-parity capability: rollup/cube + lag/lead (absent from the
+# reference — SURVEY.md §2.5/§2.6 "not present" lists — but table stakes
+# for an analytics engine; cheap to cover with built-ins + oracles) --------
+
+def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       cast(sum(cast(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 5)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.sum("l_quantity")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_qty"),
+    )
+
+
+LAG_LEAD_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+       lag(l_quantity)  OVER w AS prev_qty,
+       lead(l_quantity) OVER w AS next_qty,
+       sum(l_quantity)  OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS running_qty
+FROM lineitem
+WHERE l_suppkey <= 5
+WINDOW w AS (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+)
+"""
+
+
 REGISTRY: list[tuple] = [
     ("pricing_summary_agg", pricing_summary_agg, PRICING_SUMMARY_ORACLE),
     ("regional_revenue_join", regional_revenue_join, REGIONAL_REVENUE_ORACLE),
@@ -489,4 +560,6 @@ REGISTRY: list[tuple] = [
     ("scalar_function_suite", scalar_function_suite, SCALAR_SUITE_ORACLE),
     ("timezone_shift_format", timezone_shift_format, TIMEZONE_SHIFT_ORACLE),
     ("case_when_remap", case_when_remap, CASE_WHEN_ORACLE),
+    ("rollup_subtotals", rollup_subtotals, ROLLUP_ORACLE),
+    ("lag_lead_running", lag_lead_running, LAG_LEAD_ORACLE),
 ]
