@@ -8,6 +8,15 @@
   assigns each vector a bucket key; queries probe only their own bucket,
   turning the N×Q cross product into an equality join. Recall is traded
   for cost; exactness is recovered per-bucket with true cosine.
+- :func:`ivf_topk` — the other classic scale path (IVF): a small
+  deterministic centroid set coarse-quantizes the corpus once (broadcast
+  argmax-cosine assignment, no shuffle of the corpus), queries probe their
+  ``nprobe`` nearest cells, and the candidate join is an equality join on
+  the cell id. At 100 TB the corpus partition would be *stored* bucketed
+  by cell id, so probing reads only the probed cells.
+- :func:`cosine_neardup` — embedding-cosine near-duplicate dedup: a pair
+  is a near-dup when cosine ≥ threshold; each vector keeps/drops by
+  whether a smaller-id near-dup exists (greedy representative).
 
 Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM expressions, no
 Python UDF. Embeddings are cast to double before arithmetic so results
@@ -51,6 +60,149 @@ def cosine_topk(
     )
     scored = (
         c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").alias("rank"),
+        )
+    )
+
+
+def cosine_neardup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup dedup (task brief: dedup family).
+
+    Output per vector: ``n_smaller_neardups`` (how many near-dups with a
+    smaller id exist) and ``kept`` (no smaller near-dup → this vector is
+    the cluster representative) — the same keep-min-id rule as
+    :func:`..dedup.exact_dedup`.
+
+    This exact form is the oracle semantics; it is O(N²) and only viable
+    on a bounded corpus. At 100 TB the candidate pairs come from the LSH
+    buckets of :func:`lsh_bucketed_topk` (or IVF cells) instead of the
+    self cross-join — same scoring, same keep rule. Norms are precomputed
+    per vector so each pair costs one dot product, and the small side is
+    broadcast so the corpus never shuffles.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
+    ).withColumn("vnorm", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
+
+    hi = v.select(
+        F.col("vid").alias("id_hi"), F.col("vv").alias("v_hi"), F.col("vnorm").alias("n_hi")
+    )
+    lo = v.select(
+        F.col("vid").alias("id_lo"), F.col("vv").alias("v_lo"), F.col("vnorm").alias("n_lo")
+    )
+    pairs = (
+        hi.join(F.broadcast(lo), F.col("id_hi") > F.col("id_lo"))
+        .select(
+            "id_hi",
+            (_dot(F.col("v_hi"), F.col("v_lo")) / (F.col("n_hi") * F.col("n_lo"))).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    cnt = pairs.groupBy("id_hi").agg(F.count("*").alias("n_smaller_neardups"))
+    return (
+        v.join(cnt, v["vid"] == cnt["id_hi"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.coalesce("n_smaller_neardups", F.lit(0)).alias("n_smaller_neardups"),
+            (F.coalesce("n_smaller_neardups", F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The centroid set is deterministic — corpus vectors whose id is
+    divisible by ``centroid_mod`` — so results are reproducible without
+    driver-side k-means state. Corpus vectors are assigned to their
+    max-cosine centroid (one broadcast pass); each query probes its
+    ``nprobe`` best cells and scores exact cosine only inside them.
+    """
+    from pyspark.sql import Window
+
+    cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_v")
+    )
+
+    def assign(df: DataFrame, side_id: str, side_vec: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            side_id,
+            side_vec,
+            "cent_id",
+            (
+                _dot(F.col(side_vec), F.col("cent_v"))
+                / (
+                    F.sqrt(_dot(F.col(side_vec), F.col(side_vec)))
+                    * F.sqrt(_dot(F.col("cent_v"), F.col("cent_v")))
+                )
+            ).alias("cent_cos"),
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .where(F.col("crk") <= keep)
+            .drop("crk", "cent_cos")
+        )
+
+    c = assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        ),
+        "neighbor_id",
+        "cv",
+        keep=1,
+    )
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        "query_id",
+        "qv",
+        keep=nprobe,
+    )
+
+    scored = (
+        c.join(F.broadcast(q), "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -21,7 +21,12 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.multimodal import extract_media_features
-from ..operators.similarity import cosine_topk, lsh_bucketed_topk
+from ..operators.similarity import (
+    cosine_neardup,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from ..session import tune
 from ..sources import read_table
 
@@ -275,6 +280,47 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=4)
 
 
+def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (task brief dedup family): keep a
+    vector iff it has no near-dup (cosine ≥ 0.35) with a smaller id."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_neardup(emb, threshold=0.35)
+
+
+EMBEDDING_NEARDUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id_hi,
+           (SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+              FROM (SELECT unnest(a.embedding) AS a, unnest(b.embedding) AS b) x)
+           / (sqrt((SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.a AS DOUBLE))
+                      FROM (SELECT unnest(a.embedding) AS a) x))
+              * sqrt((SELECT sum(CAST(x.b AS DOUBLE) * CAST(x.b AS DOUBLE))
+                        FROM (SELECT unnest(b.embedding) AS b) x))) AS cosine
+    FROM v a JOIN v b ON a.vec_id > b.vec_id
+),
+cnt AS (
+    SELECT id_hi AS vec_id, count(*) AS n
+    FROM pairs WHERE cosine >= 0.35 GROUP BY 1
+)
+SELECT v.vec_id,
+       coalesce(cnt.n, 0) AS n_smaller_neardups,
+       coalesce(cnt.n, 0) = 0 AS kept
+FROM v LEFT JOIN cnt USING (vec_id)
+"""
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN — rows-only driver check; recall vs the
+    exact baseline is asserted in tests/test_similarity.py."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, centroid_mod=50, nprobe=3
+    )
+
+
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through Arrow/mapInPandas. The
     deterministic fake decoder is a pure function of the payload bytes, so
@@ -318,5 +364,7 @@ REGISTRY = [
     ("document_fingerprint", document_fingerprint, DOC_FINGERPRINT_ORACLE),
     ("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_COSINE_ORACLE),
     ("embedding_lsh_topk", embedding_lsh_topk, None),
+    ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
+    ("embedding_ivf_topk", embedding_ivf_topk, None),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
 ]

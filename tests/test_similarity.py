@@ -7,7 +7,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+    cosine_neardup,
     cosine_topk,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
@@ -28,6 +30,31 @@ def test_lsh_subset_of_bucket_and_scores_match_exact(spark, sf_dir):
             overlap += 1
             assert abs(exact_scores[key] - r.cosine) < 1e-9
     assert overlap > 0, "LSH buckets found nothing from the exact top-50"
+
+
+def test_ivf_scores_match_exact_and_recall(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=50).collect()
+    approx = ivf_topk(emb, queries, k=50, centroid_mod=50, nprobe=3).collect()
+
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    overlap = 0
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            overlap += 1
+            assert abs(exact_scores[key] - r.cosine) < 1e-9
+    assert overlap > 0, "IVF probes found nothing from the exact top-50"
+
+
+def test_neardup_kept_iff_no_smaller_neighbor(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = cosine_neardup(emb, threshold=0.35).collect()
+    assert len(rows) == emb.count()
+    assert all(r.kept == (r.n_smaller_neardups == 0) for r in rows)
+    assert any(not r.kept for r in rows), "threshold found no near-dups"
+    assert any(r.kept for r in rows)
 
 
 def test_lsh_deterministic(spark, sf_dir):
