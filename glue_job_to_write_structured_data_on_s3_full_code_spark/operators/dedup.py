@@ -67,12 +67,27 @@ def jaccard_similar_pairs(
         doc_tok = doc_tok.join(blocks, "doc_id")
     sizes = doc_tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
 
-    a = doc_tok.select(F.col("doc_id").alias("doc_a"), "tok", *( ["blk"] if block_col else [] ))
-    b = doc_tok.select(F.col("doc_id").alias("doc_b"), "tok", *( ["blk"] if block_col else [] ))
+    # Length-ratio prefilter (exactness-preserving): jaccard(A,B) ≥ τ needs
+    # |A∩B| ≥ τ·|A∪B| and |A∩B| ≤ min(|A|,|B|), hence min ≥ τ·max. Carrying
+    # n_tok on each posting row lets the join kill over-ratio pairs before
+    # the pair-count shuffle instead of after it.
+    doc_tok = doc_tok.join(sizes, "doc_id")
+    a = doc_tok.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"), "tok",
+        *(["blk"] if block_col else []),
+    )
+    b = doc_tok.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"), "tok",
+        *(["blk"] if block_col else []),
+    )
     join_keys = ["tok", "blk"] if block_col else ["tok"]
     co = (
         a.join(b, join_keys)
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_a") >= threshold * F.col("n_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -1,0 +1,72 @@
+"""Streaming queries surfaced through the driver contract.
+
+``streaming_sessionization`` actually runs a Structured Streaming job per
+invocation: the events table is split into two parquet files on the median
+timestamp (so every user's stream crosses a micro-batch boundary), the
+stateful sessionizer consumes them one file per trigger, and the appended
+update-mode output is read back as the result. Because per-user state
+carries session numbering across batches, the result is row-identical to
+the batch window query — so it shares the batch query's DuckDB oracle
+(EVENTS_SESSION_ORACLE), making this a hash-checked *streaming* operator.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources import read_table
+from ..streaming.sessionize import run_sessionize_stream
+from .events_queries import EVENTS_SESSION_ORACLE
+
+
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+
+    work = tempfile.mkdtemp(prefix="sessionize_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    # split on the median ts so every user's events in batch 0 precede its
+    # events in batch 1 — the in-order requirement of the stateful operator
+    with_epoch = ev.withColumn("_epoch", F.unix_timestamp("ts"))
+    cut = with_epoch.approxQuantile("_epoch", [0.5], 0.0)[0]
+    early = with_epoch.where(F.col("_epoch") <= cut).drop("_epoch")
+    late = with_epoch.where(F.col("_epoch") > cut).drop("_epoch")
+
+    p0, p1 = os.path.join(in_dir, "b0"), os.path.join(in_dir, "b1")
+    early.coalesce(1).write.parquet(p0)
+    late.coalesce(1).write.parquet(p1)
+    # one batch per *file*: flatten each write to a single named file with
+    # mtimes that force b0 before b1 in the file-stream ordering
+    flat0 = os.path.join(in_dir, "part-000.parquet")
+    flat1 = os.path.join(in_dir, "part-001.parquet")
+    for src, dst, age in ((p0, flat0, 100), (p1, flat1, 50)):
+        f = [x for x in os.listdir(src) if x.endswith(".parquet")][0]
+        shutil.move(os.path.join(src, f), dst)
+        shutil.rmtree(src)
+        now = os.stat(dst).st_mtime
+        os.utime(dst, (now - age, now - age))
+
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        run_sessionize_stream(spark, in_dir, ckpt, out_dir)
+        result = spark.read.parquet(out_dir).select(
+            "event_id", "user_id", "ts", "session_num"
+        )
+        # materialize before the temp dir disappears
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+REGISTRY = [
+    ("streaming_sessionization", streaming_sessionization, EVENTS_SESSION_ORACLE),
+]

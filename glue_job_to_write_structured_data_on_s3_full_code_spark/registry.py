@@ -12,7 +12,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans.flagship import FLAGSHIP_ORACLE, flagship
-from .plans import events_queries, llm_ops, outbound, relational, waterfall
+from .plans import (
+    events_queries,
+    llm_ops,
+    outbound,
+    relational,
+    streaming_queries,
+    waterfall,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -27,6 +34,13 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 register("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)
-for _module in (relational, waterfall, outbound, llm_ops, events_queries):
+for _module in (
+    relational,
+    waterfall,
+    outbound,
+    llm_ops,
+    events_queries,
+    streaming_queries,
+):
     for _name, _fn, _oracle in _module.REGISTRY:
         register(_name, _fn, _oracle)
