@@ -9,8 +9,10 @@ from .dedup import (
     minhash_lsh_candidates,
     simhash,
 )
-from .similarity import cosine_topk, lsh_bucketed_topk
+from .similarity import cosine_neardup, cosine_topk, ivf_topk, lsh_bucketed_topk
 from .multimodal import extract_media_features
+from .temporal import asof_join, time_range_pairs
+from .salted import salted_join
 
 __all__ = [
     "top1_per_group",
@@ -24,7 +26,12 @@ __all__ = [
     "jaccard_similar_pairs",
     "minhash_lsh_candidates",
     "simhash",
+    "cosine_neardup",
     "cosine_topk",
+    "ivf_topk",
     "lsh_bucketed_topk",
     "extract_media_features",
+    "asof_join",
+    "time_range_pairs",
+    "salted_join",
 ]

@@ -544,6 +544,126 @@ WINDOW w AS (
 """
 
 
+# --- beyond-parity join modes: the reference uses only LEFT/ANTI
+# (SURVEY.md §2.4 "not present" note) — semi and full-outer round out the
+# engine's join surface ------------------------------------------------------
+
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS: customers with at least one high-value order.
+    Plans as a broadcast/hash semi join — no fanout, no right columns."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 100000
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+"""
+
+
+def full_outer_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of the customer dim against per-customer order
+    counts — rows survive from both unmatched sides."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "full")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("c_name", F.lit("UNKNOWN")).alias("c_name"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+FULL_OUTER_ORACLE = """
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       coalesce(c.c_name, 'UNKNOWN') AS c_name,
+       coalesce(o.n_orders, 0) AS n_orders
+FROM customer c
+FULL OUTER JOIN (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
+def cube_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(_dsum("o_totalprice").alias("sum_price"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       cast(sum(cast(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def stats_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/stddev/variance/filtered-sum/exact distinct count — the
+    statistics surface beyond the reference's count/distinct (SURVEY.md
+    §2.5 'not present' list)."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        _dsum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("discounted_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+STATS_AGG_ORACLE = """
+SELECT l_returnflag,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       cast(sum(cast(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+                          ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+           AS discounted_revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 REGISTRY: list[tuple] = [
     ("pricing_summary_agg", pricing_summary_agg, PRICING_SUMMARY_ORACLE),
     ("regional_revenue_join", regional_revenue_join, REGIONAL_REVENUE_ORACLE),
@@ -562,4 +682,8 @@ REGISTRY: list[tuple] = [
     ("case_when_remap", case_when_remap, CASE_WHEN_ORACLE),
     ("rollup_subtotals", rollup_subtotals, ROLLUP_ORACLE),
     ("lag_lead_running", lag_lead_running, LAG_LEAD_ORACLE),
+    ("semi_join_exists", semi_join_exists, SEMI_JOIN_ORACLE),
+    ("full_outer_align", full_outer_align, FULL_OUTER_ORACLE),
+    ("cube_subtotals", cube_subtotals, CUBE_ORACLE),
+    ("stats_agg_suite", stats_agg_suite, STATS_AGG_ORACLE),
 ]

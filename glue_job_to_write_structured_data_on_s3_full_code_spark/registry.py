@@ -18,6 +18,7 @@ from .plans import (
     outbound,
     relational,
     streaming_queries,
+    temporal_queries,
     waterfall,
 )
 
@@ -41,6 +42,7 @@ for _module in (
     llm_ops,
     events_queries,
     streaming_queries,
+    temporal_queries,
 ):
     for _name, _fn, _oracle in _module.REGISTRY:
         register(_name, _fn, _oracle)

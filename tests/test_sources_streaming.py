@@ -158,3 +158,30 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     # cross-batch continuity actually exercised: some user's session spans
     # the split, i.e. session numbers above 1 exist
     assert any(s[3] > 1 for s in streamed)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import (
+        salted_join,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        read_table,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = sorted(
+        (r.o_orderkey, r.c_name)
+        for r in orders.join(cust, "c_custkey", "left").select(
+            "o_orderkey", "c_name"
+        ).collect()
+    )
+    salted = sorted(
+        (r.o_orderkey, r.c_name)
+        for r in salted_join(orders, cust, "c_custkey", "left", 8)
+        .select("o_orderkey", "c_name")
+        .collect()
+    )
+    assert salted == plain
