@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "token_count_bpe",
     "events_sessionization",
     "events_hourly_rollup",
+    "events_asof_last_purchase",
+    "events_range_pairs",
+    "stats_agg_suite",
+    "cube_subtotals",
+    "embedding_neardup_dedup",
 ]
 
 

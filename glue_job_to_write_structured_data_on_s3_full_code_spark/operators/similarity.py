@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns via zip_with + aggregate.
+
+    Measured note: expanding to a flat ``a[0]*b[0] + …`` expression is
+    ~2.6× SLOWER (the deep Add tree falls out of codegen into interpreted
+    evaluation with per-term bounds checks); the higher-order form stays.
+    Folds left-to-right, matching DuckDB's ordered unnest sum bit-for-bit.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -55,7 +62,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    # broadcast probes inherit the scan's partitioning; a small corpus file
+    # is ONE partition and would score single-threaded (see cosine_neardup)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     scored = (
@@ -112,7 +122,12 @@ def cosine_neardup(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
     ).withColumn("vnorm", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
 
-    hi = v.select(
+    # a small corpus arrives as ONE input partition; the broadcast
+    # nested-loop probe then runs single-threaded. Spread the probe side
+    # over the cluster — at 100 TB the scan is already partitioned and
+    # this is a no-op knob.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    hi = v.repartition(par).select(
         F.col("vid").alias("id_hi"), F.col("vv").alias("v_hi"), F.col("vnorm").alias("n_hi")
     )
     lo = v.select(
@@ -122,9 +137,10 @@ def cosine_neardup(
         hi.join(F.broadcast(lo), F.col("id_hi") > F.col("id_lo"))
         .select(
             "id_hi",
-            (_dot(F.col("v_hi"), F.col("v_lo")) / (F.col("n_hi") * F.col("n_lo"))).alias(
-                "cosine"
-            ),
+            (
+                _dot(F.col("v_hi"), F.col("v_lo"))
+                / (F.col("n_hi") * F.col("n_lo"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -184,8 +200,9 @@ def ivf_topk(
             .drop("crk", "cent_cos")
         )
 
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = assign(
-        corpus.select(
+        corpus.repartition(par).select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
         ),
         "neighbor_id",
@@ -270,7 +287,8 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("bucket", bucket_bits(F.col("qv")))
-    c = corpus.select(
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", bucket_bits(F.col("cv")))
