@@ -75,3 +75,81 @@ def extract_media_features(
     """Arrow-batched feature extraction over opaque binary payloads."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_fake_extract, schema=MEDIA_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize plumbing: 1 row in → 1 row out with a new fixed-size payload.
+
+    The fake "resample" tiles the source bytes to exactly width×height
+    bytes (deterministic, pure function of input) — a real implementation
+    decodes via :func:`decode_media`, resamples, re-encodes. Batch shape,
+    schema, and memory profile (output size independent of input size)
+    match the real thing.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+
+        def tile(b: bytes) -> bytes:
+            if len(b) == 0:
+                return bytes(target)
+            reps = target // len(b) + 1
+            return (b * reps)[:target]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(tile),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    every_nth: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling plumbing: 1 row in → N rows out (exploding fan-out
+    inside mapInPandas, the shape a video decoder produces).
+
+    The fake "container" treats the payload as consecutive
+    ``frame_bytes``-byte frames and keeps every ``every_nth`` one. A real
+    implementation seeks keyframes via the codec; partitioning, fan-out,
+    and schema are identical.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -20,7 +20,7 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     simhash,
 )
-from ..operators.multimodal import extract_media_features
+from ..operators.multimodal import extract_media_features, sample_frames
 from ..operators.similarity import (
     cosine_neardup,
     cosine_topk,
@@ -353,6 +353,44 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through mapInPandas fan-out (1 row → N
+    frame rows); frames digested so the blob-slicing oracle can compare."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = sample_frames(payloads, frame_bytes=64, every_nth=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").alias("frame_len"),
+        F.md5("frame").alias("frame_digest"),
+    )
+
+
+FRAME_SAMPLE_ORACLE = """
+-- fixture text is pure ASCII (checked: octet_length == length), so VARCHAR
+-- substring slices the same bytes the engine slices from the UTF-8 payload
+WITH s AS (
+    SELECT doc_id, text,
+           greatest(1, octet_length(CAST(text AS BLOB)) // 64) AS n_frames
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       octet_length(CAST(substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS BLOB))
+           AS frame_len,
+       md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_digest
+FROM (
+    SELECT doc_id, text,
+           unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS i
+    FROM s
+)
+"""
+
+
 REGISTRY = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("dedup_jaccard_pairs", dedup_jaccard_pairs, DEDUP_JACCARD_ORACLE),
@@ -367,4 +405,5 @@ REGISTRY = [
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
     ("embedding_ivf_topk", embedding_ivf_topk, None),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
+    ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
 ]

@@ -185,3 +185,48 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .collect()
     )
     assert salted == plain
+
+
+def test_resize_media_fixed_output_size(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        resize_media,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = resize_media(payloads, width=16, height=9).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 16 * 9 for r in out)
+    # deterministic: same input → same bytes
+    out2 = resize_media(payloads, width=16, height=9).collect()
+    assert {r.doc_id: bytes(r.payload) for r in out} == {
+        r.doc_id: bytes(r.payload) for r in out2
+    }
+
+
+def test_sample_frames_fanout_and_stride(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        sample_frames,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    rows = sample_frames(payloads, frame_bytes=64, every_nth=4).collect()
+    assert len(rows) >= 10  # at least one frame per doc
+    assert all(r.frame_idx % 4 == 0 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+    for doc_id, frames in by_doc.items():
+        for fr in frames:
+            start = fr.frame_idx * 64
+            assert bytes(fr.frame) == src[doc_id][start : start + 64]
