@@ -664,6 +664,73 @@ GROUP BY l_returnflag
 """
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIAS = ["urgent", "high", "medium", "notspec", "low"]
+
+
+def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot with an explicit value list — pinning the values keeps the
+    plan a single pass (no values-discovery job) and the schema static, the
+    only safe form at scale."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(_PRIORITIES, _PRIO_ALIAS)
+        ],
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def unpivot_quantity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form melt of per-flag aggregates (DataFrame.unpivot)."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum("l_quantity").alias("qty"),
+        _dsum("l_extendedprice").alias("price"),
+        _dsum("l_discount").alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT l_returnflag,
+           cast(sum(cast(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS qty,
+           cast(sum(cast(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS price,
+           cast(sum(cast(l_discount AS DECIMAL(27,6))) AS DOUBLE) AS disc
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+UNION ALL SELECT l_returnflag, 'price', price FROM wide
+UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
+"""
+
+
 REGISTRY: list[tuple] = [
     ("pricing_summary_agg", pricing_summary_agg, PRICING_SUMMARY_ORACLE),
     ("regional_revenue_join", regional_revenue_join, REGIONAL_REVENUE_ORACLE),
@@ -686,4 +753,6 @@ REGISTRY: list[tuple] = [
     ("full_outer_align", full_outer_align, FULL_OUTER_ORACLE),
     ("cube_subtotals", cube_subtotals, CUBE_ORACLE),
     ("stats_agg_suite", stats_agg_suite, STATS_AGG_ORACLE),
+    ("pivot_priority_counts", pivot_priority_counts, PIVOT_ORACLE),
+    ("unpivot_quantity_metrics", unpivot_quantity_metrics, UNPIVOT_ORACLE),
 ]
