@@ -1,0 +1,64 @@
+"""Job-lifecycle compositions — the reference's three entry points
+(SURVEY.md §3) as callable APIs:
+
+- :func:`structuring_job` — entry point A (FULL.py): transform → snapshot
+  stamp → partitioned write (idempotent per-partition overwrite) → catalog
+  table registration → partition registration. The Glue-crawler poll loop
+  (FULL.py:106-141) becomes ``CREATE TABLE`` inference + ``MSCK REPAIR``
+  (the SURVEY §2.2 K4 mapping); the explicit ``ALTER TABLE ADD PARTITION``
+  fast path (FULL.py:129) is kept for the partition-known case.
+- entry point B (OUTBOUND.py) is :func:`..plans.outbound.outbound_pipeline`.
+- entry point C (JDBC.sql) is :func:`..sources.jdbc.jdbc_snapshot_to_parquet`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.flagship import flagship
+from .session import tune
+from .sources.snapshot import add_partition, overwrite_partition, show_partitions
+
+
+def structuring_job(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    dataset_date: str,
+    table: str = "structured_prospects",
+    transform=flagship,
+) -> DataFrame:
+    """Run the inbound structuring job for one ``dataset_date`` partition.
+
+    Idempotent per partition: re-running a date dynamically overwrites only
+    that partition (the reference's snapshot-rerun semantics, FULL.py:72 +
+    OUTBOUND.py job_run_id pattern). Returns a one-row summary frame.
+    """
+    tune(spark)
+    out = transform(spark, sf_dir).withColumn(
+        "snapshot_dt", F.date_format(F.current_timestamp(), "yyyyMMdd")
+    )
+    stamped = out.withColumn("dataset_date", F.lit(dataset_date))
+    overwrite_partition(stamped, target_path, partition_cols=("dataset_date",))
+
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} USING parquet LOCATION '{target_path}'"
+        )
+    partition_spec = {"dataset_date": dataset_date}
+    known = show_partitions(spark, table)
+    if f"dataset_date={dataset_date}" in known:
+        pass  # already registered (re-run)
+    elif known:
+        add_partition(spark, table, partition_spec)
+    else:
+        # fresh table whose partitions were discovered at create time may
+        # still need a bulk repair after out-of-band writes
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+
+    n = spark.table(table).where(F.col("dataset_date") == dataset_date).count()
+    return spark.createDataFrame(
+        [(dataset_date, n, len(show_partitions(spark, table)))],
+        "dataset_date string, rows_in_partition long, n_partitions int",
+    )
