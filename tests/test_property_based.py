@@ -1,0 +1,128 @@
+"""Hypothesis property tests: the custom operators against pure-Python
+models on generated inputs — catches edge shapes the fixture tables never
+produce (empty sides, all-ties, null keys, adversarial timestamps)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import (
+    FallbackTier,
+    fallback_join,
+    time_range_pairs,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+facts_st = st.lists(
+    st.tuples(st.integers(0, 50), keys), min_size=0, max_size=12, unique_by=lambda t: t[0]
+)
+dims_st = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["p", "q", "r"]),
+        st.integers(0, 20),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _model_fallback(facts, dims):
+    dims = sorted(set(dims))
+    out = {}
+    remaining = list(facts)
+    for tier_name, pred in (("strict", lambda d: d[2] >= 10), ("loose", lambda d: True)):
+        nxt = []
+        for fid, k in remaining:
+            cands = [d for d in dims if k is not None and d[0] == k and pred(d)]
+            if cands:
+                best = max(cands, key=lambda d: (d[2], d[1]))
+                out[fid] = (best[1], tier_name, best[2])
+            else:
+                nxt.append((fid, k))
+        remaining = nxt
+    for fid, _k in remaining:
+        out[fid] = ("DEFAULT", "default", -1)
+    return out
+
+
+@given(facts=facts_st, dims=dims_st)
+@settings(**_SETTINGS)
+def test_fallback_join_matches_model(spark, facts, dims):
+    if not facts:
+        return
+    fact = spark.createDataFrame(facts, "fid long, k string")
+    dim = spark.createDataFrame(dims, "dk string, dval string, prio long")
+    tiers = [
+        FallbackTier(
+            condition=lambda f, d: f["k"] == d["dk"],
+            dim_filter=F.col("prio") >= 10,
+            name="strict",
+        ),
+        FallbackTier(condition=lambda f, d: f["k"] == d["dk"], name="loose"),
+    ]
+    got = {
+        r.fid: (r.dval, r.matched_tier, r.prio)
+        for r in fallback_join(
+            fact,
+            dim,
+            tiers,
+            fact_key=["fid"],
+            order_cols=[F.col("prio").desc(), F.col("dval").desc()],
+            defaults={
+                "dk": F.lit("NA"),
+                "dval": F.lit("DEFAULT"),
+                "prio": F.lit(-1).cast("long"),
+            },
+            matched_probe="dval",
+            tier_col="matched_tier",
+        ).collect()
+    }
+    assert got == _model_fallback(facts, dims)
+
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(0, 40),  # event id
+        st.sampled_from([1, 2]),  # user
+        st.integers(0, 1000),  # epoch seconds
+    ),
+    min_size=0,
+    max_size=14,
+    unique_by=lambda t: t[0],
+)
+
+
+def _model_pairs(rows, window_sec):
+    out = set()
+    for i, (ia, ua, ta) in enumerate(rows):
+        for ib, ub, tb in rows:
+            if ua == ub and ia < ib and abs(tb - ta) <= window_sec:
+                out.add((ua, ia, ib, float(tb - ta)))
+    return out
+
+
+@given(rows=events_st, window=st.sampled_from([1, 7, 100]))
+@settings(**_SETTINGS)
+def test_time_range_pairs_matches_bruteforce(spark, rows, window):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec long").select(
+        "event_id", "user_id", F.col("sec").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r.user_id, r.id_a, r.id_b, r.dt_sec)
+        for r in time_range_pairs(
+            df, key="user_id", ts_col="ts", id_col="event_id", window_sec=window
+        ).collect()
+    }
+    assert got == _model_pairs(rows, window)
