@@ -731,6 +731,21 @@ UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
 """
 
 
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the only viable distinct/quantile path at
+    100 TB (exact countDistinct shuffles every key; HLL/KLL merge in fixed
+    memory). Driver check is rows-only (sketches are engine-specific);
+    tests/test_approx_aggs.py bounds the error vs the exact answers."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price"),
+    )
+
+
 REGISTRY: list[tuple] = [
     ("pricing_summary_agg", pricing_summary_agg, PRICING_SUMMARY_ORACLE),
     ("regional_revenue_join", regional_revenue_join, REGIONAL_REVENUE_ORACLE),
@@ -755,4 +770,5 @@ REGISTRY: list[tuple] = [
     ("stats_agg_suite", stats_agg_suite, STATS_AGG_ORACLE),
     ("pivot_priority_counts", pivot_priority_counts, PIVOT_ORACLE),
     ("unpivot_quantity_metrics", unpivot_quantity_metrics, UNPIVOT_ORACLE),
+    ("approx_distinct_stats", approx_distinct_stats, None),
 ]

@@ -64,3 +64,36 @@ def test_window_top1_partitions_by_group_key(spark, sf_dir, queries):
     plan = _plan(df)
     assert "Window" in plan
     assert "WindowExec: No Partition Defined" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, queries, tmp_path):
+    """Bucketing both sides of a join on the join key pre-shuffles the data
+    at write time — the SCALE.md co-location claim. The joined plan must
+    contain no Exchange (and bucketed scans on both sides)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        read_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+            "o_custkey"
+        ).mode("overwrite").saveAsTable("b_orders")
+        read_table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable("b_customer")
+
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually computes
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
