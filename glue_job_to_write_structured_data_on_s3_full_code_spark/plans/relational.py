@@ -731,6 +731,37 @@ UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
 """
 
 
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (posexplode) — position-preserving flattening, the
+    array↔rows bridge the nested-document model needs in reverse."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), "\\s+"
+        ).alias("toks"),
+    )
+    return toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+
+
+POSEXPLODE_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'
+           ) AS toks
+    FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+       unnest(toks) AS tok
+FROM t
+"""
+
+
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the only viable distinct/quantile path at
     100 TB (exact countDistinct shuffles every key; HLL/KLL merge in fixed
@@ -771,4 +802,5 @@ REGISTRY: list[tuple] = [
     ("pivot_priority_counts", pivot_priority_counts, PIVOT_ORACLE),
     ("unpivot_quantity_metrics", unpivot_quantity_metrics, UNPIVOT_ORACLE),
     ("approx_distinct_stats", approx_distinct_stats, None),
+    ("posexplode_tokens", posexplode_tokens, POSEXPLODE_ORACLE),
 ]

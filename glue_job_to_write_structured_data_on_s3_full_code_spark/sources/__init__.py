@@ -1,4 +1,4 @@
-from .parquet import TABLES, load_tables, register_views, read_table
+from .parquet import TABLES, checkpoint_stage, load_tables, register_views, read_table
 from .snapshot import (
     write_snapshot,
     overwrite_partition,
@@ -12,6 +12,7 @@ __all__ = [
     "load_tables",
     "register_views",
     "read_table",
+    "checkpoint_stage",
     "write_snapshot",
     "overwrite_partition",
     "add_partition",

@@ -30,6 +30,21 @@ TABLES = (
 )
 
 
+def checkpoint_stage(df: DataFrame, path: str) -> DataFrame:
+    """Lineage break: write a stage to parquet and read it back (reference
+    K2, OUTBOUND.py:227-229 — its 'stage0' write+re-read before document
+    assembly).
+
+    Use when a plan grows so deep that Catalyst analysis time or executor
+    retry cost dominates (the reference's flagship plan is ~40 operators
+    deep, SURVEY.md §4). Unlike ``df.checkpoint()`` the staged parquet is
+    a durable, independently queryable artifact — the reference relies on
+    that for its validation suite.
+    """
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters applied by the caller push down to the scan.
 
