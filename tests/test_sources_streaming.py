@@ -245,3 +245,54 @@ def test_checkpoint_stage_roundtrip(spark, sf_dir, tmp_path):
     # lineage actually broken: the staged plan scans the stage path
     plan = staged._jdf.queryExecution().toString()
     assert "stage0" in plan
+
+
+def test_watermarked_rollup_append_matches_batch(spark, sf_dir, tmp_path):
+    """Append-mode emissions from the watermarked streaming rollup must be
+    a value-exact subset of the batch hourly rollup (windows past the
+    watermark finalize; the trailing horizon stays open)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.streaming import (
+        watermarked_hourly_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    in_dir = str(tmp_path / "in")
+    # two in-order files so the watermark actually advances between batches
+    cut = ev.withColumn("_e", F.unix_timestamp("ts")).approxQuantile("_e", [0.5], 0.0)[0]
+    ev.where(F.unix_timestamp("ts") <= cut).coalesce(1).write.parquet(in_dir + "/b0")
+    ev.where(F.unix_timestamp("ts") > cut).coalesce(1).write.parquet(in_dir + "/b1")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir + "/b*")
+    )
+    rollup = watermarked_hourly_rollup(stream, watermark="2 hours")
+    (
+        rollup.writeStream.format("memory")
+        .queryName("wm_rollup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.hour_ts, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM wm_rollup").collect()
+    }
+    assert len(got) > 10, "watermark never finalized any window"
+
+    batch = {
+        (r.hour_ts, r.event_type): (r.n_events, r.total_value)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    for key, (n, tv) in got.items():
+        assert key in batch
+        bn, btv = batch[key]
+        assert n == bn
+        assert abs(tv - btv) < 1e-6

@@ -6,7 +6,6 @@ from __future__ import annotations
 import os
 import tempfile
 
-import pytest
 
 from glue_job_to_write_structured_data_on_s3_full_code_spark.jobs import structuring_job
 from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.snapshot import (
