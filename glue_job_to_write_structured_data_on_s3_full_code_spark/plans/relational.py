@@ -762,6 +762,79 @@ FROM t
 """
 
 
+def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column algebra over tokenized text: sort, membership, slice,
+    dedup-count — all JVM expressions with DuckDB list twins."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), "\\s+"
+        ).alias("toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.slice(F.sort_array("toks"), 1, 3).alias("first3_sorted"),
+        F.element_at(F.sort_array("toks", asc=False), 1).alias("max_tok"),
+    )
+
+
+ARRAY_SUITE_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'
+           ) AS toks
+    FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_toks,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       list_contains(toks, 'data') AS has_data,
+       list_sort(toks)[1:3] AS first3_sorted,
+       list_sort(toks, 'DESC')[1] AS max_tok
+FROM t
+"""
+
+
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function breadth: regexp_extract, translate, repeat/reverse,
+    padding, case transforms — beyond the reference's F1-F15 set."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.reverse("c_name").alias("name_rev"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.length("c_name").alias("name_len"),
+        F.locate("#", "c_name").cast("int").alias("hash_pos"),
+    )
+
+
+STRING_SUITE_ORACLE = """
+SELECT c_custkey,
+       coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       reverse(c_name) AS name_rev,
+       rpad(c_mktsegment, 12, '.') AS seg_padded,
+       -- initcap capitalizes each word's first letter
+       list_aggregate(
+           list_transform(string_split(lower(c_mktsegment), ' '),
+                          s -> upper(s[1]) || s[2:]),
+           'string_agg', ' ') AS seg_title,
+       CAST(length(c_name) AS INT) AS name_len,
+       CAST(strpos(c_name, '#') AS INT) AS hash_pos
+FROM customer WHERE c_custkey < 300
+"""
+
+
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the only viable distinct/quantile path at
     100 TB (exact countDistinct shuffles every key; HLL/KLL merge in fixed
@@ -803,4 +876,6 @@ REGISTRY: list[tuple] = [
     ("unpivot_quantity_metrics", unpivot_quantity_metrics, UNPIVOT_ORACLE),
     ("approx_distinct_stats", approx_distinct_stats, None),
     ("posexplode_tokens", posexplode_tokens, POSEXPLODE_ORACLE),
+    ("array_function_suite", array_function_suite, ARRAY_SUITE_ORACLE),
+    ("string_function_suite", string_function_suite, STRING_SUITE_ORACLE),
 ]
