@@ -45,6 +45,49 @@ GROUP BY 1, 2
 """
 
 
+def events_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: closed hourly buckets come
+    from a materialized store, the open tail from raw events; the union
+    must equal the full recompute (the oracle is the plain rollup minus the
+    n_users column, which is not decomposable and stays query-time)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.continuous_agg import (
+        continuous_aggregate,
+        materialize_closed_buckets,
+    )
+
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events")
+    with_epoch = ev.withColumn("_e", F.unix_timestamp("ts"))
+    cut_epoch = with_epoch.approxQuantile("_e", [0.5], 0.0)[0]
+    cutoff = F.date_trunc(
+        "hour", F.to_timestamp(F.lit(int(cut_epoch)).cast("long"))
+    )
+
+    work = tempfile.mkdtemp(prefix="cont_agg_")
+    path = os.path.join(work, "hourly")
+    try:
+        materialize_closed_buckets(ev, cutoff, path)
+        out = continuous_aggregate(ev, cutoff, path)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+EVENTS_CONT_AGG_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_ts,
+       event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props: get_json_object pushdown-friendly extraction
     (the reference ingests JSON REST payloads, FULL.py:147-156)."""
@@ -105,4 +148,5 @@ REGISTRY = [
     ("events_hourly_rollup", events_hourly_rollup, EVENTS_HOURLY_ORACLE),
     ("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE),
     ("events_sessionization", events_sessionization, EVENTS_SESSION_ORACLE),
+    ("events_continuous_aggregate", events_continuous_aggregate, EVENTS_CONT_AGG_ORACLE),
 ]
