@@ -835,6 +835,54 @@ FROM customer WHERE c_custkey < 300
 """
 
 
+def ranking_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth (rank/dense_rank/ntile/percent_rank) —
+    SURVEY §2.6 notes the reference uses only row_number."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    sup = read_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+    )
+
+
+RANKING_WINDOW_ORACLE = """
+SELECT s_suppkey, s_nationkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 9) AS pct_rank
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+def intersect_common_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — customers appearing in both the high-value-order set and
+    the urgent-order set (completes the set-op family next to U1/U2)."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    high = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return high.intersect(urgent)
+
+
+INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the only viable distinct/quantile path at
     100 TB (exact countDistinct shuffles every key; HLL/KLL merge in fixed
@@ -878,4 +926,6 @@ REGISTRY: list[tuple] = [
     ("posexplode_tokens", posexplode_tokens, POSEXPLODE_ORACLE),
     ("array_function_suite", array_function_suite, ARRAY_SUITE_ORACLE),
     ("string_function_suite", string_function_suite, STRING_SUITE_ORACLE),
+    ("ranking_window_suite", ranking_window_suite, RANKING_WINDOW_ORACLE),
+    ("intersect_common_customers", intersect_common_customers, INTERSECT_ORACLE),
 ]
