@@ -22,6 +22,7 @@ BENCH_QUERIES = [
     "flagship_prospect_pipeline",
     "pricing_summary_agg",
     "regional_revenue_join",
+    "top_unshipped_orders",
     "window_top1_per_group",
     "waterfall_fallback_join",
     "nested_document_json",

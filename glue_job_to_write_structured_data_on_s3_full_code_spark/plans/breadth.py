@@ -1,0 +1,331 @@
+"""Breadth queries — classic analytic shapes and function-family suites the
+reference's capability surface implies but never spells out (SURVEY §2.5-2.8
+"beyond" rows): scalable top-k, EXISTS-aggregation, window-min correlated
+lookup, datetime/null/map function families, GROUPING SETS, and a
+single-pass table profiler.
+
+Scale notes are per-query in docstrings; every query here is pure JVM
+expression (whole-stage codegen, no Python boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources import read_table
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join → per-order revenue →
+    global top-10. The limit-after-total-order compiles to
+    TakeOrderedAndProject — each partition keeps 10 rows, the driver merges
+    k×partitions rows — the only global-sort shape that survives 100 TB.
+    Tiebreak on l_orderkey makes the cut deterministic."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-06-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-06-01"))
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_UNSHIPPED_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def order_priority_semi_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated subquery as a LEFT SEMI join with a
+    non-equi residual (l_shipdate > o_orderdate), then a tiny-key count.
+    Semi join never duplicates the probe side — no fanout to re-distinct."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def min_price_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated MIN subquery, re-expressed as a partitioned
+    window min + self-filter — one shuffle on p_type instead of a
+    per-row subquery; ties (several parts at the min) all survive,
+    matching the correlated-IN semantics."""
+    tune(spark)
+    part = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("mn", F.min("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("mn"))
+        .select("p_type", "p_partkey", "p_retailprice")
+    )
+
+
+MIN_PRICE_PART_ORACLE = """
+SELECT p_type, p_partkey, p_retailprice
+FROM (SELECT p_type, p_partkey, p_retailprice,
+             min(p_retailprice) OVER (PARTITION BY p_type) AS mn
+      FROM part) t
+WHERE p_retailprice = mn
+"""
+
+
+def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family breadth: extract (year/month/quarter/day/iso-week),
+    truncate, offset arithmetic, day-diff, month-end, epoch seconds.
+    All codegen'd JVM expressions; epoch relies on the engine's pinned
+    UTC session timezone (session.tune)."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.quarter(d).alias("qtr"),
+        F.dayofmonth(d).alias("dom"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d, 30).cast("timestamp").alias("plus_30d"),
+        F.datediff(d, F.to_timestamp(F.lit("1995-01-01"))).alias("days_since_95"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.unix_timestamp(d).cast("bigint").alias("epoch_s"),
+    )
+
+
+DATETIME_SUITE_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate)                AS yr,
+       month(o_orderdate)               AS mo,
+       quarter(o_orderdate)             AS qtr,
+       day(o_orderdate)                 AS dom,
+       weekofyear(o_orderdate)          AS iso_week,
+       date_trunc('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 30 DAY    AS plus_30d,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+"""
+
+
+def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-combinator family: nullif, ifnull, nvl2, greatest/least
+    (null-skipping per SQL semantics). Complements scalar_function_suite's
+    coalesce/nullif defaults (reference F4, FULL.py:416-500)."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return cust.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.ifnull(seg_null, F.lit("(masked)")).alias("seg_masked"),
+        F.expr(
+            "nvl2(nullif(c_mktsegment,'BUILDING'), 'kept', 'masked')"
+        ).alias("nvl2_tag"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap"),
+    )
+
+
+NULL_SUITE_ORACLE = """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING')                        AS seg_or_null,
+       ifnull(nullif(c_mktsegment, 'BUILDING'), '(masked)')    AS seg_masked,
+       CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+            THEN 'kept' ELSE 'masked' END                      AS nvl2_tag,
+       greatest(c_acctbal, 0.0)                                AS bal_floor,
+       least(c_acctbal, 1000.0)                                AS bal_cap
+FROM customer
+"""
+
+
+def map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType family: create_map → transform_values (higher-order) →
+    element_at, plus explode of the map into (key, value) rows — the
+    map-side of the unpivot pattern. Generator runs inside codegen; output
+    is 2 rows per lineitem with no shuffle at all."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(
+            F.transform_values(m, lambda _k, v: v * 2.0), F.lit("qty")
+        ).alias("qty_doubled"),
+        F.explode(m).alias("metric", "metric_value"),
+    )
+
+
+MAP_SUITE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity * 2.0 AS qty_doubled,
+       'qty' AS metric, l_quantity AS metric_value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity * 2.0, 'disc', l_discount
+FROM lineitem
+"""
+
+
+def grouping_sets_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a non-hierarchical set list ((a,b),(b),()) — not
+    expressible as rollup/cube (those are registered separately). Spark
+    expands to one aggregate over a grouping-id-expanded child: a single
+    shuffle, not one job per set."""
+    tune(spark)
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               cast(sum(cast(l_quantity AS decimal(27,6))) AS double) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       cast(sum(cast(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling operator: per-column rows / nulls /
+    exact-distinct / min / max for the customer table, computed in ONE
+    aggregate job (one scan, one 1-row shuffle) and pivoted to a row per
+    column driver-side-free via explode(array(struct…)). The profiling
+    twin of the reference's per-stage count audits (SURVEY §5.1) —
+    at 100 TB swap countDistinct for approx_count_distinct."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    num_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    str_cols = ["c_name", "c_mktsegment"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    one = cust.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"min_{c}").cast("double").alias("min_num"),
+            F.col(f"max_{c}").cast("double").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        )
+        for c in num_cols
+    ] + [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col(f"min_{c}").alias("min_str"),
+            F.col(f"max_{c}").alias("max_str"),
+        )
+        for c in str_cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+_PROFILE_NUM = """
+SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls, count(DISTINCT {c}) AS n_distinct,
+       cast(min({c}) AS DOUBLE) AS min_num, cast(max({c}) AS DOUBLE) AS max_num,
+       cast(NULL AS VARCHAR) AS min_str, cast(NULL AS VARCHAR) AS max_str
+FROM customer
+"""
+
+_PROFILE_STR = """
+SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls, count(DISTINCT {c}) AS n_distinct,
+       cast(NULL AS DOUBLE) AS min_num, cast(NULL AS DOUBLE) AS max_num,
+       min({c}) AS min_str, max({c}) AS max_str
+FROM customer
+"""
+
+TABLE_PROFILE_ORACLE = " UNION ALL ".join(
+    [_PROFILE_NUM.format(c=c) for c in ("c_custkey", "c_nationkey", "c_acctbal")]
+    + [_PROFILE_STR.format(c=c) for c in ("c_name", "c_mktsegment")]
+)
+
+
+REGISTRY: list[tuple] = [
+    ("top_unshipped_orders", top_unshipped_orders, TOP_UNSHIPPED_ORACLE),
+    ("order_priority_semi_count", order_priority_semi_count, ORDER_PRIORITY_ORACLE),
+    ("min_price_part_per_type", min_price_part_per_type, MIN_PRICE_PART_ORACLE),
+    ("datetime_function_suite", datetime_function_suite, DATETIME_SUITE_ORACLE),
+    ("null_handling_suite", null_handling_suite, NULL_SUITE_ORACLE),
+    ("map_function_suite", map_function_suite, MAP_SUITE_ORACLE),
+    ("grouping_sets_subtotals", grouping_sets_subtotals, GROUPING_SETS_ORACLE),
+    ("table_profile", table_profile, TABLE_PROFILE_ORACLE),
+]

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .plans.flagship import FLAGSHIP_ORACLE, flagship
 from .plans import (
+    breadth,
     events_queries,
     llm_ops,
     outbound,
@@ -36,6 +37,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 register("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)
 for _module in (
+    breadth,
     relational,
     waterfall,
     outbound,
