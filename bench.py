@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "simhash_fingerprint",
     "embedding_cosine_topk",
     "token_count_bpe",
+    "document_chunking",
     "events_sessionization",
     "events_hourly_rollup",
     "events_asof_last_purchase",

@@ -1,0 +1,214 @@
+"""LLM training-data pipeline pack 2 — corpus-preparation operators beyond
+dedup/similarity (llm_ops.py): chunking, PII redaction, markup stripping,
+deterministic train/eval splitting, and weighted source mixing.
+
+All pure JVM expressions (regexp/substring/sequence/md5) — no Python
+boundary, so the hot path stays inside whole-stage codegen. Determinism is
+the design rule: splits and sampling hash stable keys (md5 of doc_id) so a
+100 TB re-run, a backfill, and the DuckDB oracle all agree row-for-row —
+never rand().
+
+The synthetic `documents` fixture has no real PII/HTML, so the redaction and
+strip queries first synthesize the noise deterministically from table
+columns, then remove it — both engines build and clean the same strings,
+which is exactly what the oracle verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources import read_table
+
+CHUNK_STRIDE = 200
+CHUNK_LEN = 250  # 50-char overlap between consecutive chunks
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 -]{8,}[0-9]"
+
+
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width char chunks (stride 200, width 250) via
+    sequence+explode — the generator runs per-row inside codegen, output
+    is ~n_chars/stride rows per doc with no shuffle. At 100 TB chunking is
+    a map-only stage; chunk_id in the key keeps downstream dedup stable."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    n_chunks_minus1 = F.floor((F.col("n_chars") - 1) / F.lit(float(CHUNK_STRIDE)))
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_chunks_minus1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(
+                f"substring(text, cast(chunk_id*{CHUNK_STRIDE}+1 as int), {CHUNK_LEN})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+CHUNKING_ORACLE = f"""
+SELECT doc_id, chunk_id,
+       substring(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS INT), {CHUNK_LEN}) AS chunk_text,
+       length(substring(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS INT), {CHUNK_LEN})) AS chunk_len
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, CAST(floor((n_chars-1)/{CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_id
+      FROM documents) t
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction by anchored regexp_replace — the scrub pass
+    every served training corpus needs. Synthesizes the PII from doc_id
+    (fixture has none), then removes it; map-only at any scale."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +91 98"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 6, "0"),
+        F.lit("11 end"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(noisy, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        (F.length(noisy) - F.length(redacted)).alias("chars_removed"),
+    )
+
+
+PII_REDACTION_ORACLE = rf"""
+WITH noisy AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +91 98'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 6, '0') || '11 end' AS n
+  FROM documents
+), red AS (
+  SELECT doc_id, n,
+         regexp_replace(regexp_replace(n, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS r
+  FROM noisy
+)
+SELECT doc_id, r AS redacted_text, length(n) - length(r) AS chars_removed
+FROM red
+"""
+
+
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup/boilerplate stripping: tag removal + whitespace collapse —
+    the first stage of any web-crawl→training-text pipeline. Wraps the
+    fixture text in deterministic markup, then strips it back out."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body class="doc"><p>'),
+        F.regexp_replace(F.col("text"), " spark ", " <b>spark</b> "),
+        F.lit("</p><br/></body></html>"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(html, "<[^>]+>", " "), r"\s+", " ")
+    )
+    return docs.select(
+        "doc_id",
+        stripped.alias("clean_text"),
+        F.length(stripped).alias("clean_len"),
+    )
+
+
+HTML_STRIP_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><body class="doc"><p>'
+           || regexp_replace(text, ' spark ', ' <b>spark</b> ', 'g')
+           || '</p><br/></body></html>' AS html
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS clean
+  FROM h
+)
+SELECT doc_id, clean AS clean_text, length(clean) AS clean_len FROM s
+"""
+
+
+def hash_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split: bucket = first 2 hex chars of
+    md5(doc_id), split at 'd3' (~82.4% train). Reproducible across runs,
+    engines, and cluster sizes — the property rand()-based splits lose the
+    moment a partition is retried."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket_hex"),
+        F.when(bucket < "d3", "train").otherwise("eval").alias("split"),
+    )
+
+
+HASH_SPLIT_ORACLE = """
+SELECT doc_id, source,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_hex,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd3'
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents
+"""
+
+
+def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: per-source keep-rate applied by comparing
+    a 16-bit md5 prefix of (doc_id, source) against the source's threshold
+    — even-numbered sources keep ~25% ('4000'/0x10000), odd keep ~75%
+    ('c000'). Deterministic subsampling that composes with the hash split
+    above; at 100 TB the filter is pushed into the scan, no shuffle."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    h16 = F.expr(
+        "substring(md5(concat(cast(doc_id as string), '|', source)), 1, 4)"
+    )
+    thresh = F.when(
+        F.expr("cast(substring(source, 4) as int)") % 2 == 0, "4000"
+    ).otherwise("c000")
+    return (
+        docs.withColumn("h16", h16)
+        .withColumn("keep_below", thresh)
+        .where(F.col("h16") < F.col("keep_below"))
+        .select("doc_id", "source", "h16", "keep_below")
+    )
+
+
+WEIGHTED_MIX_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         substring(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 4) AS h16,
+         CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+              THEN '4000' ELSE 'c000' END AS keep_below
+  FROM documents
+)
+SELECT doc_id, source, h16, keep_below FROM t WHERE h16 < keep_below
+"""
+
+
+REGISTRY: list[tuple] = [
+    ("document_chunking", document_chunking, CHUNKING_ORACLE),
+    ("pii_redaction", pii_redaction, PII_REDACTION_ORACLE),
+    ("html_strip", html_strip, HTML_STRIP_ORACLE),
+    ("hash_split_train_eval", hash_split_train_eval, HASH_SPLIT_ORACLE),
+    ("weighted_source_mix", weighted_source_mix, WEIGHTED_MIX_ORACLE),
+]

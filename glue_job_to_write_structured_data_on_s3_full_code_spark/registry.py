@@ -16,6 +16,7 @@ from .plans import (
     breadth,
     events_queries,
     llm_ops,
+    llm_ops2,
     outbound,
     relational,
     streaming_queries,
@@ -42,6 +43,7 @@ for _module in (
     waterfall,
     outbound,
     llm_ops,
+    llm_ops2,
     events_queries,
     streaming_queries,
     temporal_queries,
