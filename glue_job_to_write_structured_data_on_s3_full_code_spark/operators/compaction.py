@@ -1,0 +1,50 @@
+"""Small-file compaction — rewrite a parquet dataset into files near a
+target size.
+
+Why it's first-class: every incremental pattern in the reference (per-run
+partition overwrites, FULL.py:72; per-job_run_id appends, OUTBOUND.py:61-65)
+accretes small files, and at 100 TB scan cost is dominated by file-open and
+footer-read overhead once files drop below a few MB. Compaction is the
+maintenance job that keeps `maxPartitionBytes`-sized splits meaningful.
+
+Sizing is measured, not guessed: the source's byte size comes from the
+filesystem (Hadoop FS API — works for file://, s3a://, hdfs:// alike), and
+the output file count is `ceil(bytes / target)`. `coalesce` (no shuffle:
+each task reads several input files) is used when shrinking the file count;
+`repartition` only when the input has *fewer* partitions than wanted.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dataset_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under `path` via the Hadoop FileSystem API."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return fs.getContentSummary(jpath).getLength()
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite `src_path` parquet into `dst_path` with files sized near
+    `target_file_bytes`. Returns the output file count."""
+    size = dataset_bytes(spark, src_path)
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if df.rdd.getNumPartitions() >= n_files:
+        out = df.coalesce(n_files)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -319,6 +319,38 @@ TABLE_PROFILE_ORACLE = " UNION ALL ".join(
 )
 
 
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: the 10 heaviest o_custkey values with
+    their share of all orders — what you run BEFORE picking salt factors or
+    trusting AQE's skew-join split on a new key. Per-key counts shuffle
+    once on the key; the scalar total is a broadcast cross join (never a
+    global window, which would single-partition the aggregate)."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    total = per_key.agg(F.sum("n_orders").alias("tot"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("n_orders") * 1.0 / F.col("tot"), 9).alias("share"),
+        )
+        .orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+
+
+KEY_SKEW_ORACLE = """
+WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+     t AS (SELECT sum(n_orders) AS tot FROM c)
+SELECT o_custkey, n_orders, round(n_orders * 1.0 / tot, 9) AS share
+FROM c, t
+ORDER BY n_orders DESC, o_custkey
+LIMIT 10
+"""
+
+
 REGISTRY: list[tuple] = [
     ("top_unshipped_orders", top_unshipped_orders, TOP_UNSHIPPED_ORACLE),
     ("order_priority_semi_count", order_priority_semi_count, ORDER_PRIORITY_ORACLE),
@@ -328,4 +360,5 @@ REGISTRY: list[tuple] = [
     ("map_function_suite", map_function_suite, MAP_SUITE_ORACLE),
     ("grouping_sets_subtotals", grouping_sets_subtotals, GROUPING_SETS_ORACLE),
     ("table_profile", table_profile, TABLE_PROFILE_ORACLE),
+    ("key_skew_profile", key_skew_profile, KEY_SKEW_ORACLE),
 ]

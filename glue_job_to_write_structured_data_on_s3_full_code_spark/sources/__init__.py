@@ -1,3 +1,4 @@
+from .files import read_csv, read_json, write_csv, write_json
 from .parquet import TABLES, checkpoint_stage, load_tables, register_views, read_table
 from .snapshot import (
     write_snapshot,
@@ -8,6 +9,10 @@ from .snapshot import (
 )
 
 __all__ = [
+    "read_csv",
+    "read_json",
+    "write_csv",
+    "write_json",
     "TABLES",
     "load_tables",
     "register_views",
