@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "token_count_bpe",
     "document_chunking",
+    "corpus_curation_pipeline",
     "events_sessionization",
     "events_hourly_rollup",
     "events_asof_last_purchase",

@@ -205,10 +205,70 @@ SELECT doc_id, source, h16, keep_below FROM t WHERE h16 < keep_below
 """
 
 
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the realistic shape of a training-
+    data job: quality gate (token count + type-token ratio) → language
+    filter → exact dedup on the normalized-text fingerprint (first doc_id
+    wins) → deterministic train split. Everything before the dedup window
+    is map-only and pushes the lang filter into the scan; the one shuffle
+    is on the fingerprint, whose cardinality ≈ distinct docs."""
+    from ..functions.text import doc_fingerprint, tokens, normalized_text
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(normalized_text("text"))
+    n_toks = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_toks
+    quality = (
+        docs.where(F.col("lang") == "en")
+        .withColumn("n_tokens", n_toks)
+        .withColumn("ttr", F.round(ttr, 6))
+        .where((F.col("n_tokens").between(20, 90)) & (F.col("ttr") >= 0.35))
+        .withColumn("fingerprint", doc_fingerprint("text"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return deduped.where(
+        F.expr("substring(md5(cast(doc_id as string)), 1, 2)") < "d3"
+    ).select("doc_id", "source", "n_tokens", "ttr", "fingerprint")
+
+
+CURATION_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')
+         END AS toks,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), q AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+         fingerprint
+  FROM base
+  WHERE lang = 'en' AND len(toks) BETWEEN 20 AND 90
+        AND round(len(list_distinct(toks)) * 1.0 / len(toks), 6) >= 0.35
+), d AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, source, n_tokens, ttr, fingerprint
+FROM d
+WHERE rn = 1 AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd3'
+"""
+
+
 REGISTRY: list[tuple] = [
     ("document_chunking", document_chunking, CHUNKING_ORACLE),
     ("pii_redaction", pii_redaction, PII_REDACTION_ORACLE),
     ("html_strip", html_strip, HTML_STRIP_ORACLE),
     ("hash_split_train_eval", hash_split_train_eval, HASH_SPLIT_ORACLE),
     ("weighted_source_mix", weighted_source_mix, WEIGHTED_MIX_ORACLE),
+    ("corpus_curation_pipeline", corpus_curation_pipeline, CURATION_ORACLE),
 ]

@@ -61,6 +61,27 @@ def stream_incremental_load(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    *,
+    watermark_col: str = "ts",
+    horizon: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; repeat
+    arrivals within the watermark horizon are dropped
+    (``dropDuplicatesWithinWatermark``). The horizon is the state-size
+    knob — state holds one entry per distinct key seen inside the horizon
+    and evicts as the watermark advances, so memory is bounded by
+    key-arrival rate × horizon, not by stream length. The streaming twin
+    of the batch ``dedup_exact`` / anti-join incremental pattern: use this
+    when the duplicate window is short (retries, at-least-once sources)
+    and the anti-join load when dedup must span the whole history."""
+    return events.withWatermark(watermark_col, horizon).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def watermarked_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming windowed agg with late-data watermark; pass a streaming
     DataFrame with (ts timestamp, event_type string, value double)."""

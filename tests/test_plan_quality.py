@@ -97,3 +97,56 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, queries, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_range_clustered_layout_skips_row_groups(spark, sf_dir, tmp_path):
+    """Range-clustered parquet must let a one-month predicate prune most
+    row groups via footer min/max stats; a hash-scattered layout of the
+    same rows prunes none. This is the data-skipping contract of
+    operators/compaction.write_range_clustered."""
+    import glob
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.compaction import (
+        write_range_clustered,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        read_table,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    write_range_clustered(li, clustered, ["l_shipdate"], n_files=8)
+    li.repartition(8).write.parquet(scattered)
+
+    def overlapping_fraction(path, lo, hi):
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+                "l_shipdate"
+            ]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                mn, mx = st.min, st.max
+                if not (mx < lo or mn > hi):
+                    hit += 1
+        assert total >= 8
+        return hit / total
+
+    lo, hi = datetime(1996, 3, 1), datetime(1996, 3, 31, 23, 59, 59)
+    frac_clustered = overlapping_fraction(clustered, lo, hi)
+    frac_scattered = overlapping_fraction(scattered, lo, hi)
+    assert frac_scattered == 1.0, "hash layout should overlap everywhere"
+    assert frac_clustered <= 0.25, (
+        f"clustered layout should prune most row groups, kept {frac_clustered}"
+    )
+
+    # layout change must not change the data
+    back = spark.read.parquet(clustered)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
