@@ -144,9 +144,63 @@ FROM g
 """
 
 
+def events_gap_filled_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled (zero-filled) daily rollup: a calendar spine generated
+    with sequence+explode from the observed [min, max] day, crossed with
+    the distinct event types, left-joined to the aggregated facts, and
+    missing buckets coalesced to zero. The spine is metadata-sized (days ×
+    types), so both its build and the final join broadcast — the fact
+    table still pays only its one aggregation shuffle. The high-value
+    filter (value > 300) makes most buckets genuinely empty."""
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events").where(F.col("value") > 300)
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(day.alias("day_ts"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine_days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day_ts")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine_days.crossJoin(types)
+        .join(daily, ["day_ts", "event_type"], "left")
+        .select(
+            "day_ts",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+EVENTS_GAP_FILLED_ORACLE = """
+WITH f AS (SELECT * FROM events WHERE value > 300),
+d AS (
+  SELECT date_trunc('day', ts) AS day_ts, event_type,
+         count(*) AS n_events,
+         cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+  FROM f GROUP BY 1, 2
+),
+b AS (SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi FROM f),
+s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day_ts FROM b),
+t AS (SELECT DISTINCT event_type FROM f)
+SELECT s.day_ts, t.event_type,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.total_value, 0.0) AS total_value
+FROM s CROSS JOIN t
+LEFT JOIN d ON d.day_ts = s.day_ts AND d.event_type = t.event_type
+"""
+
+
 REGISTRY = [
     ("events_hourly_rollup", events_hourly_rollup, EVENTS_HOURLY_ORACLE),
     ("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE),
     ("events_sessionization", events_sessionization, EVENTS_SESSION_ORACLE),
     ("events_continuous_aggregate", events_continuous_aggregate, EVENTS_CONT_AGG_ORACLE),
+    ("events_gap_filled_rollup", events_gap_filled_rollup, EVENTS_GAP_FILLED_ORACLE),
 ]
