@@ -319,6 +319,91 @@ TABLE_PROFILE_ORACLE = " UNION ALL ".join(
 )
 
 
+def grouped_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-list aggregation family: per-customer sorted list of
+    order priorities, both as an array and as a delimited string.
+    Sorting the collected array makes the output deterministic (bare
+    collect_list order is partition-dependent) — the same rule the
+    oracle's ORDER BY inside string_agg applies."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.concat_ws(",", F.array_sort(F.collect_list("o_orderpriority"))).alias(
+            "priorities_csv"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+STRING_AGG_ORACLE = """
+SELECT o_custkey,
+       list_sort(list(o_orderpriority)) AS priorities,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities_csv,
+       count(*) AS n_orders
+FROM orders
+WHERE o_custkey < 500
+GROUP BY o_custkey
+"""
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension joined twice under different
+    roles (supplier nation vs customer nation) with a symmetric pair
+    filter, grouped by pair and year. Both nation sides broadcast; the
+    fact pays one aggregation shuffle on the (pair, year) key."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+NATION_PAIR_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       cast(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+     OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnostic: the 10 heaviest o_custkey values with
     their share of all orders — what you run BEFORE picking salt factors or
@@ -361,4 +446,6 @@ REGISTRY: list[tuple] = [
     ("grouping_sets_subtotals", grouping_sets_subtotals, GROUPING_SETS_ORACLE),
     ("table_profile", table_profile, TABLE_PROFILE_ORACLE),
     ("key_skew_profile", key_skew_profile, KEY_SKEW_ORACLE),
+    ("grouped_string_agg", grouped_string_agg, STRING_AGG_ORACLE),
+    ("nation_pair_volume", nation_pair_volume, NATION_PAIR_ORACLE),
 ]
