@@ -264,6 +264,64 @@ WHERE rn = 1 AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd3'
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: Jaccard≥0.5 pairs (source-blocked)
+    become undirected edges; iterative min-label propagation
+    (operators/components.py) assigns every doc the min doc_id of its
+    component — the canonical representative to keep. The oracle replays
+    the transitive closure with a recursive CTE. Docs in no pair are
+    their own singleton component."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import jaccard_similar_pairs
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_similar_pairs(
+        docs, "text", "doc_id", block_col="source", threshold=0.5
+    )
+    return connected_components(
+        docs.select(F.col("doc_id").alias("node")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    ).select(F.col("node").alias("doc_id"), "component")
+
+
+# The pair SQL mirrors DEDUP_JACCARD_ORACLE (llm_ops.py); the closure is a
+# recursive CTE: reach(node,label) holds every label reachable from node,
+# so min(label) per node is the component minimum.
+DEDUP_COMPONENTS_ORACLE = """
+WITH RECURSIVE tok AS (
+    SELECT DISTINCT doc_id, source,
+           unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), co AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM tok a JOIN tok b ON a.tok = b.tok AND a.source = b.source
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc_a, doc_b
+    FROM co
+    JOIN sizes sa ON co.doc_a = sa.doc_id
+    JOIN sizes sb ON co.doc_b = sb.doc_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT e.s AS node, r.label
+    FROM edges e JOIN reach r ON e.d = r.node
+)
+SELECT node AS doc_id, min(label) AS component
+FROM reach GROUP BY node
+"""
+
+
 REGISTRY: list[tuple] = [
     ("document_chunking", document_chunking, CHUNKING_ORACLE),
     ("pii_redaction", pii_redaction, PII_REDACTION_ORACLE),
@@ -271,4 +329,5 @@ REGISTRY: list[tuple] = [
     ("hash_split_train_eval", hash_split_train_eval, HASH_SPLIT_ORACLE),
     ("weighted_source_mix", weighted_source_mix, WEIGHTED_MIX_ORACLE),
     ("corpus_curation_pipeline", corpus_curation_pipeline, CURATION_ORACLE),
+    ("dedup_components", dedup_components, DEDUP_COMPONENTS_ORACLE),
 ]

@@ -49,3 +49,23 @@ def test_exact_dedup_collapses_copies(spark):
     rows = {r.keep_id: r.n_copies for r in exact_dedup(docs, "text", "doc_id").collect()}
     # normalization collapses case/punct/whitespace → docs 1 and 2 merge
     assert rows == {1: 2, 3: 1}
+
+
+def test_connected_components_semantics(spark):
+    """Path graph 1-2-3, triangle 10-11-12 (+edge 12-10), isolated 99:
+    min-label propagation must label each node with its component min."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.components import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 10, 11, 12, 99]], "node bigint"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
