@@ -58,11 +58,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT/broadcast); timed run below
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT/broadcast)
+        # min of 2 timed runs: single-run numbers swing with background
+        # load; the min is the stable estimate of the plan's true cost
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     print(
         json.dumps(

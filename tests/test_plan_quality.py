@@ -150,3 +150,25 @@ def test_range_clustered_layout_skips_row_groups(spark, sf_dir, tmp_path):
     back = spark.read.parquet(clustered)
     assert back.count() == li.count()
     assert back.exceptAll(li).count() == 0
+
+
+def test_curation_pipeline_single_shuffle(spark, sf_dir, queries):
+    """corpus_curation_pipeline claims exactly one shuffle (the
+    fingerprint-dedup window); everything before it must stay map-only."""
+    df = queries["corpus_curation_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    ) + plan.count("Exchange SinglePartition")
+    assert exchanges == 1, f"expected 1 exchange, plan has {exchanges}"
+
+
+def test_nation_pair_join_broadcast_only(spark, sf_dir, queries):
+    """nation_pair_volume: every join broadcast at test scale, no
+    sort-merge; one aggregation shuffle."""
+    df = queries["nation_pair_volume"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 5
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges == 1, f"expected 1 agg exchange, plan has {exchanges}"
