@@ -1,3 +1,13 @@
-from .incremental import stream_dedup, stream_incremental_load, watermarked_hourly_rollup
+from .incremental import (
+    stream_dedup,
+    stream_incremental_load,
+    stream_stream_interval_join,
+    watermarked_hourly_rollup,
+)
 
-__all__ = ["stream_dedup", "stream_incremental_load", "watermarked_hourly_rollup"]
+__all__ = [
+    "stream_dedup",
+    "stream_incremental_load",
+    "stream_stream_interval_join",
+    "watermarked_hourly_rollup",
+]

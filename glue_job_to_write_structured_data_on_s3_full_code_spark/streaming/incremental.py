@@ -82,6 +82,33 @@ def stream_dedup(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts_l",
+    right_ts: str = "ts_r",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on `key` with a time-interval condition:
+    right events within [left_ts, left_ts + within]. Both sides carry
+    watermarks so Spark can bound the join state — each side buffers only
+    rows younger than (watermark + interval) and evicts the rest, which is
+    what makes a stream-stream join runnable forever at scale. The batch
+    twin is the same join condition on static frames; the streaming test
+    asserts exact agreement."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return lw.join(
+        rw,
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {within}")),
+    ).drop(rw[key])
+
+
 def watermarked_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming windowed agg with late-data watermark; pass a streaming
     DataFrame with (ts timestamp, event_type string, value double)."""

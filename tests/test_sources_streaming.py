@@ -336,3 +336,54 @@ def test_stream_dedup_within_watermark_matches_batch_distinct(spark, sf_dir, tmp
     want = ev.dropDuplicates(["event_id"])
     assert got.count() == want.count()
     assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Clicks joined to same-user purchases within 1 hour, streamed with
+    watermarks on both sides, must equal the identical batch join."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_l"), F.col("event_id").alias("click_id")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("buy_id"),
+    )
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.coalesce(1).write.parquet(cdir)
+    buys.coalesce(1).write.parquet(bdir)
+
+    cs = spark.readStream.schema("user_id bigint, ts_l timestamp, click_id bigint").parquet(cdir)
+    bs = (
+        spark.readStream.schema("user_id_r bigint, ts_r timestamp, buy_id bigint")
+        .parquet(bdir)
+        .withColumnRenamed("user_id_r", "user_id")
+    )
+    joined = stream_stream_interval_join(
+        cs, bs, "user_id", within="1 hour", watermark="3650 days"
+    )
+    (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.sql("SELECT click_id, buy_id FROM ssj_out")
+
+    batch = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id_r)
+        & (buys.ts_r >= clicks.ts_l)
+        & (buys.ts_r <= clicks.ts_l + F.expr("interval 1 hour")),
+    ).select("click_id", "buy_id")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
