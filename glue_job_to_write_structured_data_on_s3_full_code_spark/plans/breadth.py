@@ -436,6 +436,102 @@ LIMIT 10
 """
 
 
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math with an exact oracle (the ANN queries are rows-only, so
+    this pins the dot-product/norm primitives they build on): L2 norm via
+    higher-order aggregate, plus the first component scaled to unit norm.
+    Pure codegen — at 100 TB this is a map-only pass; float32 inputs are
+    upcast to double before squaring in BOTH engines so accumulation
+    order can't drift the hash."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq_sum)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 9).alias("l2_norm"),
+        F.round(F.col("embedding")[0].cast("double") / norm, 9).alias("unit_first"),
+    )
+
+
+EMBEDDING_NORMS_ORACLE = """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9) AS l2_norm,
+       round(CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9) AS unit_first
+FROM embeddings
+"""
+
+
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate as a first-class operator — the engine twin
+    of the reference's runtime validation suite (SURVEY §5: count audits,
+    column checks, reconciliation): one row per rule with its violation
+    count, computed in a single pass over orders plus one broadcast
+    anti-join for the referential rule."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    single = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "v_key_null"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "v_price_range"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("v_status_domain"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v_key_dup"),
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("v_orphan"))
+    )
+    single = single.crossJoin(orphans)
+    rules = single.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("orderkey_not_null").alias("rule"), F.col("v_key_null").cast("bigint").alias("violations")),
+                F.struct(F.lit("orderkey_unique").alias("rule"), F.col("v_key_dup").cast("bigint").alias("violations")),
+                F.struct(F.lit("totalprice_positive").alias("rule"), F.col("v_price_range").cast("bigint").alias("violations")),
+                F.struct(F.lit("status_in_domain").alias("rule"), F.col("v_status_domain").cast("bigint").alias("violations")),
+                F.struct(F.lit("custkey_references_customer").alias("rule"), F.col("v_orphan").cast("bigint").alias("violations")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rules
+
+
+DATA_QUALITY_ORACLE = """
+SELECT 'orderkey_not_null' AS rule,
+       count(*) FILTER (WHERE o_orderkey IS NULL) AS violations FROM orders
+UNION ALL
+SELECT 'orderkey_unique', count(*) - count(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'totalprice_positive', count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+UNION ALL
+SELECT 'status_in_domain', count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) FROM orders
+UNION ALL
+SELECT 'custkey_references_customer', count(*) FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 REGISTRY: list[tuple] = [
     ("top_unshipped_orders", top_unshipped_orders, TOP_UNSHIPPED_ORACLE),
     ("order_priority_semi_count", order_priority_semi_count, ORDER_PRIORITY_ORACLE),
@@ -448,4 +544,6 @@ REGISTRY: list[tuple] = [
     ("key_skew_profile", key_skew_profile, KEY_SKEW_ORACLE),
     ("grouped_string_agg", grouped_string_agg, STRING_AGG_ORACLE),
     ("nation_pair_volume", nation_pair_volume, NATION_PAIR_ORACLE),
+    ("embedding_norms", embedding_norms, EMBEDDING_NORMS_ORACLE),
+    ("data_quality_checks", data_quality_checks, DATA_QUALITY_ORACLE),
 ]
