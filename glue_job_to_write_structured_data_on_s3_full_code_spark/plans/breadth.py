@@ -470,6 +470,40 @@ FROM embeddings
 """
 
 
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / sample covariance / regression slope+
+    intercept) per return flag — the multi-column moment aggregates the
+    single-column stats suite doesn't touch. One partial-aggregable
+    shuffle; moments merge associatively so map-side combine applies."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "slope_price_on_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+            "intercept_price_on_qty"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+CORRELATION_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 9)        AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 6)  AS covar_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 6)  AS slope_price_on_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept_price_on_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based quality gate as a first-class operator — the engine twin
     of the reference's runtime validation suite (SURVEY §5: count audits,
@@ -545,5 +579,6 @@ REGISTRY: list[tuple] = [
     ("grouped_string_agg", grouped_string_agg, STRING_AGG_ORACLE),
     ("nation_pair_volume", nation_pair_volume, NATION_PAIR_ORACLE),
     ("embedding_norms", embedding_norms, EMBEDDING_NORMS_ORACLE),
+    ("correlation_stats", correlation_stats, CORRELATION_ORACLE),
     ("data_quality_checks", data_quality_checks, DATA_QUALITY_ORACLE),
 ]
