@@ -1,4 +1,4 @@
-from .files import read_csv, read_json, write_csv, write_json
+from .files import read_csv, read_json, read_orc, write_csv, write_json, write_orc
 from .parquet import TABLES, checkpoint_stage, load_tables, register_views, read_table
 from .snapshot import (
     write_snapshot,
@@ -11,6 +11,8 @@ from .snapshot import (
 __all__ = [
     "read_csv",
     "read_json",
+    "read_orc",
+    "write_orc",
     "write_csv",
     "write_json",
     "TABLES",

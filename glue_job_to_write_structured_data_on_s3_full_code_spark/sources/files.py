@@ -70,3 +70,14 @@ def read_json(
 
 def write_json(df: DataFrame, path: str, **options: str) -> None:
     df.write.mode("overwrite").options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC scan — self-describing columnar like parquet (schema travels
+    with the file), with the same predicate/column pushdown behavior, so
+    no explicit-schema requirement."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, **options: str) -> None:
+    df.write.mode("overwrite").options(**options).orc(path)

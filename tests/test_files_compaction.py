@@ -79,3 +79,24 @@ def test_compaction_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
 
     # Sizing is measured from the filesystem, not guessed.
     assert dataset_bytes(spark, fragmented) > 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.dtypes == li.dtypes
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.where(F.col("l_quantity") > 25)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
