@@ -368,8 +368,8 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(27,6)"
     )
     pair_ok = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -397,8 +397,8 @@ FROM (
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-     OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+     OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
 ) t
 GROUP BY supp_nation, cust_nation, l_year
 """
@@ -467,6 +467,86 @@ SELECT vec_id, label,
        round(CAST(embedding[1] AS DOUBLE)
              / sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9) AS unit_first
 FROM embeddings
+"""
+
+
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a ratio of conditional aggregates (one nation's
+    revenue share of the region's total per year). The CASE sits inside
+    the sum, so the share costs the same single agg shuffle as a plain
+    sum — never two passes or a self-join. Fact tables (lineitem,
+    orders, customer) shuffle-join; only nation/region broadcast —
+    broadcasting a fact would OOM executors at 100 TB."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_8", vol).otherwise(F.lit(0).cast("decimal(27,6)"))).cast("double")
+                / F.sum(vol).cast("double"),
+                9,
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+MARKET_SHARE_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       round(cast(sum(CASE WHEN n_name = 'NATION_8'
+                      THEN cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                      ELSE cast(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+             / cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 9) AS mkt_share,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY year(o_orderdate)
+"""
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles/median per group — the exact twin of
+    the sketch-based approx_distinct_stats. Exact percentile must gather
+    each group's values (memory ∝ group size); at 100 TB use the KLL
+    sketch path unless groups are provably bounded."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        F.round(F.percentile("l_discount", 0.25), 6).alias("p25_disc"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+EXACT_PERCENTILES_ORACLE = """
+SELECT l_linestatus,
+       round(median(l_extendedprice), 6)        AS median_price,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_discount, 0.25), 6) AS p25_disc,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_linestatus
 """
 
 
@@ -580,5 +660,7 @@ REGISTRY: list[tuple] = [
     ("nation_pair_volume", nation_pair_volume, NATION_PAIR_ORACLE),
     ("embedding_norms", embedding_norms, EMBEDDING_NORMS_ORACLE),
     ("correlation_stats", correlation_stats, CORRELATION_ORACLE),
+    ("market_share_by_year", market_share_by_year, MARKET_SHARE_ORACLE),
+    ("exact_percentiles", exact_percentiles, EXACT_PERCENTILES_ORACLE),
     ("data_quality_checks", data_quality_checks, DATA_QUALITY_ORACLE),
 ]
