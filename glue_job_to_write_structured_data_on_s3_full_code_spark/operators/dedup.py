@@ -40,12 +40,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    # note: repartitioning the raw docs first was measured a wash — the
-    # pair join downstream is already shuffle-parallel and the payload
-    # shuffle costs what the parallel tokenize saves
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(normalized_text(text_col))).alias("tok"))
-        .distinct()
+    # token-set dedup is per-document, and id_col is one row per document,
+    # so array_distinct before the explode does it row-locally — a
+    # cross-row .distinct() here would buy the same result with a full
+    # shuffle of every (doc_id, token) pair
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(normalized_text(text_col)))).alias("tok"),
     )
 
 
@@ -64,17 +65,27 @@ def jaccard_similar_pairs(
     dropped via a document-frequency cap; here the blocks are small enough
     that the posting-list join is exact and cheap.
     """
-    doc_tok = _doc_tokens(df, text_col, id_col)
+    # Build posting rows entirely map-side: the token set, its size, and
+    # the blocking key are all row-local once array_distinct dedups within
+    # the document, so no shuffle happens before the posting-list join
+    # itself (the earlier agg-join formulation scanned the table 8×).
+    base = [
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens(normalized_text(text_col))).alias("toks"),
+    ]
     if block_col is not None:
-        blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"))
-        doc_tok = doc_tok.join(blocks, "doc_id")
-    sizes = doc_tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+        base.append(F.col(block_col).alias("blk"))
+    doc_tok = df.select(*base).select(
+        "doc_id",
+        *(["blk"] if block_col else []),
+        F.size("toks").alias("n_tok"),
+        F.explode("toks").alias("tok"),
+    )
 
     # Length-ratio prefilter (exactness-preserving): jaccard(A,B) ≥ τ needs
     # |A∩B| ≥ τ·|A∪B| and |A∩B| ≤ min(|A|,|B|), hence min ≥ τ·max. Carrying
     # n_tok on each posting row lets the join kill over-ratio pairs before
     # the pair-count shuffle instead of after it.
-    doc_tok = doc_tok.join(sizes, "doc_id")
     a = doc_tok.select(
         F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"), "tok",
         *(["blk"] if block_col else []),
@@ -84,6 +95,9 @@ def jaccard_similar_pairs(
         *(["blk"] if block_col else []),
     )
     join_keys = ["tok", "blk"] if block_col else ["tok"]
+    # n_a/n_b ride along as grouping keys (they are functionally dependent
+    # on doc_a/doc_b), so the union-size denominator needs no join back to
+    # `sizes` — that saves two shuffle joins and a re-tokenization pass.
     co = (
         a.join(b, join_keys)
         .where(
@@ -91,13 +105,11 @@ def jaccard_similar_pairs(
             & (F.col("n_a") >= threshold * F.col("n_b"))
             & (F.col("n_b") >= threshold * F.col("n_a"))
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        co.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_tok": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_tok": "n_b"}), "doc_b")
-        .select(
+        co.select(
             "doc_a",
             "doc_b",
             F.round(
