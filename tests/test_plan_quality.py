@@ -172,3 +172,15 @@ def test_nation_pair_join_broadcast_only(spark, sf_dir, queries):
     assert plan.count("BroadcastHashJoin") == 5
     exchanges = plan.count("Exchange hashpartitioning")
     assert exchanges == 1, f"expected 1 agg exchange, plan has {exchanges}"
+
+
+def test_jaccard_posting_build_is_map_side(spark, sf_dir, queries):
+    """dedup_jaccard_pairs: tokenize/size/block are row-local, so the only
+    shuffles are the posting self-join and the pair-count agg — and the
+    documents table is scanned exactly twice (once per join side), never
+    re-scanned for sizes or blocking keys."""
+    df = queries["dedup_jaccard_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges <= 3, f"expected <=3 exchanges, plan has {exchanges}"
