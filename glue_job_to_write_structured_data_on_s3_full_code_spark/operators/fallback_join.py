@@ -71,6 +71,15 @@ def fallback_join(
     tier_col : optional output column recording which tier matched
         (tier name, or 'default').
     """
+    overlap = set(fact.columns) & set(dim.columns)
+    if overlap:
+        # The inter-tier miss split drops *dim* columns by name; a shared
+        # name would silently drop the fact's column too and make the
+        # top-1 window key ambiguous. Callers must alias dim columns.
+        raise ValueError(
+            f"fallback_join: fact and dim share column(s) {sorted(overlap)}; "
+            "alias the dim columns before calling"
+        )
     dim = dim.distinct()  # reference: select distinct * from dealermaster
     dim_cols = [c for c in dim.columns]
 

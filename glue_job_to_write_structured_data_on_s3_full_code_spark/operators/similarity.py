@@ -256,16 +256,29 @@ def lsh_bucketed_topk(
     k: int = 5,
     num_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join, exact cosine inside buckets.
 
     Hyperplanes are generated deterministically from md5-seeded values per
     (plane, dimension) — no driver-side randomness, reproducible across
     runs and engines.
+
+    ``dim`` is the embedding dimensionality; pass it explicitly to keep
+    plan construction fully lazy. When omitted it is probed from the small
+    query side (one driver-side row, clear error when empty).
     """
     from pyspark.sql import Window
 
-    dim_probe = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        probe = queries.select(vec_col).head(1)
+        if not probe:
+            raise ValueError(
+                "lsh_bucketed_topk: queries frame is empty and dim= was not "
+                "given; pass dim=<embedding dimensionality> explicitly"
+            )
+        dim = len(probe[0][0])
+    dim_probe = dim
 
     def bucket_bits(vcol: Column) -> Column:
         bits = []

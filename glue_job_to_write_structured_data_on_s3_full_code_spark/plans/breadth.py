@@ -327,19 +327,25 @@ def grouped_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's ORDER BY inside string_agg applies."""
     tune(spark)
     orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    sorted_list = F.array_sort(F.collect_list("o_orderpriority"))
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderpriority")).alias("priorities"),
-        F.concat_ws(",", F.array_sort(F.collect_list("o_orderpriority"))).alias(
-            "priorities_csv"
-        ),
+        F.concat_ws(",", sorted_list).alias("priorities_csv"),
+        F.element_at(sorted_list, 1).alias("first_priority"),
+        F.element_at(sorted_list, -1).alias("last_priority"),
+        F.size(F.array_distinct(sorted_list)).alias("n_distinct_priorities"),
         F.count("*").alias("n_orders"),
     )
 
 
+# The collected array itself is projected to deterministic scalar forms
+# (csv join / ends / distinct size) because the driver's oracle harness
+# canonicalizes cells with pandas, which cannot hash list cells.
 STRING_AGG_ORACLE = """
 SELECT o_custkey,
-       list_sort(list(o_orderpriority)) AS priorities,
        string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities_csv,
+       min(o_orderpriority) AS first_priority,
+       max(o_orderpriority) AS last_priority,
+       cast(count(DISTINCT o_orderpriority) AS INTEGER) AS n_distinct_priorities,
        count(*) AS n_orders
 FROM orders
 WHERE o_custkey < 500

@@ -331,25 +331,40 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     feats = extract_media_features(payloads)
+    # feature vector projected to scalar forms (csv + L1 mass) — the
+    # driver's oracle harness cannot hash array cells
+    rounded = F.transform(F.col("features"), lambda x: F.round(x, 9))
     return feats.select(
         "doc_id",
         "n_bytes",
         "digest",
         "fake_width",
         "fake_height",
-        F.transform(F.col("features"), lambda x: F.round(x, 9)).alias("features"),
+        F.concat_ws(",", F.transform(rounded, lambda x: x.cast("string"))).alias(
+            "features_csv"
+        ),
+        F.round(
+            F.aggregate(rounded, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("features_l1"),
     )
 
 
 MULTIMODAL_ORACLE = """
+WITH f AS (
+    SELECT doc_id, text,
+           [round(('0x' || substr(md5(text), i * 2 + 1, 2))::INT / 255.0, 9)
+            FOR i IN range(8)] AS features
+    FROM documents
+)
 SELECT doc_id,
        octet_length(CAST(text AS BLOB)) AS n_bytes,
        md5(text) AS digest,
        CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS fake_width,
        CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS fake_height,
-       [round(('0x' || substr(md5(text), i * 2 + 1, 2))::INT / 255.0, 9)
-        FOR i IN range(8)] AS features
-FROM documents
+       array_to_string(list_transform(features, x -> CAST(x AS VARCHAR)), ',')
+           AS features_csv,
+       round(list_sum(features), 6) AS features_l1
+FROM f
 """
 
 

@@ -35,8 +35,13 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~n_chars/stride rows per doc with no shuffle. At 100 TB chunking is
     a map-only stage; chunk_id in the key keeps downstream dedup stable."""
     tune(spark)
-    docs = read_table(spark, sf_dir, "documents")
-    n_chunks_minus1 = F.floor((F.col("n_chars") - 1) / F.lit(float(CHUNK_STRIDE)))
+    # n_chars=0 guard: sequence(0, -1) yields a DESCENDING [0,-1] in Spark
+    # but an empty series in DuckDB — filter empties and clamp the bound so
+    # both engines emit no rows for empty documents.
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    n_chunks_minus1 = F.greatest(
+        F.floor((F.col("n_chars") - 1) / F.lit(float(CHUNK_STRIDE))), F.lit(0)
+    )
     return (
         docs.select(
             "doc_id",
@@ -61,8 +66,8 @@ SELECT doc_id, chunk_id,
        substring(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS INT), {CHUNK_LEN}) AS chunk_text,
        length(substring(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS INT), {CHUNK_LEN})) AS chunk_len
 FROM (SELECT doc_id, text,
-             unnest(generate_series(0, CAST(floor((n_chars-1)/{CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_id
-      FROM documents) t
+             unnest(generate_series(0, greatest(CAST(floor((n_chars-1)/{CHUNK_STRIDE}.0) AS BIGINT), 0))) AS chunk_id
+      FROM documents WHERE n_chars > 0) t
 """
 
 

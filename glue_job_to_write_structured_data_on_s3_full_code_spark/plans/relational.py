@@ -778,7 +778,9 @@ def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_toks"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
         F.array_contains("toks", "data").alias("has_data"),
-        F.slice(F.sort_array("toks"), 1, 3).alias("first3_sorted"),
+        # arrays are projected to a scalar (csv) form — the driver's oracle
+        # harness canonicalizes cells with pandas, which cannot hash lists
+        F.concat_ws(",", F.slice(F.sort_array("toks"), 1, 3)).alias("first3_csv"),
         F.element_at(F.sort_array("toks", asc=False), 1).alias("max_tok"),
     )
 
@@ -795,7 +797,7 @@ SELECT doc_id,
        CAST(len(toks) AS INT) AS n_toks,
        CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
        list_contains(toks, 'data') AS has_data,
-       list_sort(toks)[1:3] AS first3_sorted,
+       array_to_string(list_sort(toks)[1:3], ',') AS first3_csv,
        list_sort(toks, 'DESC')[1] AS max_tok
 FROM t
 """

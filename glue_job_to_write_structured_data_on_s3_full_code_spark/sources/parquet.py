@@ -55,12 +55,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Force schema resolution while the legacy conf is active; the
+            # resolved relation keeps its read schema afterwards.
+            df.schema
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return df
     return spark.read.parquet(path)
 

@@ -49,6 +49,19 @@ def canon_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
 
 
 def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "query") -> None:
+    # The DRIVER's harness canonicalizes with pandas sort_values, which
+    # raises on container cells (unhashable list/dict). Any oracled query
+    # must project arrays/structs/maps to scalars (concat_ws / to_json /
+    # element_at) — fail fast locally instead of shipping a broken gate.
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "struct", "map")
+    ]
+    assert not bad, (
+        f"{name}: oracled query returns container-typed column(s) {bad}; the "
+        "driver gate cannot hash these — project to scalar forms"
+    )
     got = spark_df.toPandas()
     want = duck_con.execute(oracle_sql).fetchdf()
 
