@@ -652,8 +652,126 @@ WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 """
 
 
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, via a
+    LEFT OUTER join (customers with zero orders must appear) and two
+    aggregations. The first groupBy is on c_custkey — the join key — so
+    with AQE the aggregate reuses the join's shuffle; the second is on the
+    tiny (order-count) domain."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"),
+              cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+ORDER_COUNT_DIST_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no orders, grouped by market segment. The global average is a scalar
+    aggregate broadcast into the filter (no second scan pays a shuffle);
+    order-lessness is a null-safe LEFT ANTI join."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(27,6)")).alias("avg_bal")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("decimal(27,6)") > F.col("avg_bal"))
+    )
+    idle = rich.join(
+        orders.select("o_custkey"),
+        rich.c_custkey == orders.o_custkey,
+        "left_anti",
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).alias("totacctbal"),
+    )
+
+
+IDLE_CUSTOMER_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       sum(CAST(c_acctbal AS DECIMAL(27,6))) AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(27,6)) >
+      (SELECT avg(CAST(c_acctbal AS DECIMAL(27,6))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def range_frame_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (the reference uses only unbounded/row frames):
+    per customer, each order's trailing-30-day spend and order count. The
+    frame is keyed on an integer day number in both engines, so the RANGE
+    semantics are identical (timestamp RANGE frames differ in interval
+    handling across engines). One shuffle on o_custkey."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    day_num = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count("*").over(w).alias("orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       count(*) OVER w AS orders_30d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE) AS spend_30d
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 REGISTRY: list[tuple] = [
     ("top_unshipped_orders", top_unshipped_orders, TOP_UNSHIPPED_ORACLE),
+    ("order_count_distribution", order_count_distribution, ORDER_COUNT_DIST_ORACLE),
+    ("idle_customer_balance", idle_customer_balance, IDLE_CUSTOMER_ORACLE),
+    ("range_frame_rolling_spend", range_frame_rolling_spend, RANGE_FRAME_ORACLE),
     ("order_priority_semi_count", order_priority_semi_count, ORDER_PRIORITY_ORACLE),
     ("min_price_part_per_type", min_price_part_per_type, MIN_PRICE_PART_ORACLE),
     ("datetime_function_suite", datetime_function_suite, DATETIME_SUITE_ORACLE),

@@ -197,8 +197,120 @@ LEFT JOIN d ON d.day_ts = s.day_ts AND d.event_type = t.event_type
 """
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    whole-week offset from that day. Two shuffles, both on user_id-sized
+    keys: the first-seen min-aggregate, then the (cohort, offset) distinct
+    count. The first-seen table joins back as a broadcast at this scale;
+    at 100 TB both sides are user-keyed, so pre-bucketing users makes the
+    join co-located with zero extra exchange."""
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        ev.select("user_id", day.alias("event_day"))
+        .join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.datediff("event_day", "cohort_day") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+EVENTS_COHORT_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+    FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(floor(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) / 7.0) AS INT)
+           AS week_offset,
+       count(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly increasing
+    timestamps): per-stage reach via per-user min-timestamp aggregates
+    chained with broadcast joins — each stage's candidate set only
+    shrinks, so every join after the first is against a smaller keyed
+    aggregate, never a re-scan of raw events."""
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events")
+    viewed = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicked = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(viewed), "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchased = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicked), "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        viewed.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(clicked.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(purchased.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked_after_view",
+        "n_purchased_after_click",
+        F.round(F.col("n_clicked_after_view") / F.col("n_viewed"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("n_purchased_after_click") / F.col("n_clicked_after_view"), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH viewed AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), clicked AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN viewed v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+), purchased AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN clicked c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM viewed) AS n_viewed,
+       (SELECT count(*) FROM clicked) AS n_clicked_after_view,
+       (SELECT count(*) FROM purchased) AS n_purchased_after_click,
+       round((SELECT count(*) FROM clicked) / (SELECT count(*) FROM viewed), 6)
+           AS view_to_click,
+       round((SELECT count(*) FROM purchased) / (SELECT count(*) FROM clicked), 6)
+           AS click_to_purchase
+"""
+
+
 REGISTRY = [
     ("events_hourly_rollup", events_hourly_rollup, EVENTS_HOURLY_ORACLE),
+    ("events_cohort_retention", events_cohort_retention, EVENTS_COHORT_ORACLE),
+    ("events_funnel_conversion", events_funnel_conversion, EVENTS_FUNNEL_ORACLE),
     ("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE),
     ("events_sessionization", events_sessionization, EVENTS_SESSION_ORACLE),
     ("events_continuous_aggregate", events_continuous_aggregate, EVENTS_CONT_AGG_ORACLE),

@@ -1,0 +1,354 @@
+"""LLM training-data pipeline pack 3 — corpus statistics and filtering:
+vocabulary building, TF-IDF term scoring, n-gram eval-set decontamination,
+repetition-based quality filtering, per-source quality gating, and bigram
+language-model statistics.
+
+Design rules (same as llm_ops/llm_ops2):
+- pure ``pyspark.sql.functions`` expressions — the hot path stays inside
+  whole-stage codegen, no Python boundary;
+- every query carries a DuckDB oracle, so outputs avoid array columns and
+  anything float-boundary-sensitive (rank-based gates instead of comparing
+  against an interpolated percentile, integer counts wherever possible);
+- deterministic at any parallelism: ties always break on (token, doc_id),
+  sampling/splitting reuses the md5-bucket rule from llm_ops2.
+
+Scale notes (100 TB): every query here is shaped as map-side tokenize →
+one or two equality-shuffle aggregations. The n-gram joins shuffle 16-byte
+md5 keys, not the n-gram strings themselves, so shuffle volume tracks row
+count, not text length. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, tokens
+from ..session import tune
+from ..sources import read_table
+
+# DuckDB spellings of normalized_text / tokens.
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+
+TRAIN_BUCKET_MAX = "d3"  # md5(doc_id) 2-hex-char bucket < 'd3' → train (llm_ops2)
+
+
+def _nonempty_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.where(normalized_text("text") != "").select(
+        "doc_id", "source", tokens(normalized_text("text")).alias("ts")
+    )
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency per token,
+    top 100 by frequency. The tokenizer-training precursor (BPE & friends
+    start from exactly this table). One explode, one hash aggregation with
+    map-side combine; top-k is TakeOrdered on the driver — never a global
+    sort of the vocabulary."""
+    tune(spark)
+    toks = _nonempty_tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(100)
+    )
+
+
+VOCAB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok
+    FROM documents WHERE {_NORM} <> ''
+)
+SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM tok GROUP BY tok
+ORDER BY tf DESC, tok LIMIT 100
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by TF-IDF — the classic
+    keyword/relevance primitive. The document-frequency table and corpus
+    size join back as broadcasts (they are vocabulary-sized, tiny next to
+    the corpus), so the fact side pays one groupBy(doc, tok) shuffle plus
+    the per-doc top-k window."""
+    tune(spark)
+    toks = _nonempty_tokens(spark, sf_dir)
+    tf = (
+        toks.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = (
+        toks.select("doc_id", F.explode(F.array_distinct("ts")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = toks.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").alias("rank"), "tok", "tf", "df", "tfidf")
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS ts FROM documents WHERE {_NORM} <> ''
+), tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) GROUP BY 1, 2
+), df AS (
+    SELECT tok, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, unnest(ts) AS tok FROM toks) GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM toks),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY round(tf.tf * ln(n.n_docs / df.df), 6) DESC,
+                                       tf.tok) AS rk
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, rk AS rank, tok, tf, df, tfidf FROM scored WHERE rk <= 3
+"""
+
+
+def _five_grams(ts: F.Column) -> F.Column:
+    n = F.size(ts)
+    return F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(0), n - 5),
+            lambda i: F.concat_ws(" ", *[ts[i + k] for k in range(5)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ts)))
+
+
+def ngram_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: for every eval-split document, the share
+    of its distinct 5-grams that also appear anywhere in the train split
+    (the GPT-3/PaLM-style n-gram overlap check). Train/eval reuse the
+    deterministic md5-bucket split from hash_split_train_eval.
+
+    The overlap join runs on md5(gram) — 32-hex-char keys — so at 100 TB
+    the shuffle carries fixed-width digests instead of raw 5-gram text;
+    both engines join the digest, so collisions (if any) affect both
+    identically."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+    grams = (
+        docs.where(normalized_text("text") != "")
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.explode(
+                F.array_distinct(_five_grams(tokens(normalized_text("text"))))
+            ).alias("g"),
+        )
+        .select("doc_id", "bucket", F.md5("g").alias("gh"))
+    )
+    train_g = (
+        grams.where(F.col("bucket") < TRAIN_BUCKET_MAX).select("gh").distinct()
+    )
+    eval_g = grams.where(F.col("bucket") >= TRAIN_BUCKET_MAX)
+    return (
+        eval_g.join(train_g.withColumn("hit", F.lit(1)), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count("*"), 6).alias("contamination"),
+        )
+        .withColumn("flagged", F.col("contamination") >= 0.5)
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           {_TOKS} AS ts
+    FROM documents WHERE {_NORM} <> ''
+), grams AS (
+    SELECT DISTINCT doc_id, bucket,
+           md5(g) AS gh
+    FROM (
+        SELECT doc_id, bucket,
+               unnest(CASE WHEN len(ts) >= 5
+                      THEN [array_to_string(ts[i + 1:i + 5], ' ')
+                            FOR i IN range(len(ts) - 4)]
+                      ELSE [array_to_string(ts, ' ')] END) AS g
+        FROM toks
+    )
+), train_g AS (
+    SELECT DISTINCT gh FROM grams WHERE bucket < '{TRAIN_BUCKET_MAX}'
+), ev AS (
+    SELECT doc_id, gh FROM grams WHERE bucket >= '{TRAIN_BUCKET_MAX}'
+)
+SELECT ev.doc_id,
+       count(*) AS n_ngrams,
+       count(t.gh) AS n_contaminated,
+       round(count(t.gh) / count(*), 6) AS contamination,
+       round(count(t.gh) / count(*), 6) >= 0.5 AS flagged
+FROM ev LEFT JOIN train_g t USING (gh)
+GROUP BY ev.doc_id
+"""
+
+
+def repetition_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher/MassiveText-style): the
+    share of a document's bigrams taken by its single most frequent bigram.
+    Degenerate machine-generated text scores high. Two aggregations, both
+    keyed on doc_id — partial aggregation absorbs the explode fan-out."""
+    tune(spark)
+    toks = _nonempty_tokens(spark, sf_dir)
+    n = F.size(F.col("ts"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.col("ts")[i], F.col("ts")[i + 1]),
+    )
+    per_gram = (
+        toks.where(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("repetition_ratio"),
+        )
+        .withColumn("flagged", F.col("repetition_ratio") > 0.1)
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS ts FROM documents WHERE {_NORM} <> ''
+), grams AS (
+    SELECT doc_id, unnest([ts[i + 1] || ' ' || ts[i + 2]
+                           FOR i IN range(len(ts) - 1)]) AS g
+    FROM toks WHERE len(ts) >= 2
+), per_gram AS (
+    SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(c) AS n_bigrams,
+       max(c) AS top_bigram_count,
+       round(max(c) / sum(c), 6) AS repetition_ratio,
+       round(max(c) / sum(c), 6) > 0.1 AS flagged
+FROM per_gram GROUP BY doc_id
+"""
+
+
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source relative quality gate: keep each source's top half of
+    documents by type-token ratio. Rank-based (row_number vs the partition
+    count) rather than value-vs-percentile, so there is no float boundary
+    for the two engines to disagree on — the idiom to prefer at scale,
+    where a quantile is an estimate anyway."""
+    tune(spark)
+    toks = _nonempty_tokens(spark, sf_dir)
+    ttr = F.round(F.size(F.array_distinct("ts")) / F.size("ts"), 6)
+    scored = toks.select("doc_id", "source", ttr.alias("ttr"))
+    w_rank = Window.partitionBy("source").orderBy(F.col("ttr").desc(), "doc_id")
+    w_all = Window.partitionBy("source")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_src", F.count("*").over(w_all))
+        .where(F.col("rk") <= F.ceil(F.col("n_src") / 2))
+        .select("doc_id", "source", "ttr", F.col("rk").alias("quality_rank"), "n_src")
+    )
+
+
+QUALITY_GATE_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           round(len(list_distinct({_TOKS})) / len({_TOKS}), 6) AS ttr
+    FROM documents WHERE {_NORM} <> ''
+), ranked AS (
+    SELECT doc_id, source, ttr,
+           row_number() OVER (PARTITION BY source ORDER BY ttr DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY source) AS n_src
+    FROM scored
+)
+SELECT doc_id, source, ttr, rk AS quality_rank, n_src
+FROM ranked WHERE rk <= ceil(n_src / 2.0)
+"""
+
+
+def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: P(w2 | w1) for the corpus's 50
+    most frequent bigrams. The unigram (first-word) totals come from a
+    window sum over the already-aggregated bigram table — no second scan
+    of the corpus and no extra shuffle beyond the bigram groupBy."""
+    tune(spark)
+    toks = _nonempty_tokens(spark, sf_dir)
+    n = F.size(F.col("ts"))
+    pairs = toks.where(n >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.struct(
+                    F.col("ts")[i].alias("w1"), F.col("ts")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p")
+    )
+    counts = pairs.groupBy("p.w1", "p.w2").agg(F.count("*").alias("pair_count"))
+    w1_total = Window.partitionBy("w1")
+    return (
+        counts.withColumn("w1_count", F.sum("pair_count").over(w1_total))
+        .withColumn(
+            "cond_prob", F.round(F.col("pair_count") / F.col("w1_count"), 6)
+        )
+        .orderBy(F.col("pair_count").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+BIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS ts FROM documents WHERE {_NORM} <> ''
+), pairs AS (
+    SELECT unnest([{{'w1': ts[i + 1], 'w2': ts[i + 2]}}
+                   FOR i IN range(len(ts) - 1)]) AS p
+    FROM toks WHERE len(ts) >= 2
+), counts AS (
+    SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count FROM pairs GROUP BY 1, 2
+)
+SELECT w1, w2, pair_count,
+       sum(pair_count) OVER (PARTITION BY w1) AS w1_count,
+       round(pair_count / (sum(pair_count) OVER (PARTITION BY w1)), 6) AS cond_prob
+FROM counts
+ORDER BY pair_count DESC, w1, w2 LIMIT 50
+"""
+
+
+REGISTRY = [
+    ("vocab_top_terms", vocab_top_terms, VOCAB_ORACLE),
+    ("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE),
+    ("ngram_contamination_check", ngram_contamination_check, CONTAMINATION_ORACLE),
+    ("repetition_ratio_filter", repetition_ratio_filter, REPETITION_ORACLE),
+    ("quality_percentile_gate", quality_percentile_gate, QUALITY_GATE_ORACLE),
+    ("bigram_lm_probs", bigram_lm_probs, BIGRAM_LM_ORACLE),
+]

@@ -24,6 +24,7 @@ from .plans import (
     events_queries,
     llm_ops,
     llm_ops2,
+    llm_ops3,
     outbound,
     relational,
     streaming_queries,
@@ -49,23 +50,15 @@ _CORE_RELATIONAL = (
     "pricing_summary_agg",
     "regional_revenue_join",
     "filter_pushdown_scan",
-    "distinct_option_lookup",
-    "groupby_having_dups",
     "window_top1_per_group",
     "sequential_surrogate_key",
-    "scalable_surrogate_key",
     "disjunctive_theta_join",
     "anti_join_incremental",
-    "self_join_dup_suffix",
     "union_except_reconcile",
-    "scalar_function_suite",
-    "timezone_shift_format",
-    "case_when_remap",
-    "semi_join_exists",
 )
 
 register("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)
-for _module in (llm_ops, llm_ops2, events_queries, temporal_queries,
+for _module in (llm_ops, llm_ops2, llm_ops3, events_queries, temporal_queries,
                 streaming_queries, waterfall, outbound):
     for _name, _fn, _oracle in _module.REGISTRY:
         register(_name, _fn, _oracle)
