@@ -29,6 +29,7 @@ from .plans import (
     relational,
     streaming_queries,
     temporal_queries,
+    tpch_more,
     waterfall,
 )
 
@@ -70,4 +71,6 @@ for _name, _fn, _oracle in relational.REGISTRY:
     if _name not in _CORE_RELATIONAL:
         register(_name, _fn, _oracle)
 for _name, _fn, _oracle in breadth.REGISTRY:
+    register(_name, _fn, _oracle)
+for _name, _fn, _oracle in tpch_more.REGISTRY:
     register(_name, _fn, _oracle)
