@@ -1,0 +1,134 @@
+"""ETL-lifecycle queries: SCD Type-2 dimension merge and snapshot diff.
+
+Both synthesize the "new snapshot" deterministically from the fixture
+(modular arithmetic on the key picks the changed/absent/new rows), so the
+DuckDB oracle can state the *expected semantic outcome* directly instead
+of replaying the merge mechanics — a stronger check than mirroring the
+implementation step-for-step.
+
+Reference lineage: the snapshot-partitioned rebuild (FULL.py:72) and the
+insert-only anti-join load (OUTBOUND.py:206-224) are the degenerate forms
+of these two operators; see operators/scd.py docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scd import scd2_merge, snapshot_diff
+from ..session import tune
+from ..sources import read_table
+
+_LOAD = "2024-02-01"
+
+
+def _customer_updates(cust: DataFrame) -> DataFrame:
+    """New snapshot: keys ≡2 (mod 3) are absent (carried through), keys
+    ≡0 (mod 7) have a changed balance, 50 brand-new keys appear."""
+    base = cust.where(F.col("c_custkey") % 3 != 2).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    new_rows = cust.where(F.col("c_custkey") <= 50).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.col("c_acctbal"),
+    )
+    return base.unionByName(new_rows)
+
+
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge of a synthesized customer snapshot into a day-1 history.
+    One key shuffle (the full-outer compare join); unions are free."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    merged = scd2_merge(
+        current,
+        _customer_updates(cust),
+        key="c_custkey",
+        compare_cols=["c_name", "c_acctbal"],
+        load_date=_LOAD,
+    )
+    # register as timestamps: the driver's canonicalizer (like pandas)
+    # renders DATE and TIMESTAMP cells differently across engines
+    return merged.withColumn(
+        "valid_from", F.col("valid_from").cast("timestamp")
+    ).withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+
+
+# Semantic outcome, stated directly: every original key keeps its day-1 row
+# (closed iff changed); changed keys add an open v2 row; new keys appear open.
+SCD2_ORACLE = f"""
+WITH changed AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 2 AND c_custkey % 7 = 0
+)
+SELECT c_custkey, c_name, c_acctbal,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
+            THEN TIMESTAMP '{_LOAD} 00:00:00' END AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal + 100.0,
+       TIMESTAMP '{_LOAD} 00:00:00', CAST(NULL AS TIMESTAMP)
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey + 1000000, 'NEW ' || c_name, c_acctbal,
+       TIMESTAMP '{_LOAD} 00:00:00', CAST(NULL AS TIMESTAMP)
+FROM customer WHERE c_custkey <= 50
+"""
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-diff of two order snapshots → (key, added|removed|changed).
+    Unchanged rows (the 100 TB bulk) are dropped inside the operator.
+    'Yesterday' is synthesized: keys ≡0 (mod 11) missing (→ added today),
+    keys ≡0 (mod 13) had a different price (→ changed), 100 synthetic
+    keys existed only yesterday (→ removed)."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    today = orders.select("o_orderkey", "o_totalprice")
+    yesterday = (
+        orders.where(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") < 200).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(
+        yesterday, today, key="o_orderkey", compare_cols=["o_totalprice"]
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+SELECT o_orderkey, 'added' AS status FROM orders WHERE o_orderkey % 11 = 0
+UNION ALL
+SELECT o_orderkey, 'changed' FROM orders
+WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 = 0
+UNION ALL
+SELECT o_orderkey + 10000000, 'removed' FROM orders WHERE o_orderkey < 200
+"""
+
+
+REGISTRY: list[tuple] = [
+    ("scd2_customer_merge", scd2_customer_merge, SCD2_ORACLE),
+    ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
+]

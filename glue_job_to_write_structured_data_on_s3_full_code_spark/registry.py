@@ -21,10 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from .plans.flagship import FLAGSHIP_ORACLE, flagship
 from .plans import (
     breadth,
+    etl_ops,
     events_queries,
     llm_ops,
     llm_ops2,
     llm_ops3,
+    llm_ops4,
     outbound,
     relational,
     streaming_queries,
@@ -59,8 +61,8 @@ _CORE_RELATIONAL = (
 )
 
 register("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)
-for _module in (llm_ops, llm_ops2, llm_ops3, events_queries, temporal_queries,
-                streaming_queries, waterfall, outbound):
+for _module in (llm_ops, llm_ops2, llm_ops3, llm_ops4, events_queries, temporal_queries,
+                streaming_queries, waterfall, outbound, etl_ops):
     for _name, _fn, _oracle in _module.REGISTRY:
         register(_name, _fn, _oracle)
 
