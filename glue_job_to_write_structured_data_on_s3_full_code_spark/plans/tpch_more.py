@@ -491,3 +491,225 @@ REGISTRY: list[tuple] = [
     ("lonely_late_suppliers", lonely_late_suppliers, LONELY_LATE_ORACLE),
     ("part_supplier_breadth", part_supplier_breadth, PART_SUPPLIER_ORACLE),
 ]
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the supplier and the
+    customer sit in the SAME nation, restricted to one region and one
+    order-date year. All dimension sides (customer/supplier/nation/region)
+    broadcast; the lineitem→orders join is the only large shuffle and the
+    final per-nation aggregation rides the same exchange under AQE.
+    Reference parity: star enrichment joins FULL.py:411-475 with an extra
+    equality tying two dimension roles together."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    local_nations = (
+        nation.join(
+            F.broadcast(region.select("r_regionkey")),
+            nation.n_regionkey == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                supp.select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .where(F.col("c_nationkey") == F.col("supp_nk"))
+        .join(F.broadcast(local_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.expr(_REV)).alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_ORACLE = """
+SELECT n_name,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free: supply value recovered from
+    lineitem): per-part total supplied value restricted to suppliers of
+    one nation, keeping parts whose value exceeds a FRACTION OF THE
+    GLOBAL TOTAL — the scalar-subquery HAVING. The global total comes
+    from a 1-row aggregate broadcast back over the per-part aggregate
+    (two passes over the same pre-aggregated frame, not two fact scans:
+    the per-part aggregate is computed once and self-aggregated)."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    nation_supp = supp.join(
+        F.broadcast(nation.select("n_nationkey")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_dsum(F.expr("l_extendedprice * l_quantity")).alias("part_value"))
+    )
+    total = per_part.agg(
+        (F.sum("part_value") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+IMPORTANT_PART_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           cast(sum(cast(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS part_value
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5')
+    GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM per_part)
+"""
+
+
+def heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp-free): suppliers who shipped MORE THAN
+    HALF the 1995 volume of any 'small %' part — a correlated quantity
+    threshold decorrelated into (a) per-(part) total over a filtered fact
+    slice, (b) per-(part,supplier) total over the same slice, (c) a
+    broadcast semi-join back to supplier/nation. The fact slice is scanned
+    once and aggregated twice at different granularities."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    slice_ = (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = slice_.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = slice_.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") * F.lit(0.5)).alias("half_qty")
+    )
+    qualifying = (
+        per_ps.join(
+            F.broadcast(per_part),
+            (per_ps.l_partkey == F.col("pk")) & (F.col("supp_qty") > F.col("half_qty")),
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "semi")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+HEAVY_PART_ORACLE = """
+WITH slice AS (
+    SELECT l_partkey, l_suppkey, l_quantity
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+),
+per_ps AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+    FROM slice GROUP BY 1, 2
+),
+per_part AS (
+    SELECT l_partkey, sum(l_quantity) * 0.5 AS half_qty FROM slice GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
+    WHERE supp_qty > half_qty)
+"""
+
+
+def value_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value-function breadth beyond the reference's row_number-only
+    surface (SURVEY §2.6): first_value / last_value / nth_value over a
+    running frame, cume_dist, and a full-partition frame — per customer
+    over order history. One shuffle on the partition key; all functions
+    share a single window exchange."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w_run).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        F.cume_dist().over(w_ord).alias("cd"),
+    )
+
+
+VALUE_WINDOW_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w_run AS first_price,
+       last_value(o_totalprice) OVER w_full AS last_price,
+       nth_value(o_totalprice, 2) OVER w_full AS second_price,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS cd
+FROM orders
+WHERE o_custkey < 300
+WINDOW w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+REGISTRY += [
+    ("local_supplier_volume", local_supplier_volume, LOCAL_SUPPLIER_ORACLE),
+    ("important_part_values", important_part_values, IMPORTANT_PART_ORACLE),
+    ("heavy_part_suppliers", heavy_part_suppliers, HEAVY_PART_ORACLE),
+    ("value_window_suite", value_window_suite, VALUE_WINDOW_ORACLE),
+]
