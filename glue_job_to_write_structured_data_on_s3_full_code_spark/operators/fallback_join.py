@@ -50,6 +50,13 @@ class FallbackTier:
     condition: "callable"
     dim_filter: Column | None = None
     name: str = ""
+    # For plain equi-tiers (fact_col == dim_col) whose order_cols are
+    # dim-only, set equi_on=('fact_col', 'dim_col') to let fallback_join
+    # pre-reduce the dim to its top-1 row per join key BEFORE the
+    # broadcast join. That removes the per-tier window over the fact —
+    # the fact side is never shuffled at all. Leave None for theta/OR
+    # conditions or fact-dependent order columns.
+    equi_on: tuple[str, str] | None = None
 
 
 def fallback_join(
@@ -87,10 +94,25 @@ def fallback_join(
     matched_parts: list[DataFrame] = []
     for i, tier in enumerate(tiers):
         tier_dim = dim.where(tier.dim_filter) if tier.dim_filter is not None else dim
-        joined = remaining.join(
-            F.broadcast(tier_dim), tier.condition(remaining, tier_dim), "left"
-        )
-        best = top1_per_group(joined, fact_key, order_cols)
+        if tier.equi_on is not None:
+            # Equi fast path: all dim candidates for a fact row share the
+            # join key, so the per-fact-row top-1 equals the per-key top-1
+            # of the dim. Reducing the (broadcast-sized) dim first makes
+            # the tier a plain 1:1 broadcast join — the fact is never
+            # shuffled, vs. a fact-wide sort window per tier.
+            fact_col, dim_col = tier.equi_on
+            tier_dim = top1_per_group(tier_dim, [dim_col], order_cols)
+            joined = remaining.join(
+                F.broadcast(tier_dim),
+                remaining[fact_col] == tier_dim[dim_col],
+                "left",
+            )
+            best = joined
+        else:
+            joined = remaining.join(
+                F.broadcast(tier_dim), tier.condition(remaining, tier_dim), "left"
+            )
+            best = top1_per_group(joined, fact_key, order_cols)
         hit = best.where(F.col(matched_probe).isNotNull())
         if tier_col:
             hit = hit.withColumn(tier_col, F.lit(tier.name or f"tier{i}"))

@@ -55,7 +55,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_table(spark, sf_dir, "documents")
     return jaccard_similar_pairs(
-        docs, "text", "doc_id", block_col="source", threshold=0.5
+        docs, "text", "doc_id", block_col="source", threshold=0.5,
+        strategy="bitset",
     )
 
 

@@ -32,11 +32,13 @@ def waterfall_fallback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             condition=lambda f, d: f["l_suppkey"] == d["sup_key"],
             dim_filter=F.col("sup_acctbal") >= 5000,
             name="premium",
+            equi_on=("l_suppkey", "sup_key"),
         ),
         FallbackTier(
             condition=lambda f, d: f["l_suppkey"] == d["sup_key"],
             dim_filter=F.col("sup_acctbal") >= 0,
             name="standard",
+            equi_on=("l_suppkey", "sup_key"),
         ),
     ]
     out = fallback_join(

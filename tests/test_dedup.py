@@ -69,3 +69,53 @@ def test_connected_components_semantics(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_jaccard_bitset_strategy_matches_postings(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+        jaccard_similar_pairs,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(400)
+    kw = dict(block_col="source", threshold=0.5)
+    a = sorted(
+        map(tuple, jaccard_similar_pairs(docs, "text", "doc_id", **kw).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            jaccard_similar_pairs(
+                docs, "text", "doc_id", strategy="bitset", **kw
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_jaccard_bitset_unblocked_and_empty_docs(spark):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+        jaccard_similar_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, ""),          # empty token set: excluded in both strategies
+            (4, "   .,!  "),  # normalizes to empty
+            (5, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, jaccard_similar_pairs(docs, "text", "doc_id").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            jaccard_similar_pairs(docs, "text", "doc_id", strategy="bitset").collect(),
+        )
+    )
+    assert a == b
+    assert {(r[0], r[1]) for r in b} == {(1, 2)}

@@ -138,3 +138,40 @@ def test_empty_dim_all_defaults(spark):
         tier_col="matched_tier",
     ).collect()
     assert len(out) == 1 and out[0].matched_tier == "default"
+
+
+def test_equi_fast_path_matches_generic(spark):
+    fact_rows = [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "a")]
+    dim_rows = [
+        ("a", "A1", 20), ("a", "A2", 20), ("a", "A0", 5),
+        ("b", "B1", 3), ("x", "X1", 99),
+    ]
+    fact = spark.createDataFrame(fact_rows, "fid long, k string")
+    dim = spark.createDataFrame(dim_rows, "dk string, dval string, prio long")
+    kw = dict(
+        fact_key=["fid"],
+        order_cols=[F.col("prio").desc(), F.col("dval").desc()],
+        defaults={
+            "dk": F.lit("d"), "dval": F.lit("D"), "prio": F.lit(-1).cast("long"),
+        },
+        matched_probe="dval",
+        tier_col="matched_tier",
+    )
+    generic = sorted(
+        map(tuple, fallback_join(fact, dim, _tiers(), **kw).collect())
+    )
+    fast_tiers = [
+        FallbackTier(
+            condition=lambda f, d: f["k"] == d["dk"],
+            dim_filter=F.col("prio") >= 10,
+            name="strict",
+            equi_on=("k", "dk"),
+        ),
+        FallbackTier(
+            condition=lambda f, d: f["k"] == d["dk"],
+            name="loose",
+            equi_on=("k", "dk"),
+        ),
+    ]
+    fast = sorted(map(tuple, fallback_join(fact, dim, fast_tiers, **kw).collect()))
+    assert generic == fast and len(fast) == len(fact_rows)
