@@ -77,9 +77,21 @@ def jaccard_similar_pairs(
       block — the winner when blocks are bounded (≤ ~10k docs) and the
       per-block vocabulary is modest; measured 2.5× faster than postings
       on the dense-vocabulary fixture at sf0.1.
+    - ``'arrow'`` — one shuffle (groupBy block) into ``applyInPandas``;
+      each block is scored locally as a packed-bit numpy matrix
+      (popcount via matmul of 0/1 rows). Tokenization stays Spark-side
+      (identical normalization), only the intersection/size *counts*
+      come back from Python, and the jaccard division + rounding +
+      threshold run as JVM expressions so float behavior matches the
+      other strategies exactly. Fastest when blocks are bounded: the
+      whole pair loop is vectorized with zero per-pair plan overhead.
+      Requires each block (docs × block vocabulary) to fit one task's
+      memory — the same bound the bitset strategy carries.
     """
     if strategy == "bitset":
         return _jaccard_bitset_pairs(df, text_col, id_col, block_col, threshold)
+    if strategy == "arrow":
+        return _jaccard_arrow_pairs(df, text_col, id_col, block_col, threshold)
     # Build posting rows entirely map-side: the token set, its size, and
     # the blocking key are all row-local once array_distinct dedups within
     # the document, so no shuffle happens before the posting-list join
@@ -222,6 +234,100 @@ def _jaccard_bitset_pairs(
     )
 
 
+def _jaccard_arrow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None,
+    threshold: float,
+) -> DataFrame:
+    """Arrow-vectorized block-pair Jaccard (see :func:`jaccard_similar_pairs`).
+
+    One shuffle: ``groupBy(block)`` feeds ``applyInPandas``; inside the
+    task the block's token sets become a 0/1 matrix and the full pairwise
+    intersection count is one (row-chunked) matmul — numpy's BLAS path,
+    no per-pair expression evaluation. Only integer counts leave Python;
+    the jaccard ratio, rounding, and threshold run as JVM expressions so
+    float/rounding semantics are bit-identical to the other strategies
+    and the DuckDB oracle. Memory per task is O(block_docs × block_vocab)
+    bits — the same per-block bound the bitset strategy documents.
+    """
+    import pandas as pd  # local import: operators module stays importable without pandas
+
+    blk = F.col(block_col) if block_col is not None else F.lit("")
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        blk.alias("blk"),
+        F.array_distinct(tokens(normalized_text(text_col))).alias("toks"),
+    ).where(F.size("toks") > 0)
+
+    # loose prefilter only — the exact `round(jacc,6) >= threshold` runs
+    # JVM-side below, so borderline pairs are decided by the same float
+    # path in every strategy
+    loose = threshold - 1e-9
+
+    def score_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        out_cols = ("doc_a", "doc_b", "n_common", "n_a", "n_b")
+        if n < 2:
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in out_cols})
+        ids = pdf["doc_id"].to_numpy()
+        sets = [set(t) for t in pdf["toks"]]
+        vocab: dict[str, int] = {}
+        for s in sets:
+            for t in s:
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+        mat = np.zeros((n, len(vocab)), dtype=np.float32)
+        for i, s in enumerate(sets):
+            mat[i, [vocab[t] for t in s]] = 1.0
+        sizes = mat.sum(axis=1).astype(np.int64)
+        a_idx_all, b_idx_all, inter_all = [], [], []
+        chunk = max(1, min(n, 8 * 1024 * 1024 // max(n, 1)))  # ~32MB f32 temp
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            inter = (mat[lo:hi] @ mat.T).astype(np.int64)  # chunk×n counts
+            union = sizes[lo:hi, None] + sizes[None, :] - inter
+            cand = (inter >= loose * union) & (
+                np.arange(lo, hi)[:, None] < np.arange(n)[None, :]
+            )
+            ci, cj = np.nonzero(cand)
+            a_idx_all.append(ci + lo)
+            b_idx_all.append(cj)
+            inter_all.append(inter[ci, cj])
+        ai = np.concatenate(a_idx_all)
+        bi = np.concatenate(b_idx_all)
+        ia, ib = ids[ai], ids[bi]
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(ia, ib),
+                "doc_b": np.maximum(ia, ib),
+                "n_common": np.concatenate(inter_all),
+                "n_a": sizes[ai],
+                "n_b": sizes[bi],
+            }
+        )
+
+    counts = d.groupBy("blk").applyInPandas(
+        score_block,
+        "doc_a long, doc_b long, n_common long, n_a long, n_b long",
+    )
+    return (
+        counts.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """32-bit SimHash as a bit string. Bit j of a token's hash is the high
     bit of hex nibble j of ``md5(token)`` — expressible identically in
@@ -229,8 +335,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     one groupBy; the 32 conditional sums are map-side combined."""
     # hoist md5 into one projection: inside 32 aggregate expressions it is
     # not subexpression-eliminated and would hash every token 32× (measured
-    # 2.0 s → 1.1 s at sf0.1)
-    doc_tok = _doc_tokens(df, text_col, id_col).withColumn(
+    # 2.0 s → 1.1 s at sf0.1). Spread a single-partition scan so the
+    # tokenize+hash map side is parallel (no-op on a partitioned scan).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    doc_tok = _doc_tokens(df.repartition(par), text_col, id_col).withColumn(
         "_h", F.md5(F.col("tok"))
     )
     high = list("89abcdef")
@@ -268,74 +376,89 @@ def minhash_lsh_candidates(
     4. exact Jaccard verification with an inverted-index join restricted
        to candidate pairs.
     """
-    toks = df.select(
+    # all pre-band work is row-local; a small fixture arrives as ONE scan
+    # partition and would hash single-threaded, so spread it (no-op knob
+    # when the scan is already partitioned, as at 100 TB)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
         F.col(id_col).alias("doc_id"), tokens(normalized_text(text_col)).alias("ts")
     )
     n = F.size(F.col("ts"))
     shingled = toks.select(
         "doc_id",
-        F.when(
-            n >= shingle_len,
-            F.transform(
-                F.sequence(F.lit(0), n - shingle_len),
-                lambda i: F.concat_ws(
-                    " ", *[F.col("ts")[i + k] for k in range(shingle_len)]
+        F.array_distinct(
+            F.when(
+                n >= shingle_len,
+                F.transform(
+                    F.sequence(F.lit(0), n - shingle_len),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("ts")[i + k] for k in range(shingle_len)]
+                    ),
                 ),
-            ),
-        )
-        .otherwise(F.array(F.concat_ws(" ", "ts")))
-        .alias("shingles"),
-    )
-    doc_shingle = shingled.select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")
+            ).otherwise(F.array(F.concat_ws(" ", "ts")))
+        ).alias("shingles"),
     )
 
-    hash_cols = [
-        F.min(F.xxhash64(F.lit(seed), F.col("sh"))).alias(f"h{seed}")
+    # The whole signature is ROW-LOCAL: h_seed(doc) = array_min(transform(
+    # shingles, s -> xxhash64(seed, s))) — no explode, no groupBy, no join.
+    # The first shuffle in the entire operator is the band-key equality
+    # join below; everything before it is map-side. Band keys hash
+    # signature slices; emitting them with one array<struct> explode keeps
+    # a single pass (not one select per band unioned).
+    def _hasher(seed: int):
+        # factory, not a default arg: PySpark keys the lambda's arity off
+        # its signature, and a second (defaulted) parameter would silently
+        # switch transform() to its (element, index) form
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sig_cols = [
+        F.array_min(F.transform("shingles", _hasher(seed))).alias(f"h{seed}")
         for seed in range(num_hashes)
     ]
-    sig = doc_shingle.groupBy("doc_id").agg(*hash_cols)
-
-    rows_per_band = num_hashes // bands
-    band_frames = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("band_key"),
-            )
-        )
-    banded = band_frames[0]
-    for bf in band_frames[1:]:
-        banded = banded.unionByName(bf)
-
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "band_key"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
+    sig = shingled.select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh"), *sig_cols
     )
+    rows_per_band = num_hashes // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # carry the shingle set through the band join so verification needs no
+    # extra join back to an exploded posting table: candidates are few by
+    # construction, and array_intersect on the two carried sets is a
+    # row-local exact check (no shuffle after the band join)
+    banded = sig.select(
+        "doc_id", "shingles", "n_sh", F.explode(band_entries).alias("bk")
+    ).select("doc_id", "shingles", "n_sh", "bk.band", "bk.band_key")
 
-    # Exact verification on candidates only.
-    sizes = doc_shingle.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    co = (
-        doc_shingle.select(F.col("doc_id").alias("doc_a"), "sh")
-        .join(cand, "doc_a")
-        .join(
-            doc_shingle.select(F.col("doc_id").alias("doc_b"), "sh"),
-            ["doc_b", "sh"],
-        )
+    x = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"), "band", "band_key",
+    )
+    y = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"), "band", "band_key",
+    )
+    cand = (
+        x.join(y, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        # a pair agreeing on several bands appears once per band; keep the
+        # smallest band id so verification scores each pair exactly once
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"),
+            F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"),
+        )
     )
     return (
-        co.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        cand.withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .select(
             "doc_a",
             "doc_b",

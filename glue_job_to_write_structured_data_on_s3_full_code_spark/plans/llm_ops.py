@@ -56,7 +56,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return jaccard_similar_pairs(
         docs, "text", "doc_id", block_col="source", threshold=0.5,
-        strategy="bitset",
+        strategy="arrow",
     )
 
 
@@ -286,7 +286,7 @@ def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector iff it has no near-dup (cosine ≥ 0.35) with a smaller id."""
     tune(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_neardup(emb, threshold=0.35)
+    return cosine_neardup(emb, threshold=0.35, strategy="matmul")
 
 
 EMBEDDING_NEARDUP_ORACLE = """

@@ -82,15 +82,17 @@ def test_jaccard_bitset_strategy_matches_postings(spark, sf_dir):
     a = sorted(
         map(tuple, jaccard_similar_pairs(docs, "text", "doc_id", **kw).collect())
     )
-    b = sorted(
-        map(
-            tuple,
-            jaccard_similar_pairs(
-                docs, "text", "doc_id", strategy="bitset", **kw
-            ).collect(),
+    for strat in ("bitset", "arrow"):
+        b = sorted(
+            map(
+                tuple,
+                jaccard_similar_pairs(
+                    docs, "text", "doc_id", strategy=strat, **kw
+                ).collect(),
+            )
         )
-    )
-    assert a == b and len(a) > 0
+        assert a == b, strat
+    assert len(a) > 0
 
 
 def test_jaccard_bitset_unblocked_and_empty_docs(spark):
@@ -111,11 +113,14 @@ def test_jaccard_bitset_unblocked_and_empty_docs(spark):
     a = sorted(
         map(tuple, jaccard_similar_pairs(docs, "text", "doc_id").collect())
     )
-    b = sorted(
-        map(
-            tuple,
-            jaccard_similar_pairs(docs, "text", "doc_id", strategy="bitset").collect(),
+    for strat in ("bitset", "arrow"):
+        b = sorted(
+            map(
+                tuple,
+                jaccard_similar_pairs(
+                    docs, "text", "doc_id", strategy=strat
+                ).collect(),
+            )
         )
-    )
-    assert a == b
-    assert {(r[0], r[1]) for r in b} == {(1, 2)}
+        assert a == b, strat
+        assert {(r[0], r[1]) for r in b} == {(1, 2)}

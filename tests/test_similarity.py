@@ -57,6 +57,18 @@ def test_neardup_kept_iff_no_smaller_neighbor(spark, sf_dir):
     assert any(r.kept for r in rows)
 
 
+def test_neardup_matmul_strategy_matches_expr(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, cosine_neardup(emb, threshold=0.35).collect()))
+    b = sorted(
+        map(
+            tuple,
+            cosine_neardup(emb, threshold=0.35, strategy="matmul").collect(),
+        )
+    )
+    assert a == b
+
+
 def test_lsh_deterministic(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 3)
