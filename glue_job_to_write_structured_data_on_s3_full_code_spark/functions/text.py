@@ -51,6 +51,23 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+def token_sort_key(col: Column | str) -> Column:
+    """Word-order-insensitive exact-match key: normalized tokens, sorted,
+    rejoined ("widget red" and "red widget" collide). The equality tier
+    of fuzzy name matching — a plain groupBy/join key, no similarity
+    scoring needed."""
+    return F.concat_ws(" ", F.array_sort(tokens(normalized_text(col))))
+
+
+def consonant_skeleton(col: Column | str) -> Column:
+    """Phonetic-ish blocking key: lowercase, strip vowels and everything
+    non-alphabetic ("widget" → "wdgt"). Collides spelling variants that
+    differ in vowels — a cheap deterministic stand-in for soundex that
+    both engines spell identically (regexp_replace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), "[aeiou]|[^a-z]", "")
+
+
 def md5_hash60(col: Column) -> Column:
     """Unsigned 60-bit hash reproducible in DuckDB:
     ``('0x' || substr(md5(x), 1, 15))::UBIGINT``."""
