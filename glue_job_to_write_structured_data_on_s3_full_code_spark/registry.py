@@ -32,6 +32,7 @@ from .plans import (
     relational,
     streaming_queries,
     temporal_queries,
+    timeseries_queries,
     tpch_more,
     waterfall,
 )
@@ -63,7 +64,8 @@ _CORE_RELATIONAL = (
 
 register("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)
 for _module in (llm_ops, llm_ops2, llm_ops3, llm_ops4, linkage, events_queries,
-                temporal_queries, streaming_queries, waterfall, outbound, etl_ops):
+                temporal_queries, timeseries_queries, streaming_queries, waterfall,
+                outbound, etl_ops):
     for _name, _fn, _oracle in _module.REGISTRY:
         register(_name, _fn, _oracle)
 
