@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .plans.flagship import FLAGSHIP_ORACLE, flagship
 from .plans import (
     breadth,
+    breadth2,
     etl_ops,
     events_queries,
     linkage,
@@ -76,6 +77,8 @@ for _name, _fn, _oracle in relational.REGISTRY:
     if _name not in _CORE_RELATIONAL:
         register(_name, _fn, _oracle)
 for _name, _fn, _oracle in breadth.REGISTRY:
+    register(_name, _fn, _oracle)
+for _name, _fn, _oracle in breadth2.REGISTRY:
     register(_name, _fn, _oracle)
 for _name, _fn, _oracle in tpch_more.REGISTRY:
     register(_name, _fn, _oracle)
