@@ -48,6 +48,67 @@ def write_range_clustered(
     )
 
 
+def zorder_value(col_a, col_b, bounds_a: tuple, bounds_b: tuple):
+    """32-bit Z-value (Morton code) of two numeric columns: each scaled
+    to a 16-bit bucket over its [min, max] bounds, then bit-interleaved.
+    Pure JVM expressions (32 shift/mask terms — codegen handles this)."""
+    from pyspark.sql import functions as F
+
+    def bucket16(c, lo, hi):
+        lo_f, hi_f = float(lo), float(hi)
+        span = hi_f - lo_f if hi_f > lo_f else 1.0
+        b = F.floor((c.cast("double") - F.lit(lo_f)) / F.lit(span) * 65536)
+        return F.least(F.greatest(b, F.lit(0)), F.lit(65535)).cast("long")
+
+    ba = bucket16(col_a, *bounds_a)
+    bb = bucket16(col_b, *bounds_b)
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *,
+    n_files: int = 8,
+) -> None:
+    """Write parquet Z-ORDER clustered on two columns: rows are range-
+    partitioned and sorted by their Morton code, so every file/row group
+    covers a small rectangle in (col_a, col_b) space and footer min/max
+    stats prune scans filtered on EITHER or BOTH columns.
+
+    Range clustering (:func:`write_range_clustered`) skips on one leading
+    column only; Z-order is the multi-column data-skipping layout (what
+    Delta/Iceberg OPTIMIZE ZORDER does). Column bounds come from one tiny
+    agg — at 100 TB that min/max scan is footer-only.
+    Verified in tests/test_plan_quality.py: a box predicate on both
+    columns prunes most row groups from the Z-ordered layout, none from a
+    hash-scattered one.
+    """
+    from pyspark.sql import functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    z = zorder_value(F.col(col_a), F.col(col_b), (lo_a, hi_a), (lo_b, hi_b))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def dataset_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under `path` via the Hadoop FileSystem API."""
     jvm = spark._jvm

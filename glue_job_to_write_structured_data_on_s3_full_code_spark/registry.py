@@ -22,6 +22,7 @@ from .plans.flagship import FLAGSHIP_ORACLE, flagship
 from .plans import (
     breadth,
     breadth2,
+    engine_ops,
     etl_ops,
     events_queries,
     linkage,
@@ -66,7 +67,7 @@ _CORE_RELATIONAL = (
 register("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)
 for _module in (llm_ops, llm_ops2, llm_ops3, llm_ops4, linkage, events_queries,
                 temporal_queries, timeseries_queries, streaming_queries, waterfall,
-                outbound, etl_ops):
+                outbound, etl_ops, engine_ops):
     for _name, _fn, _oracle in _module.REGISTRY:
         register(_name, _fn, _oracle)
 

@@ -152,6 +152,95 @@ def test_range_clustered_layout_skips_row_groups(spark, sf_dir, tmp_path):
     assert back.exceptAll(li).count() == 0
 
 
+def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered parquet must prune row groups for a box predicate on BOTH
+    cluster columns; range clustering on the first column alone cannot
+    skip on the second. Contract of operators/compaction.write_zorder_clustered."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.compaction import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        read_table,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "range_first_col")
+    write_zorder_clustered(li, zpath, "l_partkey", "l_suppkey", n_files=16)
+    write_range_clustered(li, rpath, ["l_partkey"], n_files=16)
+
+    def box_overlap_fraction(path, box):
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                total += 1
+                ok = True
+                for col, (lo, hi) in box.items():
+                    st = md.row_group(g).column(idx[col]).statistics
+                    if st.max < lo or st.min > hi:
+                        ok = False
+                        break
+                if ok:
+                    hit += 1
+        assert total >= 16
+        return hit / total
+
+    # a narrow box in both dimensions (~1/8 of each key range)
+    pk_hi = li.agg({"l_partkey": "max"}).first()[0]
+    sk_hi = li.agg({"l_suppkey": "max"}).first()[0]
+    box = {
+        "l_partkey": (0, pk_hi // 8),
+        "l_suppkey": (0, sk_hi // 8),
+    }
+    frac_z = box_overlap_fraction(zpath, box)
+    frac_r = box_overlap_fraction(rpath, box)
+    # range layout prunes only on the lead column (~1/8 of groups kept);
+    # z-order additionally prunes on the second (~1/64 ideal)
+    assert frac_z < frac_r, (frac_z, frac_r)
+    assert frac_z <= 0.25, f"z-order kept {frac_z} of row groups"
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count() and back.exceptAll(li).count() == 0
+
+
+def test_bloom_prefilter_cuts_probe_rows(spark, sf_dir):
+    """The Bloom pre-filter must pass all matching fact rows (exact join
+    result — parity test covers equality) while pruning most of the
+    non-matching probe side before the shuffle."""
+    from pyspark.sql import functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_bits,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        read_table,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    hi = read_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") >= 450000.0
+    )
+    bits = build_bloom_bits(hi, "o_orderkey")
+    passed = li.where(bloom_might_contain(bits, "l_orderkey")).count()
+    total = li.count()
+    true_matches = li.join(
+        hi.select("o_orderkey").distinct(),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    assert passed >= true_matches, "bloom dropped a true match"
+    # selective build side (~10% of orders) → most probe rows pruned
+    assert passed <= total * 0.25, (passed, total)
+
+
 def test_curation_pipeline_single_shuffle(spark, sf_dir, queries):
     """corpus_curation_pipeline claims exactly one shuffle (the
     fingerprint-dedup window); everything before it must stay map-only."""
