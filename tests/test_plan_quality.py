@@ -168,11 +168,14 @@ def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
         read_table,
     )
 
-    li = read_table(spark, sf_dir, "lineitem")
+    # pinned to sf0.01 with 32 files: at 16 files of sf0.001 the row-group
+    # granularity (1/16) cannot separate z-order (~1/64 of space) from the
+    # lead-column range layout (~1/8)
+    li = read_table(spark, "/root/testdata/sf0.01", "lineitem")
     zpath = str(tmp_path / "zorder")
     rpath = str(tmp_path / "range_first_col")
-    write_zorder_clustered(li, zpath, "l_partkey", "l_suppkey", n_files=16)
-    write_range_clustered(li, rpath, ["l_partkey"], n_files=16)
+    write_zorder_clustered(li, zpath, "l_partkey", "l_suppkey", n_files=32)
+    write_range_clustered(li, rpath, ["l_partkey"], n_files=32)
 
     def box_overlap_fraction(path, box):
         total = hit = 0
@@ -189,7 +192,7 @@ def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
                         break
                 if ok:
                     hit += 1
-        assert total >= 16
+        assert total >= 32
         return hit / total
 
     # a narrow box in both dimensions (~1/8 of each key range)
@@ -241,6 +244,25 @@ def test_bloom_prefilter_cuts_probe_rows(spark, sf_dir):
     assert passed <= total * 0.25, (passed, total)
 
 
+def test_arrow_jaccard_single_shuffle(spark, sf_dir, queries):
+    """The arrow Jaccard strategy claims exactly one shuffle (the
+    groupBy(block) feeding applyInPandas) and no joins at all."""
+    df = queries["dedup_jaccard_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_waterfall_equi_fast_path_no_smj(spark, sf_dir, queries):
+    """Equi-tier fallback joins must broadcast the pre-reduced dim — the
+    fact side never sort-merge-joins or globally sorts."""
+    df = queries["waterfall_fallback_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("BroadcastHashJoin") >= 2  # one per tier at least
+
+
 def test_curation_pipeline_single_shuffle(spark, sf_dir, queries):
     """corpus_curation_pipeline claims exactly one shuffle (the
     fingerprint-dedup window); everything before it must stay map-only."""
@@ -263,12 +285,25 @@ def test_nation_pair_join_broadcast_only(spark, sf_dir, queries):
     assert exchanges == 1, f"expected 1 agg exchange, plan has {exchanges}"
 
 
-def test_jaccard_posting_build_is_map_side(spark, sf_dir, queries):
-    """dedup_jaccard_pairs: tokenize/size/block are row-local, so the only
-    shuffles are the posting self-join and the pair-count agg — and the
-    documents table is scanned exactly twice (once per join side), never
-    re-scanned for sizes or blocking keys."""
-    df = queries["dedup_jaccard_pairs"](spark, sf_dir)
+def test_jaccard_posting_build_is_map_side(spark, sf_dir):
+    """postings-strategy Jaccard: tokenize/size/block are row-local, so
+    the only shuffles are the posting self-join and the pair-count agg —
+    and the documents table is scanned exactly twice (once per join
+    side), never re-scanned for sizes or blocking keys. (The registered
+    query defaults to the arrow strategy — see
+    test_arrow_jaccard_single_shuffle.)"""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+        jaccard_similar_pairs,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = jaccard_similar_pairs(
+        docs, "text", "doc_id", block_col="source", threshold=0.5,
+        strategy="postings",
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
     exchanges = plan.count("Exchange hashpartitioning")
