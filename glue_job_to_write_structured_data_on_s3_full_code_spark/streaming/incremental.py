@@ -109,6 +109,23 @@ def stream_stream_interval_join(
     ).drop(rw[key])
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension.
+
+    The static side is re-planned per micro-batch (so a dim refreshed
+    between batches is picked up) and broadcast when small — the stream
+    side never shuffles and carries no join state, unlike stream-stream
+    joins. This is the streaming twin of the reference's lookup
+    enrichment (FULL.py:411-475); at 100 TB/day of events the dim
+    broadcast is what keeps the hot path map-only."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def watermarked_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming windowed agg with late-data watermark; pass a streaming
     DataFrame with (ts timestamp, event_type string, value double)."""

@@ -338,6 +338,39 @@ def test_stream_dedup_within_watermark_matches_batch_distinct(spark, sf_dir, tmp
     assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
 
 
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming events enriched against a static user dimension must
+    equal the identical batch join, with the dim broadcast (map-only
+    stream side)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.streaming import (
+        stream_static_enrich,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        ev.groupBy("user_id")
+        .count()
+        .select("user_id", (F.col("count") > 50).alias("is_heavy"))
+    )
+    edir = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(edir)
+    es = spark.readStream.schema("event_id bigint, user_id bigint, value double").parquet(edir)
+    enriched = stream_static_enrich(es, dim, "user_id")
+    (
+        enriched.writeStream.format("memory")
+        .queryName("sse_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sse_ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.sql("SELECT event_id, is_heavy FROM sse_out")
+    batch = ev.join(dim, "user_id").select("event_id", "is_heavy")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     """Clicks joined to same-user purchases within 1 hour, streamed with
     watermarks on both sides, must equal the identical batch join."""
