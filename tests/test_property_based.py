@@ -126,3 +126,64 @@ def test_time_range_pairs_matches_bruteforce(spark, rows, window):
         ).collect()
     }
     assert got == _model_pairs(rows, window)
+
+
+texts_st = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=24),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(texts=texts_st)
+@settings(**_SETTINGS)
+def test_jaccard_strategies_agree_on_generated_docs(spark, texts):
+    """All three physical Jaccard strategies are the same operator: equal
+    pair sets on arbitrary (including empty/whitespace/duplicate) docs."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+        jaccard_similar_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, "x")], "doc_id long, text string"
+    )
+    results = [
+        sorted(
+            map(
+                tuple,
+                jaccard_similar_pairs(
+                    docs, "text", "doc_id", threshold=0.4, strategy=s
+                ).collect(),
+            )
+        )
+        for s in ("postings", "bitset", "arrow")
+    ]
+    assert results[0] == results[1] == results[2]
+
+
+merge_rows_st = st.lists(
+    st.tuples(st.integers(0, 8), st.sampled_from(["x", "y", "z"])),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(target=merge_rows_st, source=merge_rows_st)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_dict_semantics(spark, target, source):
+    """merge_upsert is dict.update(): source wins on key collision, both
+    sides' unique keys survive, and the result is idempotent."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    t = spark.createDataFrame(target or [(99, "t")], "k long, v string")
+    s = spark.createDataFrame(source or [(98, "s")], "k long, v string")
+    merged = merge_upsert(t, s, ["k"])
+    got = {r.k: r.v for r in merged.collect()}
+    model = dict(target or [(99, "t")])
+    model.update(dict(source or [(98, "s")]))
+    assert got == model
+    again = {r.k: r.v for r in merge_upsert(merged, s, ["k"]).collect()}
+    assert again == model
