@@ -9,7 +9,13 @@ from .dedup import (
     minhash_lsh_candidates,
     simhash,
 )
-from .similarity import cosine_neardup, cosine_topk, ivf_topk, lsh_bucketed_topk
+from .similarity import (
+    cosine_neardup,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+    pq_topk,
+)
 from .multimodal import extract_media_features
 from .temporal import asof_join, time_range_pairs
 from .salted import salted_join
@@ -30,6 +36,7 @@ __all__ = [
     "cosine_topk",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "pq_topk",
     "extract_media_features",
     "asof_join",
     "time_range_pairs",

@@ -409,3 +409,156 @@ def lsh_bucketed_topk(
             F.col("rk").alias("rank"),
         )
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_subspaces: int = 4,
+    centroid_mod: int = 25,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric distance.
+
+    The memory-compression scale path the other ANN variants don't cover:
+    each corpus vector is stored as ``num_subspaces`` small centroid codes
+    (bytes at scale, vs 4·dim floats), and queries never touch the raw
+    corpus vectors again — candidate scoring is an equality join between
+    the code table and a per-query lookup table of subspace distances
+    (the classic ADC of Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011).
+
+    Deterministic, driver-state-free codebook (same policy as
+    :func:`ivf_topk`): the sub-vectors of corpus rows with
+    ``id % centroid_mod == 0`` are the centroids of every subspace.
+
+    Stages (all narrow or broadcast; the corpus is scanned ONCE to encode):
+    1. encode — corpus × broadcast(centroids): per subspace ``m`` pick
+       ``argmin`` squared-L2 of the sliced sub-vectors (``min_by`` over a
+       (distance, centroid-id) struct — deterministic tie-break);
+    2. LUT — queries × broadcast(centroids): exact sub-distance of every
+       (query, centroid, subspace) — Q·C·num_subspaces tiny rows;
+    3. ADC — explode codes to (corpus-id, m, code) and equality-join the
+       broadcast LUT on (m, code), summing the ``num_subspaces`` partial
+       distances per (query, corpus-id); top-k per query by a window.
+
+    At 100 TB the code table (step 1's output) is the stored index; steps
+    2-3 run per query batch against codes only. Returns (query_id,
+    neighbor_id, adc_dist = approximate squared L2, rank).
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        probe = queries.select(vec_col).head(1)
+        if not probe:
+            raise ValueError(
+                "pq_topk: queries frame is empty and dim= was not given; "
+                "pass dim=<embedding dimensionality> explicitly"
+            )
+        dim = len(probe[0][0])
+    if dim % num_subspaces:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by {num_subspaces}")
+    sub = dim // num_subspaces
+
+    def subvec(col: Column, m: int) -> Column:
+        return F.slice(col, m * sub + 1, sub)
+
+    def sq_l2(a: Column, b: Column) -> Column:
+        d = F.zip_with(a, b, lambda x, y: x - y)
+        return _dot(d, d)
+
+    cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"),
+        *[
+            subvec(_as_double(F.col(vec_col)), m).alias(f"cent_s{m}")
+            for m in range(num_subspaces)
+        ],
+    )
+
+    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("cid"),
+        *[
+            subvec(_as_double(F.col(vec_col)), m).alias(f"s{m}")
+            for m in range(num_subspaces)
+        ],
+    )
+    codes = (
+        c.crossJoin(F.broadcast(cents))
+        .groupBy("cid")
+        .agg(
+            *[
+                F.min_by(
+                    "cent_id",
+                    F.struct(
+                        sq_l2(F.col(f"s{m}"), F.col(f"cent_s{m}")).alias("d"),
+                        F.col("cent_id").alias("t"),
+                    ),
+                ).alias(f"code{m}")
+                for m in range(num_subspaces)
+            ]
+        )
+        .select(
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"), F.col(f"code{m}").alias("code")
+                        )
+                        for m in range(num_subspaces)
+                    ]
+                )
+            ).alias("mc"),
+        )
+        .select("cid", "mc.m", "mc.code")
+    )
+
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            *[
+                subvec(_as_double(F.col(vec_col)), m).alias(f"q{m}")
+                for m in range(num_subspaces)
+            ],
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            F.col("cent_id").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            sq_l2(F.col(f"q{m}"), F.col(f"cent_s{m}")).alias("d"),
+                        )
+                        for m in range(num_subspaces)
+                    ]
+                )
+            ).alias("md"),
+        )
+        .select("query_id", "code", "md.m", "md.d")
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", F.col("cid").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_dist", 6).alias("adc_dist"),
+            F.col("rk").alias("rank"),
+        )
+    )

@@ -26,6 +26,7 @@ from ..operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    pq_topk,
 )
 from ..session import tune
 from ..sources import read_table
@@ -322,6 +323,87 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance — the
+    memory-compression scale path (codes instead of raw vectors). The
+    deterministic codebook (sub-vectors of every 25th corpus vector) makes
+    the whole pipeline — encode argmin, LUT, ADC sum — pure SQL, so unlike
+    LSH/IVF this approximate index is fully hash-verified by the oracle."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        num_subspaces=4,
+        centroid_mod=25,
+        dim=64,
+    )
+
+
+def _pq_oracle(
+    k: int = 5, num_subspaces: int = 4, sub: int = 16, centroid_mod: int = 25
+) -> str:
+    return f"""
+WITH ms AS (SELECT unnest(range({num_subspaces})) AS m),
+csub AS (
+    SELECT vec_id AS cent_id, ms.m,
+           embedding[CAST(ms.m*{sub}+1 AS INT):CAST(ms.m*{sub}+{sub} AS INT)] AS cs
+    FROM embeddings CROSS JOIN ms
+    WHERE vec_id % {centroid_mod} = 0
+),
+corpsub AS (
+    SELECT vec_id AS cid, ms.m,
+           embedding[CAST(ms.m*{sub}+1 AS INT):CAST(ms.m*{sub}+{sub} AS INT)] AS vs
+    FROM embeddings CROSS JOIN ms
+),
+dists AS (
+    SELECT p.cid, p.m, c.cent_id,
+           (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE))
+                       * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
+              FROM (SELECT unnest(p.vs) AS a, unnest(c.cs) AS b) x) AS d
+    FROM corpsub p JOIN csub c ON p.m = c.m
+),
+codes AS (
+    SELECT cid, m, cent_id AS code
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY cid, m ORDER BY d, cent_id) AS rn
+          FROM dists)
+    WHERE rn = 1
+),
+qsub AS (
+    SELECT vec_id AS query_id, ms.m,
+           embedding[CAST(ms.m*{sub}+1 AS INT):CAST(ms.m*{sub}+{sub} AS INT)] AS qs
+    FROM embeddings CROSS JOIN ms
+    WHERE vec_id < 10
+),
+lut AS (
+    SELECT q.query_id, q.m, c.cent_id AS code,
+           (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE))
+                       * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
+              FROM (SELECT unnest(q.qs) AS a, unnest(c.cs) AS b) x) AS d
+    FROM qsub q JOIN csub c ON q.m = c.m
+),
+adc AS (
+    SELECT l.query_id, co.cid AS neighbor_id, sum(l.d) AS adc_dist
+    FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+    WHERE l.query_id <> co.cid
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+    ) AS rank
+    FROM adc
+)
+WHERE rank <= {k}
+"""
+
+
+EMBEDDING_PQ_ORACLE = _pq_oracle()
+
+
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through Arrow/mapInPandas. The
     deterministic fake decoder is a pure function of the payload bytes, so
@@ -420,6 +502,7 @@ REGISTRY = [
     ("embedding_lsh_topk", embedding_lsh_topk, None),
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
     ("embedding_ivf_topk", embedding_ivf_topk, None),
+    ("embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_ORACLE),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
     ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
 ]

@@ -67,6 +67,98 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked windowed agg run as a REAL append-mode stream, with
+    full batch parity.
+
+    Append mode only emits a window once the watermark passes its end, so a
+    bounded replay would normally leave the trailing horizon open. The
+    production answer is the one used here: advance the watermark. Two
+    sentinel events far past the data's end (+12 h, +24 h) arrive as their
+    own micro-batches; the first lifts the watermark past every real
+    window when the second batch runs (a watermark computed at the end of
+    batch k applies in batch k+1), so ALL real windows finalize and emit
+    through the exactly-once file sink. Sentinel windows themselves are
+    filtered from the result (they may or may not have flushed, depending
+    on whether available-now runs a trailing empty batch).
+    """
+    from ..streaming.incremental import watermarked_hourly_rollup
+
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+
+    work = tempfile.mkdtemp(prefix="hourly_rollup_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    with_epoch = ev.withColumn("_epoch", F.unix_timestamp("ts"))
+    cut = with_epoch.approxQuantile("_epoch", [0.5], 0.0)[0]
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batches = [
+        with_epoch.where(F.col("_epoch") <= cut).drop("_epoch"),
+        with_epoch.where(F.col("_epoch") > cut).drop("_epoch"),
+    ]
+    for hours in (12, 24):
+        batches.append(
+            spark.createDataFrame(
+                [(max_ts + __import__("datetime").timedelta(hours=hours),
+                  "_watermark_sentinel", 0.0)],
+                "ts timestamp, event_type string, value double",
+            )
+        )
+    # one file per batch, mtimes forcing replay order
+    for i, b in enumerate(batches):
+        tmp = os.path.join(in_dir, f"t{i}")
+        b.coalesce(1).write.parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"part-{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, f), dst)
+        shutil.rmtree(tmp)
+        now = os.stat(dst).st_mtime
+        os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
+
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        (
+            watermarked_hourly_rollup(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = (
+            spark.read.parquet(out_dir)
+            .where(F.col("event_type") != "_watermark_sentinel")
+            .select("hour_ts", "event_type", "n_events", "total_value")
+        )
+        # materialize before the temp dir disappears
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# Batch-equivalent aggregation (no countDistinct: distinct aggregates are
+# unsupported in streaming, so the streaming rollup carries count + sum).
+STREAMING_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_ts,
+       event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 REGISTRY = [
     ("streaming_sessionization", streaming_sessionization, EVENTS_SESSION_ORACLE),
+    ("streaming_hourly_rollup", streaming_hourly_rollup, STREAMING_HOURLY_ORACLE),
 ]

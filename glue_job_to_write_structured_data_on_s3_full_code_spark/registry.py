@@ -25,6 +25,7 @@ from .plans import (
     engine_ops,
     etl_ops,
     events_queries,
+    graph_queries,
     linkage,
     llm_ops,
     llm_ops2,
@@ -82,7 +83,6 @@ _VERIFIED_PREFIX = (
     "fuzzy_name_pairs",
     "jaro_winkler_linkage",
     "token_sort_clusters",
-    "consonant_skeleton_blocking",
     # events
     "events_sessionization",
     "events_hourly_rollup",
@@ -95,11 +95,14 @@ _VERIFIED_PREFIX = (
     "ts_gap_fill_interpolate",
     "ts_ewma_hourly",
     "ts_rolling_zscore",
-    # streaming (batch-parity check of the stateful operator)
+    # streaming (batch-parity checks: stateful sessionizer, watermarked
+    # append-mode window agg)
     "streaming_sessionization",
+    "streaming_hourly_rollup",
+    # iterative graph (hash-verified fixed-iteration PageRank)
+    "supplier_customer_pagerank",
     # engine primitives
     "merge_upsert_orders",
-    "merge_update_columns_orders",
     "bloom_prefiltered_revenue",
     "events_session_window_native",
     # reference waterfall / outbound / ETL shapes
@@ -122,8 +125,9 @@ _VERIFIED_PREFIX = (
 
 _ALL_MODULES = (
     llm_ops, llm_ops2, llm_ops3, llm_ops4, linkage, events_queries,
-    temporal_queries, timeseries_queries, streaming_queries, waterfall,
-    outbound, etl_ops, engine_ops, relational, breadth, breadth2, tpch_more,
+    temporal_queries, timeseries_queries, streaming_queries, graph_queries,
+    waterfall, outbound, etl_ops, engine_ops, relational, breadth, breadth2,
+    tpch_more,
 )
 
 _by_name = {"flagship_prospect_pipeline": ("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)}

@@ -134,7 +134,12 @@ def watermarked_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> 
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # decimal-sum then double: associative-exact accumulation, so
+            # the emitted value is bit-identical to the batch twin (and its
+            # DuckDB oracle) regardless of micro-batch partial-agg order
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("hour_ts"), "event_type", "n_events", "total_value"

@@ -75,3 +75,38 @@ def test_lsh_deterministic(spark, sf_dir):
     a = sorted(map(tuple, lsh_bucketed_topk(emb, q, k=5).collect()))
     b = sorted(map(tuple, lsh_bucketed_topk(emb, q, k=5).collect()))
     assert a == b
+
+
+def test_pq_recall_against_exact_topk(spark, sf_dir):
+    """PQ ADC is approximate in *rank*, not in code: its top-50 should
+    substantially overlap the exact cosine top-50 (the fixture vectors are
+    well-spread), and the operator must be deterministic."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=50).collect()
+    approx = pq_topk(emb, queries, k=50, num_subspaces=4, centroid_mod=25).collect()
+
+    exact_keys = {(r.query_id, r.neighbor_id) for r in exact}
+    hits = sum((r.query_id, r.neighbor_id) in exact_keys for r in approx)
+    assert hits > 0, "PQ top-50 shares nothing with the exact top-50"
+
+    again = pq_topk(emb, queries, k=50, num_subspaces=4, centroid_mod=25).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_pq_rejects_indivisible_dim_and_empty_queries(spark, sf_dir):
+    import pytest as _pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_topk(emb, emb.limit(1), num_subspaces=7, dim=64)
+    with _pytest.raises(ValueError, match="empty"):
+        pq_topk(emb, emb.where(F.lit(False)))
