@@ -19,8 +19,12 @@ lookup table):
   no fact-side shuffle;
 - each round's input is only the previous round's *misses*, which shrinks
   geometrically — the reference's semantics, and also the efficient plan;
-- top-1 per fact key is computed on the (small) join fan-out with a window;
-  ties must be broken by a unique dim column for determinism;
+- top-1 per fact ROW is computed on the (small) join fan-out with a window
+  keyed by a synthetic row id; ties must be broken by a unique dim column
+  for determinism. Enrichment never drops or collapses fact rows — every
+  input row yields exactly one output row, even when fact rows duplicate
+  each other (the reference partitions its window by ``leadid``, which is
+  unique per fact row in its data, so the semantics agree there);
 - tiers are combined with ``unionByName`` (the reference's positional
   ``unionAll`` at FULL.py:942 silently relies on column order — SURVEY.md
   §7 flags this; unionByName is the safe equivalent).
@@ -63,13 +67,16 @@ def fallback_join(
     fact: DataFrame,
     dim: DataFrame,
     tiers: list[FallbackTier],
-    fact_key: list[str],
     order_cols: list[Column],
     defaults: dict[str, "Column"],
     matched_probe: str,
     tier_col: str | None = None,
 ) -> DataFrame:
     """Enrich ``fact`` with columns of ``dim`` via a tiered join cascade.
+
+    Every input fact row yields exactly one output row: per-row top-1 over
+    the join fan-out (a window keyed by a synthetic row id), so duplicate
+    fact rows are preserved, never collapsed.
 
     matched_probe : dim column whose non-nullness marks a match
         (the reference probes ``mulcode_dealer is null``, FULL.py:765).
@@ -90,7 +97,11 @@ def fallback_join(
     dim = dim.distinct()  # reference: select distinct * from dealermaster
     dim_cols = [c for c in dim.columns]
 
-    remaining = fact
+    # Synthetic per-row id: the theta path's top-1 window partitions on it,
+    # so two fact rows that happen to share every column still each keep
+    # their own best match (the equi fast path preserves them trivially).
+    rid = "__fallback_rid"
+    remaining = fact.withColumn(rid, F.monotonically_increasing_id())
     matched_parts: list[DataFrame] = []
     for i, tier in enumerate(tiers):
         tier_dim = dim.where(tier.dim_filter) if tier.dim_filter is not None else dim
@@ -112,7 +123,7 @@ def fallback_join(
             joined = remaining.join(
                 F.broadcast(tier_dim), tier.condition(remaining, tier_dim), "left"
             )
-            best = top1_per_group(joined, fact_key, order_cols)
+            best = top1_per_group(joined, [rid], order_cols)
         hit = best.where(F.col(matched_probe).isNotNull())
         if tier_col:
             hit = hit.withColumn(tier_col, F.lit(tier.name or f"tier{i}"))
@@ -129,4 +140,4 @@ def fallback_join(
     out = matched_parts[0]
     for part in matched_parts[1:]:
         out = out.unionByName(part)
-    return out
+    return out.drop(rid)

@@ -45,7 +45,6 @@ def waterfall_fallback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         sup,
         tiers,
-        fact_key=FACT_KEY,
         order_cols=[F.col("sup_acctbal").desc(), F.col("sup_key").desc()],
         defaults={
             "sup_key": F.lit(-1).cast("long"),
@@ -59,20 +58,31 @@ def waterfall_fallback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WATERFALL_ORACLE = """
+-- Per-fact-ROW semantics: each lineitem row keeps its own best match, so
+-- the ordering (dim-only columns) reduces to a per-join-key top-1 of the
+-- dim followed by a plain 1:1 left join. Duplicate fact rows (sf0.001 has
+-- one duplicated (orderkey,linenumber,partkey,suppkey) tuple) survive.
 WITH dim AS (
     SELECT DISTINCT s_suppkey AS sup_key, s_name, s_acctbal AS sup_acctbal
     FROM supplier
+),
+d1 AS (
+    SELECT * FROM dim WHERE sup_acctbal >= 5000
+    QUALIFY row_number() OVER (
+        PARTITION BY sup_key ORDER BY sup_acctbal DESC, sup_key DESC
+    ) = 1
+),
+d2 AS (
+    SELECT * FROM dim WHERE sup_acctbal >= 0
+    QUALIFY row_number() OVER (
+        PARTITION BY sup_key ORDER BY sup_acctbal DESC, sup_key DESC
+    ) = 1
 ),
 t1 AS (
     SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
            d.sup_key, d.s_name, d.sup_acctbal
     FROM lineitem l
-    LEFT JOIN (SELECT * FROM dim WHERE sup_acctbal >= 5000) d
-      ON l.l_suppkey = d.sup_key
-    QUALIFY row_number() OVER (
-        PARTITION BY l_orderkey, l_linenumber, l_partkey, l_suppkey
-        ORDER BY d.sup_acctbal DESC, d.sup_key DESC
-    ) = 1
+    LEFT JOIN d1 d ON l.l_suppkey = d.sup_key
 ),
 m1 AS (SELECT *, 'premium' AS matched_tier FROM t1 WHERE s_name IS NOT NULL),
 u1 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM t1 WHERE s_name IS NULL),
@@ -80,12 +90,7 @@ t2 AS (
     SELECT u.l_orderkey, u.l_linenumber, u.l_partkey, u.l_suppkey,
            d.sup_key, d.s_name, d.sup_acctbal
     FROM u1 u
-    LEFT JOIN (SELECT * FROM dim WHERE sup_acctbal >= 0) d
-      ON u.l_suppkey = d.sup_key
-    QUALIFY row_number() OVER (
-        PARTITION BY l_orderkey, l_linenumber, l_partkey, l_suppkey
-        ORDER BY d.sup_acctbal DESC, d.sup_key DESC
-    ) = 1
+    LEFT JOIN d2 d ON u.l_suppkey = d.sup_key
 ),
 m2 AS (SELECT *, 'standard' AS matched_tier FROM t2 WHERE s_name IS NOT NULL),
 u2 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM t2 WHERE s_name IS NULL),
@@ -131,7 +136,6 @@ def waterfall_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         dim,
         tiers,
-        fact_key=["o_orderkey"],
         order_cols=[F.col("dim_acctbal").desc(), F.col("dim_key").desc()],
         defaults={
             "dim_key": F.lit(-1).cast("long"),
