@@ -60,10 +60,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(key, "true")
         try:
             df = spark.read.parquet(path)
-            if dict(df.dtypes).get("ts") == "bigint":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
                 from pyspark.sql import functions as F
 
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                # Micros-precision files read natively as TIMESTAMP_NTZ,
+                # which epoch extractors (unix_micros) reject. The session
+                # timezone is pinned to UTC (session.tune), so casting to
+                # TIMESTAMP keeps the wall-clock value bit-for-bit.
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             # Force schema resolution while the legacy conf is active; the
             # resolved relation keeps its read schema afterwards.
             df.schema

@@ -22,7 +22,6 @@ def _run(spark, fact_rows, dim_rows, tiers, defaults):
             fact,
             dim,
             tiers,
-            fact_key=["fid"],
             order_cols=[F.col("prio").desc(), F.col("dval").desc()],
             defaults={
                 "dk": F.lit(defaults[0]),
@@ -94,7 +93,6 @@ def test_no_fanout_one_row_per_fact_key(spark):
         fact,
         dim,
         _tiers(),
-        fact_key=["fid"],
         order_cols=[F.col("prio").desc(), F.col("dval").desc()],
         defaults={
             "dk": F.lit("NA"),
@@ -127,7 +125,6 @@ def test_empty_dim_all_defaults(spark):
         fact,
         dim,
         _tiers(),
-        fact_key=["fid"],
         order_cols=[F.col("prio").desc()],
         defaults={
             "dk": F.lit("NA"),
@@ -149,7 +146,6 @@ def test_equi_fast_path_matches_generic(spark):
     fact = spark.createDataFrame(fact_rows, "fid long, k string")
     dim = spark.createDataFrame(dim_rows, "dk string, dval string, prio long")
     kw = dict(
-        fact_key=["fid"],
         order_cols=[F.col("prio").desc(), F.col("dval").desc()],
         defaults={
             "dk": F.lit("d"), "dval": F.lit("D"), "prio": F.lit(-1).cast("long"),

@@ -76,7 +76,6 @@ def test_fallback_join_matches_model(spark, facts, dims):
             fact,
             dim,
             tiers,
-            fact_key=["fid"],
             order_cols=[F.col("prio").desc(), F.col("dval").desc()],
             defaults={
                 "dk": F.lit("NA"),
