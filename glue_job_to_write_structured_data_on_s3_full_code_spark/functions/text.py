@@ -7,9 +7,10 @@ ANSI-SQL equivalent so the DuckDB oracle can replay it.
 Cross-engine hashing: Spark's ``xxhash64`` has no DuckDB twin, so where a
 query needs hash values the oracle can reproduce we use the top 60 bits of
 ``md5`` (``conv(hex, 16, 10)`` ↔ DuckDB ``('0x' || hex)::UBIGINT``) — 60
-bits so the value fits a signed BIGINT in both engines. Operators that the
-driver checks rows-only (MinHash-LSH) use ``xxhash64`` directly: one JVM
-hash call per shingle instead of md5's string round-trip.
+bits so the value fits a signed BIGINT in both engines. MinHash-LSH
+derives its whole seeded family from ONE md5 per shingle via a
+Carter-Wegman universal hash (see ``operators.dedup.minhash_coeffs``), so
+it is oracle-checkable too without paying md5 once per seed.
 """
 
 from __future__ import annotations

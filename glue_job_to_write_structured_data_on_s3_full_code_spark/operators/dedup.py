@@ -12,7 +12,8 @@ north star in BASELINE.json). Four tiers, cheapest first:
 - :func:`minhash_lsh_candidates` — MinHash signatures + banded LSH. The
   scale path for fuzzy dedup: candidates come from equality joins on
   band keys (shuffle on band hash), verified with exact Jaccard only on
-  the candidate set.
+  the candidate set. The seeded family is md5-derived (one md5 per
+  shingle, Carter-Wegman mixing) so DuckDB can replay it exactly.
 """
 
 from __future__ import annotations
@@ -21,6 +22,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, tokens
+
+# Modulus of the MinHash universal-hash family: the Mersenne prime 2^31-1.
+# Small enough that (a·u) with a, u < M stays under 2^62 — no 64-bit
+# overflow in either Spark (silent wrap) or DuckDB (hard error).
+MINHASH_MOD = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic Carter-Wegman coefficients (a_i, b_i, c_i) for the
+    MinHash family h_i(u, v) = (a_i·u + b_i·v + c_i) mod 2^31-1, where
+    (u, v) are two independent md5-derived 60-bit slices of the shingle
+    reduced mod M. Plain integer literals on purpose: the DuckDB oracle
+    embeds the SAME constants, making every signature (and hence every
+    band key and candidate pair) bit-reproducible across engines."""
+    coeffs = []
+    for i in range(num_hashes):
+        a = ((1103515245 * (i + 1) + 12345) % MINHASH_MOD) | 1
+        b = ((2654435761 * (i + 1) + 1013904223) % MINHASH_MOD) | 1
+        c = (i * 97 + 1) % MINHASH_MOD
+        coeffs.append((a, b, c))
+    return coeffs
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -368,11 +390,15 @@ def minhash_lsh_candidates(
     Pipeline (all narrow or equality-shuffle stages):
     1. word ``shingle_len``-shingles per doc (sliding window via
        ``F.transform`` over an index sequence — no UDF);
-    2. ``num_hashes`` seeded xxhash64 values per shingle, min per doc →
-       signature (explode + groupBy, map-side combine);
-    3. signature split into ``bands``; docs sharing any band key are
-       candidates (equality join on the band hash — this is the step that
-       makes it sub-quadratic at 100 TB);
+    2. ``num_hashes`` universal-hash values per shingle (Carter-Wegman
+       ``(a·u + b·v + c) mod M`` over two md5-derived 60-bit slices, so
+       every hash in the family costs ONE md5 per shingle and is
+       reproducible in DuckDB — see :func:`minhash_coeffs`), min per doc →
+       signature (row-local ``array_min``; no explode, no groupBy);
+    3. signature split into ``bands``; docs sharing any band key
+       (md5 of the band's signature slice) are candidates (equality join
+       on the band key — this is the step that makes it sub-quadratic at
+       100 TB);
     4. exact Jaccard verification with an inverted-index join restricted
        to candidate pairs.
     """
@@ -399,23 +425,41 @@ def minhash_lsh_candidates(
         ).alias("shingles"),
     )
 
-    # The whole signature is ROW-LOCAL: h_seed(doc) = array_min(transform(
-    # shingles, s -> xxhash64(seed, s))) — no explode, no groupBy, no join.
+    # The whole signature is ROW-LOCAL: h_i(doc) = array_min(transform(uv,
+    # p -> (a_i·u + b_i·v + c_i) mod M)) — no explode, no groupBy, no join.
     # The first shuffle in the entire operator is the band-key equality
-    # join below; everything before it is map-side. Band keys hash
+    # join below; everything before it is map-side. md5 runs ONCE per
+    # shingle (hoisted into the `uv` projection — inside num_hashes
+    # lambdas it would not be subexpression-eliminated and would hash
+    # every shingle 2·num_hashes times, the same hazard simhash() hit);
+    # each family member is then two multiplies and a mod. Band keys hash
     # signature slices; emitting them with one array<struct> explode keeps
     # a single pass (not one select per band unioned).
-    def _hasher(seed: int):
-        # factory, not a default arg: PySpark keys the lambda's arity off
-        # its signature, and a second (defaulted) parameter would silently
+    M = MINHASH_MOD
+    uv = shingled.withColumn(
+        "_hex", F.transform("shingles", lambda s: F.md5(s))
+    ).withColumn(
+        "uv",
+        F.transform(
+            "_hex",
+            lambda h: F.struct(
+                (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % M).alias("u"),
+                (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % M).alias("v"),
+            ),
+        ),
+    )
+
+    def _hasher(a: int, b: int, c: int):
+        # factory, not default args: PySpark keys the lambda's arity off
+        # its signature, and extra (defaulted) parameters would silently
         # switch transform() to its (element, index) form
-        return lambda s: F.xxhash64(F.lit(seed), s)
+        return lambda p: ((a * p["u"]) % M + (b * p["v"]) % M + c) % M
 
     sig_cols = [
-        F.array_min(F.transform("shingles", _hasher(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
+        F.array_min(F.transform("uv", _hasher(a, b, c))).alias(f"h{i}")
+        for i, (a, b, c) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = shingled.select(
+    sig = uv.select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh"), *sig_cols
     )
     rows_per_band = num_hashes // bands
@@ -423,8 +467,14 @@ def minhash_lsh_candidates(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 ).alias("band_key"),
             )
             for b in range(bands)

@@ -127,12 +127,22 @@ def cosine_neardup(
     - ``'matmul'`` — the same broadcast shape, vectorized: the reference
       matrix ships to every task via ``sparkContext.broadcast`` and each
       corpus partition scores all its rows against it in one numpy
-      matmul (BLAS). The corpus still never shuffles (``mapInPandas``
-      over the scan); only the bounded reference side is collected —
-      exactly what ``F.broadcast`` would ship. ~50× faster at 2k×64.
+      matmul (BLAS). ~50× faster at 2k×64 — but for self-comparison the
+      "reference side" IS the corpus, so this strategy collects the
+      whole input to the driver: use it only for a bounded corpus.
+    - ``'blocked'`` — the distributed exact form (default for the
+      registered query): vectors are hashed into ``num_blocks`` id
+      blocks, every unordered block PAIR becomes one task, and each task
+      BLAS-matmuls just its two blocks. Nothing is ever collected to the
+      driver and per-task memory is 2·N/num_blocks vectors — at 100 TB
+      you raise num_blocks until a block fits an executor. Total compute
+      is still exact-O(N²) (that is the semantics); the sub-quadratic
+      route remains LSH/IVF candidate generation.
     """
     if strategy == "matmul":
         return _cosine_neardup_matmul(corpus, vec_col, id_col, threshold)
+    if strategy == "blocked":
+        return _cosine_neardup_blocked(corpus, vec_col, id_col, threshold)
     v = corpus.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
     ).withColumn("vnorm", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
@@ -226,6 +236,84 @@ def _cosine_neardup_matmul(
         .repartition(par)
         .mapInPandas(
             score, f"{id_col} long, n_smaller_neardups long, kept boolean"
+        )
+    )
+
+
+def _cosine_neardup_blocked(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Driver-collect-free exact twin of :func:`cosine_neardup` (see its
+    docstring): the classic blocked all-pairs ("triangle") self-join.
+
+    Every vector lands in block ``id % num_blocks``; replicating each row
+    once per block (one cross join with a ``num_blocks``-row frame) puts
+    the union of blocks i and j — each row exactly once — into group
+    (min(i,j), max(i,j)). One ``applyInPandas`` per unordered block pair
+    then scores its two blocks with a single BLAS matmul and emits
+    per-vector partial counts of smaller-id near-dups; a final sum-groupBy
+    (every vector emits a row in each of its ``num_blocks`` groups, so no
+    re-join against the corpus is needed for the zero rows) yields the
+    same keep-min-id output as the other strategies, bit-identical.
+
+    Scale shape: shuffle volume is num_blocks·N rows (the replication),
+    task memory is two blocks of vectors, and there are
+    num_blocks·(num_blocks+1)/2 independent tasks — num_blocks is the
+    knob that trades replication for per-task memory at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.col(id_col) % num_blocks).cast("int").alias("blk"),
+    )
+    others = spark.range(num_blocks).select(F.col("id").cast("int").alias("other"))
+    repl = v.crossJoin(F.broadcast(others)).select(
+        "vid",
+        "vec",
+        "blk",
+        F.least("blk", "other").alias("g1"),
+        F.greatest("blk", "other").alias("g2"),
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        g1 = int(pdf["g1"].iloc[0])
+        g2 = int(pdf["g2"].iloc[0])
+        if g1 == g2:
+            sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+            cnt = ((sims >= threshold) & (ids[None, :] < ids[:, None])).sum(axis=1)
+            return pd.DataFrame({"vid": ids, "n": cnt.astype(np.int64)})
+        a = pdf["blk"].to_numpy() == g1
+        b = ~a
+        sims = (mat[a] @ mat[b].T) / (norms[a][:, None] * norms[b][None, :])
+        hit = sims >= threshold
+        cnt_a = (hit & (ids[b][None, :] < ids[a][:, None])).sum(axis=1)
+        cnt_b = (hit.T & (ids[a][None, :] < ids[b][:, None])).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vid": np.concatenate([ids[a], ids[b]]),
+                "n": np.concatenate([cnt_a, cnt_b]).astype(np.int64),
+            }
+        )
+
+    partial = repl.groupBy("g1", "g2").applyInPandas(score, "vid long, n long")
+    return (
+        partial.groupBy("vid")
+        .agg(F.sum("n").alias("n_smaller_neardups"))
+        .select(
+            F.col("vid").alias(id_col),
+            "n_smaller_neardups",
+            (F.col("n_smaller_neardups") == 0).alias("kept"),
         )
     )
 
@@ -335,14 +423,20 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join, exact cosine inside buckets.
 
-    Hyperplanes are generated deterministically from md5-seeded values per
-    (plane, dimension) — no driver-side randomness, reproducible across
-    runs and engines.
+    Hyperplanes are deterministic ±1 Rademacher vectors derived from
+    md5(seed:plane:dim) on the DRIVER at plan-build time and embedded as
+    one flat array literal per plane — no driver-side randomness, and the
+    projection is ``zip_with``+``aggregate`` over that literal, so the
+    expression tree is O(num_planes) nodes regardless of embedding width
+    (the previous per-dimension when-chain built num_planes·dim branches:
+    8k+ nodes at dim=1024).
 
     ``dim`` is the embedding dimensionality; pass it explicitly to keep
     plan construction fully lazy. When omitted it is probed from the small
     query side (one driver-side row, clear error when empty).
     """
+    import hashlib
+
     from pyspark.sql import Window
 
     if dim is None:
@@ -355,19 +449,25 @@ def lsh_bucketed_topk(
         dim = len(probe[0][0])
     dim_probe = dim
 
+    def _plane_signs(p: int) -> list[float]:
+        return [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16
+            ) % 2 == 0
+            else -1.0
+            for d in range(dim_probe)
+        ]
+
     def bucket_bits(vcol: Column) -> Column:
         bits = []
         for p in range(num_planes):
-            # pseudo-random ±1 weights per (seed, plane, dim) from a hash bit
-            terms = [
-                F.when(
-                    F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)) % 2 == 0, vcol[d]
-                ).otherwise(-vcol[d])
-                for d in range(dim_probe)
-            ]
-            s = terms[0]
-            for t in terms[1:]:
-                s = s + t
+            w = F.array(*[F.lit(s) for s in _plane_signs(p)])
+            s = F.aggregate(
+                F.zip_with(vcol, w, lambda x, wi: x * wi),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
             bits.append(F.when(s > 0, "1").otherwise("0"))
         return F.concat(*bits)
 

@@ -82,7 +82,7 @@ def agg_breadth2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_BREADTH2_ORACLE = """
 SELECT l_linestatus,
        count(*) AS n_rows,
-       count_if(l_quantity > 25) AS n_big_qty,
+       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big_qty,
        bool_and(l_extendedprice > 0) AS all_price_pos,
        bool_or(l_discount > 0.09) AS any_high_disc,
        round(median(l_quantity), 6) AS med_qty,

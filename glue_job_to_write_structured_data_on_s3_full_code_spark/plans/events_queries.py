@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import tune
-from ..sources import read_table
+from ..sources import materialize_result, read_table
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,8 +72,9 @@ def events_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         materialize_closed_buckets(ev, cutoff, path)
         out = continuous_aggregate(ev, cutoff, path)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # re-stage under a stable path so the result outlives the tempdir
+        # WITHOUT a driver round-trip (executors write, caller re-scans)
+        return materialize_result(out, "events_continuous_aggregate")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -136,10 +137,10 @@ WITH g AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id, ts,
-       sum(is_new) OVER (
+       CAST(sum(is_new) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS session_num
+       ) AS BIGINT) AS session_num
 FROM g
 """
 

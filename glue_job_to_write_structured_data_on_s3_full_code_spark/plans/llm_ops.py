@@ -3,9 +3,12 @@ BASELINE.json north star): dedup, text analysis, similarity search,
 multimodal plumbing. All on the ``documents`` / ``embeddings`` tables.
 
 Oracle policy: everything a DuckDB SQL statement can express carries one
-(including SimHash — its md5-nibble construction was chosen for that);
-MinHash-LSH and the approximate ANN path are genuinely non-SQL (seeded
-xxhash64 banding) and go through the driver's rows-only check.
+(including SimHash — its md5-nibble construction was chosen for that —
+and MinHash-LSH, whose md5-derived Carter-Wegman hash family DuckDB can
+replay bit-for-bit); only the random-hyperplane LSH ANN path goes through
+the driver's rows-only check (its bucket keys depend on sign patterns of
+float dot products — cross-engine float summation order makes a boundary
+bucket flip possible, so it is verified by recall tests instead).
 """
 
 from __future__ import annotations
@@ -118,12 +121,86 @@ SIMHASH_ORACLE = _simhash_oracle(32)
 
 
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver check (seeded xxhash64 banding is not ANSI-SQL);
-    exactness of the verification math is covered by dedup_jaccard_pairs,
-    and tests/test_dedup.py checks planted near-duplicates are found."""
+    """Hash-checked MinHash-LSH: the md5-derived Carter-Wegman family
+    (operators.dedup.minhash_coeffs) is bit-reproducible in DuckDB, so the
+    oracle replays the ENTIRE pipeline — shingling, signatures, band keys,
+    candidate join, exact-Jaccard verify — not just the verification math.
+    tests/test_dedup.py additionally checks planted near-duplicate recall."""
     tune(spark)
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    verify_threshold: float = 0.5,
+) -> str:
+    """DuckDB replay of minhash_lsh_candidates with the same coefficients."""
+    from ..operators.dedup import MINHASH_MOD, minhash_coeffs
+
+    m = MINHASH_MOD
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(uv, p -> "
+        f"(({a} * p.u) % {m} + ({b} * p.v) % {m} + {c}) % {m})) AS h{i}"
+        for i, (a, b, c) in enumerate(minhash_coeffs(num_hashes))
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, shingles, n_sh, {b} AS band, md5(concat_ws(',', {hs}))"
+        " AS band_key FROM sigs".format(
+            b=b,
+            hs=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+              ELSE {_TOKS} END AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= {shingle_len} THEN list_distinct(
+                list_transform(range(1, len(ts) - {shingle_len - 2}),
+                  i -> concat_ws(' ', {", ".join(f"ts[i+{k}]" for k in range(shingle_len))})))
+              ELSE [array_to_string(ts, ' ')] END AS shingles
+  FROM base
+), uvt AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh,
+         list_transform(shingles, s -> struct_pack(
+             u := CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {m},
+             v := CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % {m}
+         )) AS uv
+  FROM sh
+), sigs AS (
+  SELECT doc_id, shingles, n_sh,
+         {sig_exprs}
+  FROM uvt
+), banded AS (
+  {band_selects}
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b,
+         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sh_a, sh_b))
+               / (n_a + n_b - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+  FROM cand
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {verify_threshold}
+"""
+
+
+MINHASH_LSH_ORACLE = _minhash_oracle()
 
 
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,10 +361,15 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup (task brief dedup family): keep a
-    vector iff it has no near-dup (cosine ≥ 0.35) with a smaller id."""
+    vector iff it has no near-dup (cosine ≥ 0.35) with a smaller id.
+
+    Registered with strategy='blocked' — the distributed block-pair
+    matmul that never collects the corpus to the driver (the 'matmul'
+    strategy does, which is fine for a bounded reference set but not for
+    the registered self-comparison headline; see cosine_neardup)."""
     tune(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_neardup(emb, threshold=0.35, strategy="matmul")
+    return cosine_neardup(emb, threshold=0.35, strategy="blocked")
 
 
 EMBEDDING_NEARDUP_ORACLE = """
@@ -314,13 +396,74 @@ FROM v LEFT JOIN cnt USING (vec_id)
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN — rows-only driver check; recall vs the
-    exact baseline is asserted in tests/test_similarity.py."""
+    """IVF coarse-quantized ANN. Fully deterministic (mod-id centroids,
+    exact cosine everywhere), so like pq_topk it carries a complete DuckDB
+    oracle — cell assignment, probe, candidate scoring, top-k; recall vs
+    the exact baseline is additionally asserted in tests/test_similarity.py."""
     tune(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, centroid_mod=50, nprobe=3
     )
+
+
+_COS = """(SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+              FROM (SELECT unnest({A}) AS a, unnest({B}) AS b) x)
+           / (sqrt((SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.a AS DOUBLE))
+                      FROM (SELECT unnest({A}) AS a) x))
+              * sqrt((SELECT sum(CAST(x.b AS DOUBLE) * CAST(x.b AS DOUBLE))
+                        FROM (SELECT unnest({B}) AS b) x)))"""
+
+
+def _ivf_oracle(k: int = 5, centroid_mod: int = 50, nprobe: int = 3) -> str:
+    """DuckDB replay of ivf_topk: same centroids, same argmax-cosine cell
+    assignment (row_number with the same (cosine DESC, cent_id) tie-break),
+    same nprobe probe set, same exact in-cell scoring."""
+    cent_cos = _COS.format(A="e.embedding", B="c.cent_v")
+    pair_cos = _COS.format(A="q.qv", B="s.cv")
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cent_v
+    FROM embeddings WHERE vec_id % {centroid_mod} = 0
+),
+corpus_assign AS (
+    SELECT vec_id, cv, cent_id FROM (
+        SELECT e.vec_id, e.embedding AS cv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cent_cos} DESC, c.cent_id
+               ) AS crk
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE crk = 1
+),
+query_probe AS (
+    SELECT vec_id AS query_id, qv, cent_id FROM (
+        SELECT e.vec_id, e.embedding AS qv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cent_cos} DESC, c.cent_id
+               ) AS crk
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 10
+    ) WHERE crk <= {nprobe}
+),
+scored AS (
+    SELECT q.query_id, s.vec_id AS neighbor_id, {pair_cos} AS cosine
+    FROM corpus_assign s JOIN query_probe q USING (cent_id)
+    WHERE q.query_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+EMBEDDING_IVF_ORACLE = _ivf_oracle()
 
 
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,7 +636,7 @@ REGISTRY = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("dedup_jaccard_pairs", dedup_jaccard_pairs, DEDUP_JACCARD_ORACLE),
     ("simhash_fingerprint", simhash_fingerprint, SIMHASH_ORACLE),
-    ("minhash_lsh_dedup", minhash_lsh_dedup, None),
+    ("minhash_lsh_dedup", minhash_lsh_dedup, MINHASH_LSH_ORACLE),
     ("text_quality_stats", text_quality_stats, TEXT_QUALITY_ORACLE),
     ("language_id_heuristic", language_id_heuristic, LANGUAGE_ID_ORACLE),
     ("token_count_bpe", token_count_bpe, TOKEN_COUNT_ORACLE),
@@ -501,7 +644,7 @@ REGISTRY = [
     ("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_COSINE_ORACLE),
     ("embedding_lsh_topk", embedding_lsh_topk, None),
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
-    ("embedding_ivf_topk", embedding_ivf_topk, None),
+    ("embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_ORACLE),
     ("embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_ORACLE),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
     ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),

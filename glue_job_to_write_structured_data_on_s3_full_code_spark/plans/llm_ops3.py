@@ -252,7 +252,7 @@ WITH toks AS (
     SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(c) AS n_bigrams,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
        max(c) AS top_bigram_count,
        round(max(c) / sum(c), 6) AS repetition_ratio,
        round(max(c) / sum(c), 6) > 0.1 AS flagged
@@ -337,7 +337,7 @@ WITH toks AS (
     SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count FROM pairs GROUP BY 1, 2
 )
 SELECT w1, w2, pair_count,
-       sum(pair_count) OVER (PARTITION BY w1) AS w1_count,
+       CAST(sum(pair_count) OVER (PARTITION BY w1) AS BIGINT) AS w1_count,
        round(pair_count / (sum(pair_count) OVER (PARTITION BY w1)), 6) AS cond_prob
 FROM counts
 ORDER BY pair_count DESC, w1, w2 LIMIT 50

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune
-from ..sources import read_table
+from ..sources import materialize_result, read_table
 from ..streaming.sessionize import run_sessionize_stream
 from .events_queries import EVENTS_SESSION_ORACLE
 
@@ -60,9 +60,9 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = spark.read.parquet(out_dir).select(
             "event_id", "user_id", "ts", "session_num"
         )
-        # materialize before the temp dir disappears
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        # re-stage to a stable path before the temp dir disappears —
+        # distributed write+scan, not a driver collect round-trip
+        return materialize_result(result, "streaming_sessionization")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -139,9 +139,9 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("event_type") != "_watermark_sentinel")
             .select("hour_ts", "event_type", "n_events", "total_value")
         )
-        # materialize before the temp dir disappears
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        # re-stage to a stable path before the temp dir disappears —
+        # distributed write+scan, not a driver collect round-trip
+        return materialize_result(result, "streaming_hourly_rollup")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -1,5 +1,12 @@
 from .files import read_csv, read_json, read_orc, write_csv, write_json, write_orc
-from .parquet import TABLES, checkpoint_stage, load_tables, register_views, read_table
+from .parquet import (
+    TABLES,
+    checkpoint_stage,
+    load_tables,
+    materialize_result,
+    register_views,
+    read_table,
+)
 from .snapshot import (
     write_snapshot,
     overwrite_partition,
@@ -20,6 +27,7 @@ __all__ = [
     "register_views",
     "read_table",
     "checkpoint_stage",
+    "materialize_result",
     "write_snapshot",
     "overwrite_partition",
     "add_partition",

@@ -53,8 +53,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond timestamp (exact integer division; DuckDB
     truncates nanos the same way).
     """
+    from pyspark.sql import functions as F
+
+    from ..session import tune
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # The NTZ→TIMESTAMP cast below is wall-clock-preserving only under
+        # a UTC session timezone; pin it here rather than trusting the
+        # caller, so an externally supplied, untuned session can't
+        # silently shift ts values (same defensiveness as the legacy
+        # nanosAsLong conf handling).
+        tune(spark)
         key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "true")
@@ -62,16 +72,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
             ts_type = dict(df.dtypes).get("ts")
             if ts_type == "bigint":
-                from pyspark.sql import functions as F
-
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             elif ts_type == "timestamp_ntz":
                 # Micros-precision files read natively as TIMESTAMP_NTZ,
                 # which epoch extractors (unix_micros) reject. The session
-                # timezone is pinned to UTC (session.tune), so casting to
+                # timezone is pinned to UTC (tune above), so casting to
                 # TIMESTAMP keeps the wall-clock value bit-for-bit.
-                from pyspark.sql import functions as F
-
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             # Force schema resolution while the legacy conf is active; the
             # resolved relation keeps its read schema afterwards.
@@ -82,6 +88,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 spark.conf.set(key, prev)
         return df
+    return spark.read.parquet(path)
+
+
+def materialize_result(df: DataFrame, name: str) -> DataFrame:
+    """Persist a query result to a STABLE per-query path under the Spark
+    warehouse dir and read it back.
+
+    For queries whose result is produced under a short-lived working dir
+    (streaming sinks, continuous-aggregate stores): the returned DataFrame
+    must outlive that dir, and a ``collect()``/``createDataFrame`` round
+    trip — the previous shape — funnels the whole result through the
+    driver. This keeps the exchange distributed: executors write, the
+    caller gets a plain parquet scan. ``mode("overwrite")`` makes the path
+    self-cleaning across invocations (no per-run garbage)."""
+    spark = df.sparkSession
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(warehouse, "_staged_results", name)
+    df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 

@@ -22,8 +22,15 @@ def _canon_cell(v) -> str:
         if math.isnan(f):
             return "NULL"
         # 12 significant digits: tolerant of cross-engine last-ulp noise,
-        # strict enough to catch real value bugs.
-        return f"{f:.12g}"
+        # strict enough to catch real value bugs. Integral floats keep a
+        # ".0" marker so a float column never canonicalizes equal to an
+        # int column — the DRIVER's hasher distinguishes 1.0 from 1, and a
+        # local fold of the two let an oracle-typing bug (DuckDB HUGEINT →
+        # float64 vs Spark bigint) slip through round 2's gate.
+        s = f"{f:.12g}"
+        if "." not in s and "e" not in s and "n" not in s:  # inf stays 'inf'
+            s += ".0"
+        return s
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (np.bool_, bool)):

@@ -57,16 +57,20 @@ def test_neardup_kept_iff_no_smaller_neighbor(spark, sf_dir):
     assert any(r.kept for r in rows)
 
 
-def test_neardup_matmul_strategy_matches_expr(spark, sf_dir):
+def test_neardup_strategies_identical(spark, sf_dir):
+    """expr (JVM expressions), matmul (driver-collected broadcast BLAS),
+    and blocked (distributed block-pair BLAS, no driver collect) must be
+    result-identical — three physical plans, one semantics."""
     emb = read_table(spark, sf_dir, "embeddings")
     a = sorted(map(tuple, cosine_neardup(emb, threshold=0.35).collect()))
-    b = sorted(
-        map(
-            tuple,
-            cosine_neardup(emb, threshold=0.35, strategy="matmul").collect(),
+    for strategy in ("matmul", "blocked"):
+        b = sorted(
+            map(
+                tuple,
+                cosine_neardup(emb, threshold=0.35, strategy=strategy).collect(),
+            )
         )
-    )
-    assert a == b
+        assert a == b, f"strategy {strategy} diverged from expr"
 
 
 def test_lsh_deterministic(spark, sf_dir):
