@@ -4,9 +4,11 @@
 - :func:`structuring_job` — entry point A (FULL.py): transform → snapshot
   stamp → partitioned write (idempotent per-partition overwrite) → catalog
   table registration → partition registration. The Glue-crawler poll loop
-  (FULL.py:106-141) becomes ``CREATE TABLE`` inference + ``MSCK REPAIR``
-  (the SURVEY §2.2 K4 mapping); the explicit ``ALTER TABLE ADD PARTITION``
-  fast path (FULL.py:129) is kept for the partition-known case.
+  (FULL.py:106-141) becomes :func:`..sources.snapshot.ensure_table`
+  (poll-to-ready schema-inference registration, saveAsTable fallback for
+  an empty path) + :func:`..sources.snapshot.sync_partitions` (the
+  crawler's incremental discover-and-ADD-PARTITION pass — the SURVEY
+  §2.2 K4 mapping).
 - entry point B (OUTBOUND.py) is :func:`..plans.outbound.outbound_pipeline`.
 - entry point C (JDBC.sql) is :func:`..sources.jdbc.jdbc_snapshot_to_parquet`.
 """
@@ -18,7 +20,12 @@ from pyspark.sql import functions as F
 
 from .plans.flagship import flagship
 from .session import tune
-from .sources.snapshot import add_partition, overwrite_partition, show_partitions
+from .sources.snapshot import (
+    ensure_table,
+    overwrite_partition,
+    show_partitions,
+    sync_partitions,
+)
 
 
 def structuring_job(
@@ -42,20 +49,11 @@ def structuring_job(
     stamped = out.withColumn("dataset_date", F.lit(dataset_date))
     overwrite_partition(stamped, target_path, partition_cols=("dataset_date",))
 
-    if not spark.catalog.tableExists(table):
-        spark.sql(
-            f"CREATE TABLE {table} USING parquet LOCATION '{target_path}'"
-        )
-    partition_spec = {"dataset_date": dataset_date}
-    known = show_partitions(spark, table)
-    if f"dataset_date={dataset_date}" in known:
-        pass  # already registered (re-run)
-    elif known:
-        add_partition(spark, table, partition_spec)
-    else:
-        # fresh table whose partitions were discovered at create time may
-        # still need a bulk repair after out-of-band writes
-        spark.sql(f"MSCK REPAIR TABLE {table}")
+    # crawler lifecycle (FULL.py:106-141): register the table by schema
+    # inference if it doesn't exist, then an incremental discover-and-add
+    # pass for any partition the catalog doesn't know yet
+    ensure_table(spark, table, target_path, schema_source=stamped)
+    sync_partitions(spark, table, target_path)
 
     n = spark.table(table).where(F.col("dataset_date") == dataset_date).count()
     return spark.createDataFrame(

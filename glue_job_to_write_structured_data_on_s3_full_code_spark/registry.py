@@ -22,6 +22,7 @@ from .plans.flagship import FLAGSHIP_ORACLE, flagship
 from .plans import (
     breadth,
     breadth2,
+    deep_pipeline,
     engine_ops,
     etl_ops,
     events_queries,
@@ -53,78 +54,77 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The driver's correctness gate verifies a bounded prefix of this registry
-# (round 1 recorded exactly the first 50 entries), so the prefix is curated
-# to span every operator family: flagship, LLM-pipeline core, linkage,
-# events/time-series/streaming, engine primitives, the reference's own
-# waterfall/outbound/ETL shapes, and the core relational parity queries.
-# Everything else (still verified locally by tests/test_oracle_parity.py)
-# registers afterwards in module order.
+# (each round records exactly the first 50 entries), so the prefix ROTATES
+# per round to keep every registered query driver-verified recently:
+# round 1 covered the flagship + relational/function breadth, round 2 the
+# LLM/events/streaming families. Round 3's prefix is every query neither
+# round saw (43), the three rows round 2 marked red/weak and this round
+# fixed (minhash_lsh_dedup oracle, both sessionizations' oracle typing),
+# the new reference-depth pipeline, and three of the oldest round-1 names.
+# Everything rotated out remains verified locally by
+# tests/test_oracle_parity.py (all 131 queries, every session).
 _VERIFIED_PREFIX = (
-    "flagship_prospect_pipeline",
-    # LLM-pipeline core (north star): dedup, text, similarity, curation
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "simhash_fingerprint",
+    # fixed since round 2's gate: md5 Carter-Wegman MinHash oracle,
+    # BIGINT-cast sessionization oracle (events + streaming share it)
     "minhash_lsh_dedup",
-    "embedding_cosine_topk",
-    "embedding_neardup_dedup",
-    "corpus_curation_pipeline",
-    "document_chunking",
-    "token_count_bpe",
-    "text_quality_stats",
-    "hash_split_train_eval",
-    "sentence_dedup",
-    # corpus statistics / batch composition
-    "vocab_top_terms",
-    "tfidf_top_terms",
-    "ngram_contamination_check",
-    "sequence_packing",
-    # record linkage
-    "fuzzy_name_pairs",
-    "jaro_winkler_linkage",
-    "token_sort_clusters",
-    # events
     "events_sessionization",
-    "events_hourly_rollup",
-    "events_asof_last_purchase",
-    "events_range_pairs",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    # time series
-    "ts_ohlc_resample",
-    "ts_gap_fill_interpolate",
-    "ts_ewma_hourly",
-    "ts_rolling_zscore",
-    # streaming (batch-parity checks: stateful sessionizer, watermarked
-    # append-mode window agg)
     "streaming_sessionization",
-    "streaming_hourly_rollup",
-    # iterative graph (hash-verified fixed-iteration PageRank)
-    "supplier_customer_pagerank",
-    # engine primitives
-    "merge_upsert_orders",
-    "bloom_prefiltered_revenue",
-    "events_session_window_native",
-    # reference waterfall / outbound / ETL shapes
-    "waterfall_fallback_join",
-    "waterfall_disjunctive_join",
-    "nested_document_json",
-    "conditional_struct_nullout",
-    "scd2_customer_merge",
-    "snapshot_diff_orders",
-    # core relational parity (SURVEY §2.3-2.8)
-    "pricing_summary_agg",
-    "regional_revenue_join",
-    "filter_pushdown_scan",
-    "window_top1_per_group",
-    "sequential_surrogate_key",
-    "disjunctive_theta_join",
-    "anti_join_incremental",
-    "union_except_reconcile",
+    # new this round: the ~18-stage reference-depth pipeline
+    "deep_prospect_pipeline",
+    # never driver-verified before this round — ANN + multimodal + text
+    "embedding_ivf_topk",
+    "embedding_pq_topk",
+    "embedding_lsh_topk",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "language_id_heuristic",
+    "document_fingerprint",
+    "pii_redaction",
+    "html_strip",
+    "weighted_source_mix",
+    "dedup_components",
+    "repetition_ratio_filter",
+    "quality_percentile_gate",
+    "bigram_lm_probs",
+    "stratified_sample",
+    "stopword_discovery",
+    "consonant_skeleton_blocking",
+    # never driver-verified — events/temporal/engine
+    "events_json_extract",
+    "events_continuous_aggregate",
+    "events_gap_filled_rollup",
+    "merge_update_columns_orders",
+    "deterministic_mode",
+    # never driver-verified — relational/TPC-H breadth
+    "order_count_distribution",
+    "idle_customer_balance",
+    "range_frame_rolling_spend",
+    "json_function_suite",
+    "agg_breadth2_suite",
+    "quantity_histogram",
+    "revenue_forecast_filter_agg",
+    "product_type_profit",
+    "returned_item_ranking",
+    "shipping_delay_buckets",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "disjunctive_bracket_join",
+    "lonely_late_suppliers",
+    "part_supplier_breadth",
+    "local_supplier_volume",
+    "important_part_values",
+    "heavy_part_suppliers",
+    "value_window_suite",
+    # oldest round-1 names rotated back through the gate
+    "top_unshipped_orders",
+    "nation_pair_volume",
+    "stats_agg_suite",
 )
 
 _ALL_MODULES = (
-    llm_ops, llm_ops2, llm_ops3, llm_ops4, linkage, events_queries,
+    deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, linkage, events_queries,
     temporal_queries, timeseries_queries, streaming_queries, graph_queries,
     waterfall, outbound, etl_ops, engine_ops, relational, breadth, breadth2,
     tpch_more,
@@ -138,7 +138,8 @@ for _module in _ALL_MODULES:
 assert len(_VERIFIED_PREFIX) == 50 and len(set(_VERIFIED_PREFIX)) == 50
 for _name in _VERIFIED_PREFIX:
     register(*_by_name[_name])
-for _module in _ALL_MODULES:
-    for _name, _fn, _oracle in _module.REGISTRY:
-        if _name not in QUERIES:
-            register(_name, _fn, _oracle)
+# flagship lives outside the module REGISTRYs, so sweep _by_name (which
+# includes it), not just the modules — a prefix without it must not drop it.
+for _name, _fn, _oracle in _by_name.values():
+    if _name not in QUERIES:
+        register(_name, _fn, _oracle)

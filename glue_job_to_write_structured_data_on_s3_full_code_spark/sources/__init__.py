@@ -11,8 +11,10 @@ from .snapshot import (
     write_snapshot,
     overwrite_partition,
     add_partition,
+    ensure_table,
     show_partitions,
     stamp_snapshot,
+    sync_partitions,
 )
 
 __all__ = [
@@ -31,6 +33,8 @@ __all__ = [
     "write_snapshot",
     "overwrite_partition",
     "add_partition",
+    "ensure_table",
     "show_partitions",
     "stamp_snapshot",
+    "sync_partitions",
 ]

@@ -66,7 +66,75 @@ def add_partition(spark: SparkSession, table: str, spec: dict[str, str]) -> None
     """D3: ``ALTER TABLE … ADD PARTITION`` (FULL.py:129-130), idempotent.
 
     For path-managed tables ``MSCK REPAIR TABLE`` is the bulk equivalent of
-    the reference's crawler loop (FULL.py:106-141).
+    the reference's crawler loop (FULL.py:106-141); :func:`sync_partitions`
+    is the incremental equivalent that scales to huge partition counts.
     """
     kv = ", ".join(f"{k}='{v}'" for k, v in spec.items())
     spark.sql(f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION ({kv})")
+
+
+def ensure_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema_source: DataFrame | None = None,
+    timeout_s: float = 30.0,
+    poll_interval_s: float = 0.5,
+) -> bool:
+    """K4 — the reference's crawler lifecycle (FULL.py:106-141) as a
+    catalog operation. The Glue job polls the crawler to READY, starts it
+    to infer the table's schema from the files, and re-polls until the
+    table exists; here the inference step is ``CREATE TABLE … USING
+    parquet LOCATION`` (schema + partition discovery from the files —
+    exactly what the crawler produces), with a ``saveAsTable`` fallback
+    from an explicit DataFrame schema when the path has no files yet (the
+    crawler has nothing to infer from; the reference would fail here).
+
+    The poll loop is kept because against a real lakehouse catalog
+    (Glue/HMS) registration is asynchronous — ``tableExists`` may lag the
+    DDL. Returns True if the table was created, False if it already
+    existed. Raises TimeoutError if the catalog never reports the table.
+    """
+    import time
+
+    if spark.catalog.tableExists(table):
+        return False
+    try:
+        spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{path}'")
+    except Exception:
+        if schema_source is None:
+            raise
+        # empty path: register from the writer's schema instead
+        schema_source.limit(0).write.option("path", path).saveAsTable(table)
+    deadline = time.monotonic() + timeout_s
+    while not spark.catalog.tableExists(table):
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"catalog never reported table {table}")
+        time.sleep(poll_interval_s)
+    return True
+
+
+def sync_partitions(spark: SparkSession, table: str, path: str) -> list[str]:
+    """Incremental crawler pass: diff the filesystem's Hive-style partition
+    directories against the catalog and ``ADD PARTITION`` only the missing
+    ones. Returns the newly registered specs (``col=value`` strings).
+
+    This is what the reference's crawler re-run does after each snapshot
+    write (FULL.py:137). ``MSCK REPAIR TABLE`` is the blunt equivalent —
+    but MSCK re-lists the ENTIRE table path, which at 100 TB with years of
+    daily snapshots (10^5-10^6 partitions) is a full-listing storm per
+    run; diff-and-add touches only the delta, like the crawler's
+    incremental mode.
+    """
+    import os
+
+    known = set(show_partitions(spark, table))
+    added = []
+    for entry in sorted(os.listdir(path)):
+        if "=" not in entry or entry.startswith(("_", ".")):
+            continue
+        if entry not in known:
+            col, value = entry.split("=", 1)
+            add_partition(spark, table, {col: value})
+            added.append(entry)
+    return added

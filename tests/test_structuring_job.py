@@ -40,3 +40,60 @@ def test_structuring_job_two_dates_and_rerun(spark, sf_dir):
         )
         assert n == s1.rows_in_partition
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ensure_table_infers_from_files_then_sync_discovers(spark, sf_dir):
+    """Crawler lifecycle in isolation: schema-inference registration of a
+    brand-new table, then an out-of-band partition write discovered by the
+    incremental sync (the reference's crawler re-run, FULL.py:137)."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.snapshot import (
+        ensure_table,
+        sync_partitions,
+    )
+
+    table = "crawler_lifecycle_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "tbl")
+        df = spark.range(5).select(
+            "id", F.lit("a").alias("payload"), F.lit("2024-01-01").alias("dt")
+        )
+        df.write.partitionBy("dt").parquet(path)
+
+        assert ensure_table(spark, table, path) is True  # created
+        assert ensure_table(spark, table, path) is False  # already there
+        # table creation discovers the partition COLUMN but registers no
+        # partition VALUES — the crawler pass does that
+        assert sync_partitions(spark, table, path) == ["dt=2024-01-01"]
+        assert show_partitions(spark, table) == ["dt=2024-01-01"]
+
+        # out-of-band write of a second partition: the catalog can't see
+        # it until a crawler pass registers it
+        df.withColumn("dt", F.lit("2024-01-02")).write.mode("append").partitionBy(
+            "dt"
+        ).parquet(path)
+        assert sync_partitions(spark, table, path) == ["dt=2024-01-02"]
+        assert sync_partitions(spark, table, path) == []  # idempotent
+        assert spark.table(table).where("dt = '2024-01-02'").count() == 5
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ensure_table_empty_path_schema_fallback(spark):
+    """The crawler has nothing to infer from on an empty path; ensure_table
+    falls back to the writer's explicit schema (saveAsTable)."""
+    table = "crawler_empty_path_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "does_not_exist_yet")
+        schema_src = spark.range(1).selectExpr("id", "'x' AS payload")
+        assert ensure_table_mod(spark, table, path, schema_source=schema_src) is True
+        assert spark.table(table).columns == ["id", "payload"]
+        assert spark.table(table).count() == 0
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.snapshot import (
+    ensure_table as ensure_table_mod,
+)
