@@ -662,3 +662,186 @@ def pq_topk(
             F.col("rk").alias("rank"),
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    coarse_mod: int = 50,
+    nprobe: int = 3,
+    num_subspaces: int = 4,
+    pq_mod: int = 25,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVFADC — the combined IVF + PQ index of Jégou et al. (TPAMI 2011
+    §IV): a coarse quantizer routes each vector to an inverted-list cell,
+    and product quantization encodes the RESIDUAL (vector − cell
+    centroid), which is far lower-energy than the raw vector and so
+    quantizes more accurately at the same code budget. This is the shape
+    billion-scale libraries (FAISS IVFx,PQy) actually deploy: at 100 TB
+    the stored index is (cell id + num_subspaces codes) per vector —
+    bytes, not 4·dim floats — queries probe ``nprobe`` cells and score
+    candidates with an ADC lookup-table join against codes only.
+
+    Deterministic, driver-state-free quantizers (same policy as
+    :func:`ivf_topk` / :func:`pq_topk`): coarse centroids are corpus
+    vectors with ``id % coarse_mod == 0``; the residual-space PQ codebook
+    is the residuals of corpus rows with ``id % pq_mod == 0``. Every
+    argmin tie-breaks on the centroid id, so results are bit-stable and
+    the whole pipeline — assignment, residuals, codes, LUT, ADC — replays
+    exactly in the DuckDB oracle.
+
+    Stages (all narrow or broadcast; one corpus scan to encode):
+    1. coarse-assign corpus and queries by min squared-L2 (keep 1 /
+       ``nprobe``), carrying the centroid vector for the residual;
+    2. residual-encode the corpus against the broadcast PQ codebook
+       (``min_by`` per subspace);
+    3. per-query LUT: sub-distances of the query's PER-CELL residual to
+       every codebook entry — (cell, m, code) keyed, Q·nprobe·C·m rows;
+    4. ADC equality join codes ⋈ LUT on (cell, m, code), sum partials,
+       window top-k.
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        probe = queries.select(vec_col).head(1)
+        if not probe:
+            raise ValueError(
+                "ivfpq_topk: queries frame is empty and dim= was not given; "
+                "pass dim=<embedding dimensionality> explicitly"
+            )
+        dim = len(probe[0][0])
+    if dim % num_subspaces:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by {num_subspaces}")
+    sub = dim // num_subspaces
+
+    cents = corpus.where(F.col(id_col) % coarse_mod == 0).select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cell_v")
+    )
+
+    def coarse_assign(df: DataFrame, side_id: str, side_vec: str, keep: int) -> DataFrame:
+        d = F.zip_with(F.col(side_vec), F.col("cell_v"), lambda x, y: x - y)
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            side_id,
+            side_vec,
+            "cell",
+            "cell_v",
+            _dot(d, d).alias("cell_d2"),
+        )
+        w = Window.partitionBy(side_id).orderBy(F.col("cell_d2").asc(), F.col("cell"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .where(F.col("crk") <= keep)
+            .drop("crk", "cell_d2")
+        )
+
+    def residual_slices(vec: str, prefix: str) -> list[Column]:
+        r = F.zip_with(F.col(vec), F.col("cell_v"), lambda x, y: x - y)
+        return [F.slice(r, m * sub + 1, sub).alias(f"{prefix}{m}") for m in range(num_subspaces)]
+
+    def sq_l2(a: Column, b: Column) -> Column:
+        d = F.zip_with(a, b, lambda x, y: x - y)
+        return _dot(d, d)
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c_assigned = coarse_assign(
+        corpus.repartition(par).select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+        ),
+        "cid",
+        "cv",
+        keep=1,
+    ).select("cid", "cell", *residual_slices("cv", "s"))
+
+    # residual-space PQ codebook, shared across cells
+    pqcents = c_assigned.where(F.col("cid") % pq_mod == 0).select(
+        F.col("cid").alias("pq_id"),
+        *[F.col(f"s{m}").alias(f"pq_s{m}") for m in range(num_subspaces)],
+    )
+
+    codes = (
+        c_assigned.crossJoin(F.broadcast(pqcents))
+        .groupBy("cid", "cell")
+        .agg(
+            *[
+                F.min_by(
+                    "pq_id",
+                    F.struct(
+                        sq_l2(F.col(f"s{m}"), F.col(f"pq_s{m}")).alias("d"),
+                        F.col("pq_id").alias("t"),
+                    ),
+                ).alias(f"code{m}")
+                for m in range(num_subspaces)
+            ]
+        )
+        .select(
+            "cid",
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(m).alias("m"), F.col(f"code{m}").alias("code"))
+                        for m in range(num_subspaces)
+                    ]
+                )
+            ).alias("mc"),
+        )
+        .select("cid", "cell", "mc.m", "mc.code")
+    )
+
+    q_assigned = coarse_assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        "query_id",
+        "qv",
+        keep=nprobe,
+    ).select("query_id", "cell", *residual_slices("qv", "q"))
+
+    lut = (
+        q_assigned.crossJoin(F.broadcast(pqcents))
+        .select(
+            "query_id",
+            "cell",
+            F.col("pq_id").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            sq_l2(F.col(f"q{m}"), F.col(f"pq_s{m}")).alias("d"),
+                        )
+                        for m in range(num_subspaces)
+                    ]
+                )
+            ).alias("md"),
+        )
+        .select("query_id", "cell", "code", "md.m", "md.d")
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        .groupBy("query_id", F.col("cid").alias("neighbor_id"))
+        # rank on the ROUNDED distance: vectors sharing a code tuple have
+        # mathematically equal ADC sums, but cross-engine float summation
+        # order leaves them ulps apart — ranking on raw sums would
+        # tie-break nondeterministically vs the oracle
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rk").alias("rank"),
+        )
+    )

@@ -28,6 +28,7 @@ from ..operators.similarity import (
     cosine_neardup,
     cosine_topk,
     ivf_topk,
+    ivfpq_topk,
     lsh_bucketed_topk,
     pq_topk,
 )
@@ -136,8 +137,12 @@ def _minhash_oracle(
     bands: int = 4,
     shingle_len: int = 3,
     verify_threshold: float = 0.5,
+    relation: str = "documents",
 ) -> str:
-    """DuckDB replay of minhash_lsh_candidates with the same coefficients."""
+    """DuckDB replay of minhash_lsh_candidates with the same coefficients.
+    ``relation`` is the (doc_id, text) source — a table or an enclosing
+    CTE name, so composed pipelines can run the replay on a filtered
+    subset (see plans.llm_ops2.pretraining_data_pipeline)."""
     from ..operators.dedup import MINHASH_MOD, minhash_coeffs
 
     m = MINHASH_MOD
@@ -162,7 +167,7 @@ WITH base AS (
   SELECT doc_id,
          CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
               ELSE {_TOKS} END AS ts
-  FROM documents
+  FROM {relation}
 ), sh AS (
   SELECT doc_id,
          CASE WHEN len(ts) >= {shingle_len} THEN list_distinct(
@@ -547,6 +552,112 @@ WHERE rank <= {k}
 EMBEDDING_PQ_ORACLE = _pq_oracle()
 
 
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (coarse cells + residual product quantization, the FAISS
+    IVFx,PQy deployment shape). Deterministic quantizers make the full
+    pipeline — coarse assignment, residuals, codes, LUT, ADC — replayable
+    in the DuckDB oracle; recall vs exact is asserted in
+    tests/test_similarity.py."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, coarse_mod=50, nprobe=3
+    )
+
+
+def _ivfpq_oracle(
+    k: int = 5,
+    coarse_mod: int = 50,
+    nprobe: int = 3,
+    num_subspaces: int = 4,
+    sub: int = 16,
+    pq_mod: int = 25,
+) -> str:
+    """DuckDB replay of ivfpq_topk: same coarse cells, same residuals,
+    same residual-space codebook, same ADC join."""
+    l2 = """(SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE))
+                        * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
+               FROM (SELECT unnest({A}) AS a, unnest({B}) AS b) x)"""
+    cell_d2 = l2.format(A="e.embedding", B="c.cell_v")
+    sub_d2 = l2.format(A="p.rs", B="q.pq_s")
+    lut_d2 = l2.format(A="q.qs", B="p.pq_s")
+    res = (
+        "list_transform(list_zip({V}, cell_v), "
+        "s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+    )
+    sl = f"rv[CAST(ms.m*{sub}+1 AS INT):CAST(ms.m*{sub}+{sub} AS INT)]"
+    return f"""
+WITH ms AS (SELECT unnest(range({num_subspaces})) AS m),
+cents AS (
+    SELECT vec_id AS cell, embedding AS cell_v
+    FROM embeddings WHERE vec_id % {coarse_mod} = 0
+),
+corpus_assign AS (
+    SELECT cid, cell, {res.format(V="cv")} AS rv FROM (
+        SELECT e.vec_id AS cid, e.embedding AS cv, c.cell, c.cell_v,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {cell_d2} ASC, c.cell
+               ) AS crk
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE crk = 1
+),
+csub AS (
+    SELECT cid, cell, ms.m, {sl} AS rs
+    FROM corpus_assign CROSS JOIN ms
+),
+pqc AS (SELECT cid AS pq_id, m, rs AS pq_s FROM csub WHERE cid % {pq_mod} = 0),
+dists AS (
+    SELECT p.cid, p.cell, p.m, q.pq_id, {sub_d2} AS d
+    FROM csub p JOIN pqc q ON p.m = q.m
+),
+codes AS (
+    SELECT cid, cell, m, pq_id AS code
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY cid, m ORDER BY d, pq_id) AS rn
+          FROM dists)
+    WHERE rn = 1
+),
+query_assign AS (
+    SELECT query_id, cell, {res.format(V="qv")} AS rv FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell, c.cell_v,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {cell_d2} ASC, c.cell
+               ) AS crk
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 10
+    ) WHERE crk <= {nprobe}
+),
+qsub AS (
+    SELECT query_id, cell, ms.m, {sl} AS qs
+    FROM query_assign CROSS JOIN ms
+),
+lut AS (
+    SELECT q.query_id, q.cell, q.m, p.pq_id AS code, {lut_d2} AS d
+    FROM qsub q JOIN pqc p ON q.m = p.m
+),
+adc AS (
+    -- rank on the ROUNDED distance (same as the engine): equal-code
+    -- candidates are ulps apart across engines, not truly ordered
+    SELECT l.query_id, co.cid AS neighbor_id, round(sum(l.d), 6) AS adc_dist
+    FROM codes co
+    JOIN lut l ON co.cell = l.cell AND co.m = l.m AND co.code = l.code
+    WHERE l.query_id <> co.cid
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+    ) AS rank
+    FROM adc
+)
+WHERE rank <= {k}
+"""
+
+
+EMBEDDING_IVFPQ_ORACLE = _ivfpq_oracle()
+
+
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through Arrow/mapInPandas. The
     deterministic fake decoder is a pure function of the payload bytes, so
@@ -646,6 +757,7 @@ REGISTRY = [
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
     ("embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_ORACLE),
     ("embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_ORACLE),
+    ("embedding_ivfpq_topk", embedding_ivfpq_topk, EMBEDDING_IVFPQ_ORACLE),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
     ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
 ]

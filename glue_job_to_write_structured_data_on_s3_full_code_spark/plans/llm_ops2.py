@@ -327,12 +327,180 @@ FROM reach GROUP BY node
 """
 
 
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-duplicate pairs (MinHash-LSH
+    candidates, exact-Jaccard verified) that CROSS the deterministic hash
+    split — an eval document with a near-dup in train inflates eval
+    scores without any literal overlap, which is why decontamination
+    suites pair n-gram checks with fuzzy ones. Composes the two existing
+    primitives end-to-end: the md5 bucket split (hash_split_train_eval)
+    and the md5 Carter-Wegman MinHash family, so the whole audit —
+    candidates included — replays in the DuckDB oracle.
+
+    Scale: the pair generation is the sub-quadratic LSH band join; the
+    split is a map-side hash of each endpoint. Nothing here is new
+    shuffle beyond minhash_lsh_candidates itself."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id")
+    bucket = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+    split = docs.select(
+        "doc_id",
+        F.when(bucket < "d3", "train").otherwise("eval").alias("split"),
+    )
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "eval", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc_id"),
+            F.when(F.col("split_a") == "eval", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc_id"),
+            "jaccard",
+        )
+    )
+
+
+def _leakage_oracle() -> str:
+    from .llm_ops import _minhash_oracle
+
+    return f"""
+WITH pairs AS (
+    SELECT * FROM ({_minhash_oracle()})
+), split AS (
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd3'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+)
+SELECT CASE WHEN sa.split = 'eval' THEN p.doc_a ELSE p.doc_b END AS eval_doc_id,
+       CASE WHEN sa.split = 'eval' THEN p.doc_b ELSE p.doc_a END AS train_doc_id,
+       p.jaccard
+FROM pairs p
+JOIN split sa ON p.doc_a = sa.doc_id
+JOIN split sb ON p.doc_b = sb.doc_id
+WHERE sa.split <> sb.split
+"""
+
+
+SPLIT_LEAKAGE_ORACLE = _leakage_oracle()
+
+
+def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data job, end to end in ONE registered plan —
+    the LLM-ops analog of deep_prospect_pipeline: heuristic quality gate
+    (token count + type-token ratio) → language filter → exact dedup
+    (normalized-text fingerprint, first id wins) → deterministic train
+    split → FUZZY dedup (MinHash-LSH candidates, exact-Jaccard verified;
+    a doc with a near-dup of smaller id is dropped) → fixed-budget
+    sequence packing. Every stage is an already-oracled primitive; this
+    query proves they compose, and the oracle replays the entire chain —
+    including the LSH banding — on the curated subset.
+
+    Scale: stages 1-4 are the corpus_curation_pipeline shapes (map-only +
+    one fingerprint shuffle), the fuzzy stage is the sub-quadratic band
+    join on the (already reduced) curated set, packing is one per-source
+    window. No stage widens the data back out."""
+    from ..functions.text import doc_fingerprint, normalized_text, tokens
+    from ..operators.dedup import minhash_lsh_candidates
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(normalized_text("text"))
+    n_toks = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_toks
+    quality = (
+        docs.where(F.col("lang") == "en")
+        .withColumn("n_tokens", n_toks)
+        .withColumn("ttr", F.round(ttr, 6))
+        .where((F.col("n_tokens").between(20, 90)) & (F.col("ttr") >= 0.35))
+        .withColumn("fingerprint", doc_fingerprint("text"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    curated = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.expr("substring(md5(cast(doc_id as string)), 1, 2)") < "d3")
+        .select("doc_id", "source", "text", "n_tokens", "ttr")
+    )
+    pairs = minhash_lsh_candidates(curated, "text", "doc_id")
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    fuzzy = curated.join(losers, "doc_id", "left_anti")
+    wp = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        fuzzy.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("pack_id", F.floor(F.col("cum_before") / F.lit(512)).cast("bigint"))
+        .select("doc_id", "source", "n_tokens", "ttr", "pack_id")
+    )
+
+
+def _pretraining_oracle() -> str:
+    from .llm_ops import _minhash_oracle
+
+    return f"""
+WITH cbase AS (
+  SELECT doc_id, source, lang, text,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')
+         END AS toks,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), cq AS (
+  SELECT doc_id, source, text, len(toks) AS n_tokens,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+         fingerprint
+  FROM cbase
+  WHERE lang = 'en' AND len(toks) BETWEEN 20 AND 90
+        AND round(len(list_distinct(toks)) * 1.0 / len(toks), 6) >= 0.35
+), curated AS (
+  SELECT doc_id, source, text, n_tokens, ttr
+  FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM cq)
+  WHERE rn = 1 AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd3'
+), mh_pairs AS (
+  SELECT * FROM ({_minhash_oracle(relation="curated")})
+), fuzzy AS (
+  SELECT c.* FROM curated c
+  LEFT JOIN (SELECT DISTINCT doc_b FROM mh_pairs) l ON c.doc_id = l.doc_b
+  WHERE l.doc_b IS NULL
+)
+SELECT doc_id, source, n_tokens, ttr,
+       CAST(floor(cum_before / 512) AS BIGINT) AS pack_id
+FROM (
+    SELECT doc_id, source, n_tokens, ttr,
+           coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM fuzzy
+) p
+"""
+
+
+PRETRAINING_ORACLE = _pretraining_oracle()
+
+
 REGISTRY: list[tuple] = [
     ("document_chunking", document_chunking, CHUNKING_ORACLE),
     ("pii_redaction", pii_redaction, PII_REDACTION_ORACLE),
     ("html_strip", html_strip, HTML_STRIP_ORACLE),
     ("hash_split_train_eval", hash_split_train_eval, HASH_SPLIT_ORACLE),
+    ("split_leakage_check", split_leakage_check, SPLIT_LEAKAGE_ORACLE),
     ("weighted_source_mix", weighted_source_mix, WEIGHTED_MIX_ORACLE),
     ("corpus_curation_pipeline", corpus_curation_pipeline, CURATION_ORACLE),
+    ("pretraining_data_pipeline", pretraining_data_pipeline, PRETRAINING_ORACLE),
     ("dedup_components", dedup_components, DEDUP_COMPONENTS_ORACLE),
 ]

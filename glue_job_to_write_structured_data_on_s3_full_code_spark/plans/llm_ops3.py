@@ -344,6 +344,106 @@ ORDER BY pair_count DESC, w1, w2 LIMIT 50
 """
 
 
+def bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: score every document by the average
+    log-probability of its bigrams under an add-one-smoothed bigram model
+    trained on the corpus itself, and flag each source's worst decile
+    (highest perplexity). Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data" (LREC 2020) filters with a
+    KenLM perplexity in exactly this shape; the bigram model keeps it
+    deterministic and oracle-replayable.
+
+    Scale: training IS the corpus bigram count (one groupBy); scoring is
+    a broadcast-model join back onto per-doc counts — no per-doc Python,
+    no second corpus scan for the context totals (window over the model).
+    The decile gate is RANK-based per source (no float-vs-quantile
+    boundary for engines to disagree on, same idiom as
+    quality_percentile_gate), and ranking on the ROUNDED score keeps the
+    cross-engine tie-break stable."""
+    tune(spark)
+    toks = _nonempty_tokens(spark, sf_dir)
+    n = F.size(F.col("ts"))
+    pairs = toks.where(n >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.struct(
+                    F.col("ts")[i].alias("w1"), F.col("ts")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p"),
+    )
+    doc_counts = pairs.groupBy("doc_id", "source", "p.w1", "p.w2").agg(
+        F.count("*").alias("cnt")
+    )
+    model = doc_counts.groupBy("w1", "w2").agg(F.sum("cnt").alias("cw12"))
+    model = model.withColumn(
+        "cw1", F.sum("cw12").over(Window.partitionBy("w1"))
+    )
+    vocab = model.agg(F.countDistinct("w2").alias("v"))
+    logp = F.log((F.col("cw12") + 1) / (F.col("cw1") + F.col("v")))
+    scored = (
+        doc_counts.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * logp) / F.sum("cnt"), 6).alias(
+                "avg_logp"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.col("avg_logp").asc(), "doc_id")
+    w_all = Window.partitionBy("source")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_src", F.count("*").over(w_all))
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "avg_logp",
+            F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+            (F.col("rk") <= F.ceil(F.col("n_src") / 10.0)).alias("flagged"),
+        )
+    )
+
+
+BIGRAM_PPL_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, {_TOKS} AS ts FROM documents WHERE {_NORM} <> ''
+), pairs AS (
+    SELECT doc_id, source,
+           unnest([{{'w1': ts[i + 1], 'w2': ts[i + 2]}}
+                   FOR i IN range(len(ts) - 1)]) AS p
+    FROM toks WHERE len(ts) >= 2
+), doc_counts AS (
+    SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+    FROM pairs GROUP BY 1, 2, 3, 4
+), model AS (
+    SELECT w1, w2, sum(cnt) AS cw12,
+           sum(sum(cnt)) OVER (PARTITION BY w1) AS cw1
+    FROM doc_counts GROUP BY 1, 2
+), scored AS (
+    SELECT d.doc_id, d.source,
+           CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+           round(sum(d.cnt * ln((m.cw12 + 1) / (m.cw1 + v.v)))
+                 / sum(d.cnt), 6) AS avg_logp
+    FROM doc_counts d
+    JOIN model m USING (w1, w2)
+    CROSS JOIN (SELECT count(DISTINCT w2) AS v FROM model) v
+    GROUP BY 1, 2
+)
+SELECT doc_id, source, n_bigrams, avg_logp,
+       round(exp(-avg_logp), 4) AS ppl,
+       row_number() OVER (PARTITION BY source ORDER BY avg_logp ASC, doc_id)
+           <= ceil(count(*) OVER (PARTITION BY source) / 10.0) AS flagged
+FROM scored
+"""
+
+
 REGISTRY = [
     ("vocab_top_terms", vocab_top_terms, VOCAB_ORACLE),
     ("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE),
@@ -351,4 +451,5 @@ REGISTRY = [
     ("repetition_ratio_filter", repetition_ratio_filter, REPETITION_ORACLE),
     ("quality_percentile_gate", quality_percentile_gate, QUALITY_GATE_ORACLE),
     ("bigram_lm_probs", bigram_lm_probs, BIGRAM_LM_ORACLE),
+    ("bigram_perplexity_filter", bigram_perplexity_filter, BIGRAM_PPL_ORACLE),
 ]

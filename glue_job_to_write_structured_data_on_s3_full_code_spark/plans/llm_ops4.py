@@ -200,9 +200,63 @@ HAVING count(*) > 0.3 * (SELECT n_docs FROM n)
 """
 
 
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights for a training mix:
+    w_s ∝ (tokens_s)^τ with τ = 0.7 — the standard recipe (mBERT/XLM-R
+    multilingual sampling; the Pile's per-set epochs) for up-weighting
+    small sources without drowning large ones. Outputs per source its
+    token mass, raw share, temperature share, and the effective epoch
+    count (temperature share ÷ raw share) a sampler would apply.
+
+    Scale: one map-side token count + one tiny (n_sources-row) aggregate;
+    the normalizing sum is a window over that tiny frame — nothing here
+    grows with corpus size except the first aggregation, which is the
+    same shuffle the corpus-stats queries already pay."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
+    return (
+        per_source.withColumn("total_tokens", F.sum("n_tokens").over(wall))
+        .withColumn("raw_share", F.col("n_tokens") / F.col("total_tokens"))
+        .withColumn("t_share", powed / F.sum(powed).over(wall))
+        .select(
+            "source",
+            "n_tokens",
+            F.round("raw_share", 6).alias("raw_share"),
+            F.round("t_share", 6).alias("temperature_share"),
+            F.round(F.col("t_share") / F.col("raw_share"), 4).alias(
+                "effective_epochs"
+            ),
+        )
+    )
+
+
+TEMPERATURE_MIX_ORACLE = """
+WITH per_source AS (
+    SELECT source,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+)
+SELECT source, n_tokens,
+       round(n_tokens / sum(n_tokens) OVER (), 6) AS raw_share,
+       round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6)
+           AS temperature_share,
+       round((pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER ())
+             / (n_tokens / sum(n_tokens) OVER ()), 4) AS effective_epochs
+FROM per_source
+"""
+
+
 REGISTRY: list[tuple] = [
     ("sequence_packing", sequence_packing, SEQUENCE_PACKING_ORACLE),
     ("stratified_sample", stratified_sample, STRATIFIED_SAMPLE_ORACLE),
     ("sentence_dedup", sentence_dedup, SENTENCE_DEDUP_ORACLE),
     ("stopword_discovery", stopword_discovery, STOPWORD_ORACLE),
+    ("temperature_mix_weights", temperature_mix_weights, TEMPERATURE_MIX_ORACLE),
 ]

@@ -158,7 +158,68 @@ GROUP BY 1, 2
 """
 
 
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery healed by streaming state: batch 0 is the
+    full events table, batch 1 REPLAYS a seventh of it (duplicate
+    event_ids, original timestamps — a source retry). The
+    ``dropDuplicatesWithinWatermark`` state carries first-seen keys across
+    the micro-batch boundary, so every replayed row is dropped and the
+    result hash-matches the batch DISTINCT oracle. The watermark horizon
+    is the state-size knob: state holds keys seen inside the horizon only
+    (here wider than the fixture's span so the whole replay is in range;
+    in production it is the source's max redelivery delay)."""
+    from ..streaming.incremental import stream_dedup
+
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    batches = [ev, ev.where(F.col("event_id") % 7 == 0)]
+    for i, b in enumerate(batches):
+        tmp = os.path.join(in_dir, f"t{i}")
+        b.coalesce(1).write.parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"part-{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, f), dst)
+        shutil.rmtree(tmp)
+        now = os.stat(dst).st_mtime
+        os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
+
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        (
+            stream_dedup(stream, ["event_id"], horizon="3650 days")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = spark.read.parquet(out_dir).select("event_id", "user_id", "ts")
+        return materialize_result(result, "streaming_exact_dedup")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# every event_id is unique in the fixture, so first-occurrence-wins dedup
+# of (events ∪ replayed subset) is exactly the events table
+STREAMING_DEDUP_ORACLE = """
+SELECT event_id, user_id, ts FROM events
+"""
+
+
 REGISTRY = [
     ("streaming_sessionization", streaming_sessionization, EVENTS_SESSION_ORACLE),
     ("streaming_hourly_rollup", streaming_hourly_rollup, STREAMING_HOURLY_ORACLE),
+    ("streaming_exact_dedup", streaming_exact_dedup, STREAMING_DEDUP_ORACLE),
 ]

@@ -114,3 +114,37 @@ def test_pq_rejects_indivisible_dim_and_empty_queries(spark, sf_dir):
         pq_topk(emb, emb.limit(1), num_subspaces=7, dim=64)
     with _pytest.raises(ValueError, match="empty"):
         pq_topk(emb, emb.where(F.lit(False)))
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """IVFADC (coarse cells + residual PQ) is approximate twice over —
+    probe misses and code quantization — but on the well-spread fixture
+    its top-50 must still overlap the exact cosine top-50, and the
+    deterministic quantizers must make repeat runs identical."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=50).collect()
+    approx = ivfpq_topk(emb, queries, k=50, coarse_mod=50, nprobe=3).collect()
+
+    exact_keys = {(r.query_id, r.neighbor_id) for r in exact}
+    hits = sum((r.query_id, r.neighbor_id) in exact_keys for r in approx)
+    assert hits > 0, "IVFADC top-50 shares nothing with the exact top-50"
+
+    again = ivfpq_topk(emb, queries, k=50, coarse_mod=50, nprobe=3).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_ivfpq_rejects_indivisible_dim(spark, sf_dir):
+    import pytest as _pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="not divisible"):
+        ivfpq_topk(emb, emb.limit(1), num_subspaces=7, dim=64)
