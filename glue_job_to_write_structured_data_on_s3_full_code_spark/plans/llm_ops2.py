@@ -433,7 +433,11 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_lsh_candidates(curated, "text", "doc_id")
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    fuzzy = curated.join(losers, "doc_id", "left_anti")
+    # the loser set is proportional to the near-dup count, orders of
+    # magnitude below the corpus — broadcast the anti join so the curated
+    # side is never shuffled (falls back to shuffle only if it outgrows
+    # the broadcast threshold)
+    fuzzy = curated.join(F.broadcast(losers), "doc_id", "left_anti")
     wp = Window.partitionBy("source").orderBy("doc_id")
     return (
         fuzzy.withColumn(

@@ -1,4 +1,5 @@
 from .files import read_csv, read_json, read_orc, write_csv, write_json, write_orc
+from .raw import read_raw_objects, read_raw_text
 from .parquet import (
     TABLES,
     checkpoint_stage,
@@ -28,6 +29,8 @@ __all__ = [
     "load_tables",
     "register_views",
     "read_table",
+    "read_raw_objects",
+    "read_raw_text",
     "checkpoint_stage",
     "materialize_result",
     "write_snapshot",

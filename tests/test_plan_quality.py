@@ -308,3 +308,36 @@ def test_jaccard_posting_build_is_map_side(spark, sf_dir):
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
     exchanges = plan.count("Exchange hashpartitioning")
     assert exchanges <= 3, f"expected <=3 exchanges, plan has {exchanges}"
+
+
+def test_deep_pipeline_broadcasts_and_breaks_lineage(spark, sf_dir, queries):
+    """deep_prospect_pipeline: every enrichment join broadcast (no
+    sort-merge anywhere in an ~18-stage plan), and the checkpoint_stage
+    lineage break is real — the physical plan scans the staged parquet
+    instead of re-deriving the 8-stage prefix per waterfall branch."""
+    df = queries["deep_prospect_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "deep_pipeline_stage" in plan  # staged scan, not recompute
+    # the pre-checkpoint dims must NOT appear: their joins happened
+    # before the lineage break and only the staged columns survive
+    assert "r_regionkey" not in plan
+
+
+def test_ivfpq_no_sort_merge_join(spark, sf_dir, queries):
+    """IVFADC: assignment and LUT are broadcast nested-loop / broadcast
+    hash only; the ADC join must not fall back to sort-merge."""
+    df = queries["embedding_ivfpq_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pretraining_pipeline_no_cartesian(spark, sf_dir, queries):
+    """pretraining_data_pipeline composes curation + LSH + packing; the
+    candidate join must stay an equality join on band keys — a Cartesian
+    product here means the LSH banding silently degenerated."""
+    df = queries["pretraining_data_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -420,3 +420,33 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_read_raw_objects_parallel_listing(spark, tmp_path):
+    """S6 Spark-native: binaryFile source reads each object as one row
+    with glob pushdown — the distributed twin of the reference's
+    driver-side boto3 list+get loop (FULL.py:102-104)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        read_raw_objects,
+        read_raw_text,
+    )
+
+    d = tmp_path / "objects"
+    d.mkdir()
+    (d / "a.json").write_text('{"k": 1}')
+    (d / "b.json").write_text('{"k": 22}')
+    (d / "c.txt").write_text("not json")
+
+    allobjs = read_raw_objects(spark, str(d))
+    assert allobjs.count() == 3
+    assert set(allobjs.columns) == {"path", "modificationTime", "length", "content"}
+
+    js = read_raw_objects(spark, str(d), glob="*.json")
+    assert js.count() == 2
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in js.collect()}
+    assert got == {"a.json": b'{"k": 1}', "b.json": b'{"k": 22}'}
+
+    texts = read_raw_text(spark, str(d), glob="*.txt")
+    rows = texts.collect()
+    assert len(rows) == 1 and rows[0].text == "not json"
+    assert rows[0].length == len("not json")
