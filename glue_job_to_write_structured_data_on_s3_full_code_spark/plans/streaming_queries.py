@@ -218,8 +218,93 @@ SELECT event_id, user_id, ts FROM events
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join, both sides streaming: clicks joined to
+    same-user purchases within 1 hour. The click side replays in TWO
+    micro-batches split on the median timestamp, so late-half clicks must
+    match purchases the join buffered in earlier batches — the state
+    continuity that makes stream-stream joins hard. Watermarks on both
+    sides are what bound that buffer in production (each side holds only
+    rows younger than watermark + interval); here the horizon exceeds the
+    fixture's span so the result is complete and hash-matches the batch
+    join oracle."""
+    from ..streaming.incremental import stream_stream_interval_join
+
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_l"), F.col("event_id").alias("click_id")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_r"), F.col("event_id").alias("buy_id")
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_ij_")
+    cdir = os.path.join(work, "clicks")
+    bdir = os.path.join(work, "buys")
+    os.makedirs(cdir)
+    with_epoch = clicks.withColumn("_epoch", F.unix_timestamp("ts_l"))
+    cut = with_epoch.approxQuantile("_epoch", [0.5], 0.0)[0]
+    batches = [
+        with_epoch.where(F.col("_epoch") <= cut).drop("_epoch"),
+        with_epoch.where(F.col("_epoch") > cut).drop("_epoch"),
+    ]
+    for i, b in enumerate(batches):
+        tmp = os.path.join(cdir, f"t{i}")
+        b.coalesce(1).write.parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = os.path.join(cdir, f"part-{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, f), dst)
+        shutil.rmtree(tmp)
+        now = os.stat(dst).st_mtime
+        os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
+    buys.coalesce(1).write.parquet(bdir)
+
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        cs = (
+            spark.readStream.schema("user_id bigint, ts_l timestamp, click_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(cdir)
+        )
+        bs = spark.readStream.schema(
+            "user_id bigint, ts_r timestamp, buy_id bigint"
+        ).parquet(bdir)
+        joined = stream_stream_interval_join(
+            cs, bs, "user_id", within="1 hour", watermark="3650 days"
+        )
+        (
+            joined.select("click_id", "buy_id", "user_id", "ts_l", "ts_r")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = spark.read.parquet(out_dir).select(
+            "click_id", "buy_id", "user_id", "ts_l", "ts_r"
+        )
+        return materialize_result(result, "streaming_interval_join")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_INTERVAL_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id,
+       c.ts AS ts_l, b.ts AS ts_r
+FROM events c
+JOIN events b ON c.user_id = b.user_id
+             AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 REGISTRY = [
     ("streaming_sessionization", streaming_sessionization, EVENTS_SESSION_ORACLE),
     ("streaming_hourly_rollup", streaming_hourly_rollup, STREAMING_HOURLY_ORACLE),
     ("streaming_exact_dedup", streaming_exact_dedup, STREAMING_DEDUP_ORACLE),
+    ("streaming_interval_join", streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),
 ]
