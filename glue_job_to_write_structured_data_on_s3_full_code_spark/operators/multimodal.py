@@ -153,3 +153,53 @@ def sample_frames(
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = "doc_id long, frame_idx int, n_samples int, rms double"
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame_samples: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio-style frame energy: the payload is interpreted as unsigned
+    8-bit PCM, framed into ``frame_samples``-sample windows, and each
+    frame reports its RMS energy around the 128 midpoint — the
+    silence-detection / VAD-precursor shape. A real implementation decodes
+    via :func:`decode_media` first; the framing, fan-out, and vectorized
+    per-frame reduction are exactly what the real thing rides.
+
+    Exactness note: samples are integers, so the squared-sum fits a
+    double EXACTLY (no accumulation-order noise) and frame RMS is
+    bit-identical across engines — which is why this Pandas-UDF operator
+    can still be hash-verified against the DuckDB oracle. Payloads
+    shorter than one frame yield a single partial frame; empty payloads
+    yield one silent frame (rms 0, 0 samples).
+    """
+    import numpy as np
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, rms = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                if len(a) == 0:
+                    ids.append(doc_id); idxs.append(0); ns.append(0); rms.append(0.0)
+                    continue
+                n_frames = max(1, len(a) // frame_samples)
+                for j in range(n_frames):
+                    seg = a[j * frame_samples : (j + 1) * frame_samples]
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    ns.append(len(seg))
+                    rms.append(float(np.sqrt((seg * seg).sum() / len(seg))))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_samples": ns, "rms": rms}
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_energy, schema=AUDIO_ENERGY_SCHEMA)

@@ -185,6 +185,33 @@ GROUP BY user_id, session_num
 """
 
 
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join, driver-verified by construction: the
+    salt spreads each (possibly hot) key over ``salt_buckets`` reducers
+    but the RESULT is row-identical to the plain join, so the oracle is
+    simply the unsalted SQL join. The plan pays one dim explosion (8×
+    a broadcast-sized table) to remove the worst-reducer straggler at
+    100 TB — AQE's skew splitting only rescues sort-merge plans; salting
+    also covers hash joins and aggregations."""
+    from ..operators.salted import salted_join
+
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return salted_join(orders, cust, "c_custkey", "left", salt_buckets=8)
+
+
+SKEW_SALTED_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_totalprice,
+       c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 REGISTRY = [
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
     (
@@ -193,6 +220,7 @@ REGISTRY = [
         MERGE_UPDATE_COLUMNS_ORACLE,
     ),
     ("bloom_prefiltered_revenue", bloom_prefiltered_revenue, BLOOM_REVENUE_ORACLE),
+    ("skew_salted_join", skew_salted_join, SKEW_SALTED_ORACLE),
     (
         "events_session_window_native",
         events_session_window_native,

@@ -743,6 +743,51 @@ FROM (
 """
 
 
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: per-frame RMS energy over binary payloads
+    (unsigned 8-bit PCM interpretation, 64-sample frames). Integer sample
+    math keeps the squared sums exact in doubles, so even this
+    Pandas-UDF fan-out is hash-verified; rounding happens JVM-side."""
+    from ..operators.multimodal import audio_frame_energy
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = audio_frame_energy(payloads, frame_samples=64)
+    return frames.select(
+        "doc_id", "frame_idx", "n_samples", F.round("rms", 6).alias("rms")
+    )
+
+
+# fixture text is pure ASCII (same guarantee FRAME_SAMPLE_ORACLE relies
+# on), so ord(substr(...)) reads exactly the byte the engine frames
+AUDIO_ENERGY_ORACLE = """
+WITH s AS (
+    SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n,
+           greatest(1, octet_length(CAST(text AS BLOB)) // 64) AS n_frames
+    FROM documents
+), f AS (
+    SELECT doc_id, text, n,
+           unnest(range(0, CAST(n_frames AS BIGINT), 1)) AS i
+    FROM s
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(CASE WHEN n = 0 THEN 0
+                 WHEN n < 64 THEN n
+                 ELSE 64 END AS INT) AS n_samples,
+       round(CASE WHEN n = 0 THEN 0.0
+             ELSE sqrt(list_sum(
+                      [pow(ord(substr(text, CAST(i * 64 + k + 1 AS BIGINT), 1)) - 128.0, 2)
+                       FOR k IN range(CASE WHEN n < 64 THEN n ELSE 64 END)])
+                  / CASE WHEN n < 64 THEN n ELSE 64 END)
+             END, 6) AS rms
+FROM f
+"""
+
+
 REGISTRY = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("dedup_jaccard_pairs", dedup_jaccard_pairs, DEDUP_JACCARD_ORACLE),
@@ -760,4 +805,5 @@ REGISTRY = [
     ("embedding_ivfpq_topk", embedding_ivfpq_topk, EMBEDDING_IVFPQ_ORACLE),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
     ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
+    ("multimodal_audio_energy", multimodal_audio_energy, AUDIO_ENERGY_ORACLE),
 ]
