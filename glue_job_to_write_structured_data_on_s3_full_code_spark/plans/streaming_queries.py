@@ -302,9 +302,100 @@ WHERE c.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 dimension maintenance: the update snapshot
+    arrives as a STREAM (split by key into two micro-batches) and each
+    ``foreachBatch`` merges its slice into a versioned parquet history —
+    the continuously-maintained warehouse-dimension pattern. Because the
+    batch key-slices are disjoint, the sequentially merged final state is
+    row-identical to merging the whole snapshot at once, so this streaming
+    job hash-matches the BATCH scd2 oracle (shared with
+    scd2_customer_merge).
+
+    Versioned targets (v0 → v1 → v2) rather than in-place overwrite: a
+    parquet dir cannot be atomically rewritten while it is the merge
+    input, and at scale the version chain is exactly what a table format
+    (Delta/Iceberg) manages for you — foreachBatch + MERGE is the classic
+    deployment of this operator."""
+    from ..operators.scd import scd2_merge
+    from .etl_ops import _LOAD, _customer_updates
+
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = _customer_updates(cust)
+
+    work = tempfile.mkdtemp(prefix="stream_scd2_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    batches = [
+        updates.where(F.col("c_custkey") % 2 == 0),
+        updates.where(F.col("c_custkey") % 2 == 1),
+    ]
+    for i, b in enumerate(batches):
+        tmp = os.path.join(in_dir, f"t{i}")
+        b.coalesce(1).write.parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"part-{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, f), dst)
+        shutil.rmtree(tmp)
+        now = os.stat(dst).st_mtime
+        os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
+
+    state = {"version": 0}
+    current.write.parquet(os.path.join(work, "target_v0"))
+
+    def _merge_batch(batch_df, batch_id):
+        cur = spark.read.parquet(os.path.join(work, f"target_v{state['version']}"))
+        merged = scd2_merge(
+            cur,
+            batch_df,
+            key="c_custkey",
+            compare_cols=["c_name", "c_acctbal"],
+            load_date=_LOAD,
+        )
+        state["version"] += 1
+        merged.write.parquet(os.path.join(work, f"target_v{state['version']}"))
+
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        (
+            spark.readStream.schema("c_custkey bigint, c_name string, c_acctbal double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        final = spark.read.parquet(
+            os.path.join(work, f"target_v{state['version']}")
+        )
+        result = final.withColumn(
+            "valid_from", F.col("valid_from").cast("timestamp")
+        ).withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+        return materialize_result(result, "streaming_scd2_merge")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _scd2_oracle() -> str:
+    from .etl_ops import SCD2_ORACLE
+
+    return SCD2_ORACLE
+
+
 REGISTRY = [
     ("streaming_sessionization", streaming_sessionization, EVENTS_SESSION_ORACLE),
     ("streaming_hourly_rollup", streaming_hourly_rollup, STREAMING_HOURLY_ORACLE),
     ("streaming_exact_dedup", streaming_exact_dedup, STREAMING_DEDUP_ORACLE),
     ("streaming_interval_join", streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),
+    ("streaming_scd2_merge", streaming_scd2_merge, _scd2_oracle()),
 ]
