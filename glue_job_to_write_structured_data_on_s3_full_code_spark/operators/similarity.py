@@ -326,18 +326,25 @@ def ivf_topk(
     k: int = 5,
     centroid_mod: int = 50,
     nprobe: int = 3,
+    max_centroids: int = 256,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
     The centroid set is deterministic — corpus vectors whose id is
-    divisible by ``centroid_mod`` — so results are reproducible without
-    driver-side k-means state. Corpus vectors are assigned to their
+    divisible by ``centroid_mod``, CAPPED at ``max_centroids`` — so
+    results are reproducible without driver-side k-means state, and the
+    one-pass assignment stays O(N·max_centroids): a mod rule alone would
+    grow the centroid count (and the assignment cost) linearly with the
+    corpus. Corpus vectors are assigned to their
     max-cosine centroid (one broadcast pass); each query probes its
     ``nprobe`` best cells and scores exact cosine only inside them.
     """
     from pyspark.sql import Window
 
-    cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
+    cents = corpus.where(
+        (F.col(id_col) % centroid_mod == 0)
+        & (F.col(id_col) < centroid_mod * max_centroids)
+    ).select(
         F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_v")
     )
 
@@ -520,6 +527,7 @@ def pq_topk(
     num_subspaces: int = 4,
     centroid_mod: int = 25,
     dim: int | None = None,
+    max_codebook: int = 256,
 ) -> DataFrame:
     """Approximate top-k by product quantization with asymmetric distance.
 
@@ -570,7 +578,12 @@ def pq_topk(
         d = F.zip_with(a, b, lambda x, y: x - y)
         return _dot(d, d)
 
-    cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
+    # bounded codebook: the mod rule alone would grow the centroid count
+    # with the corpus; the cap keeps encode cost O(N·max_codebook)
+    cents = corpus.where(
+        (F.col(id_col) % centroid_mod == 0)
+        & (F.col(id_col) < centroid_mod * max_codebook)
+    ).select(
         F.col(id_col).alias("cent_id"),
         *[
             subvec(_as_double(F.col(vec_col)), m).alias(f"cent_s{m}")
@@ -675,6 +688,7 @@ def ivfpq_topk(
     num_subspaces: int = 4,
     pq_mod: int = 25,
     dim: int | None = None,
+    max_centroids: int = 256,
 ) -> DataFrame:
     """IVFADC — the combined IVF + PQ index of Jégou et al. (TPAMI 2011
     §IV): a coarse quantizer routes each vector to an inverted-list cell,
@@ -718,7 +732,12 @@ def ivfpq_topk(
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by {num_subspaces}")
     sub = dim // num_subspaces
 
-    cents = corpus.where(F.col(id_col) % coarse_mod == 0).select(
+    # both quantizer sets are CAPPED: a mod rule alone grows the centroid
+    # count with the corpus, turning one-pass assignment into O(N^2/mod)
+    cents = corpus.where(
+        (F.col(id_col) % coarse_mod == 0)
+        & (F.col(id_col) < coarse_mod * max_centroids)
+    ).select(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cell_v")
     )
 
@@ -757,7 +776,9 @@ def ivfpq_topk(
     ).select("cid", "cell", *residual_slices("cv", "s"))
 
     # residual-space PQ codebook, shared across cells
-    pqcents = c_assigned.where(F.col("cid") % pq_mod == 0).select(
+    pqcents = c_assigned.where(
+        (F.col("cid") % pq_mod == 0) & (F.col("cid") < pq_mod * max_centroids)
+    ).select(
         F.col("cid").alias("pq_id"),
         *[F.col(f"s{m}").alias(f"pq_s{m}") for m in range(num_subspaces)],
     )

@@ -420,7 +420,9 @@ _COS = """(SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
                         FROM (SELECT unnest({B}) AS b) x)))"""
 
 
-def _ivf_oracle(k: int = 5, centroid_mod: int = 50, nprobe: int = 3) -> str:
+def _ivf_oracle(
+    k: int = 5, centroid_mod: int = 50, nprobe: int = 3, max_centroids: int = 256
+) -> str:
     """DuckDB replay of ivf_topk: same centroids, same argmax-cosine cell
     assignment (row_number with the same (cosine DESC, cent_id) tie-break),
     same nprobe probe set, same exact in-cell scoring."""
@@ -429,7 +431,9 @@ def _ivf_oracle(k: int = 5, centroid_mod: int = 50, nprobe: int = 3) -> str:
     return f"""
 WITH cents AS (
     SELECT vec_id AS cent_id, embedding AS cent_v
-    FROM embeddings WHERE vec_id % {centroid_mod} = 0
+    FROM embeddings
+    WHERE vec_id % {centroid_mod} = 0
+      AND vec_id < {centroid_mod * max_centroids}
 ),
 corpus_assign AS (
     SELECT vec_id, cv, cent_id FROM (
@@ -490,7 +494,11 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle(
-    k: int = 5, num_subspaces: int = 4, sub: int = 16, centroid_mod: int = 25
+    k: int = 5,
+    num_subspaces: int = 4,
+    sub: int = 16,
+    centroid_mod: int = 25,
+    max_codebook: int = 256,
 ) -> str:
     return f"""
 WITH ms AS (SELECT unnest(range({num_subspaces})) AS m),
@@ -499,6 +507,7 @@ csub AS (
            embedding[CAST(ms.m*{sub}+1 AS INT):CAST(ms.m*{sub}+{sub} AS INT)] AS cs
     FROM embeddings CROSS JOIN ms
     WHERE vec_id % {centroid_mod} = 0
+      AND vec_id < {centroid_mod * max_codebook}
 ),
 corpsub AS (
     SELECT vec_id AS cid, ms.m,
@@ -572,6 +581,7 @@ def _ivfpq_oracle(
     num_subspaces: int = 4,
     sub: int = 16,
     pq_mod: int = 25,
+    max_centroids: int = 256,
 ) -> str:
     """DuckDB replay of ivfpq_topk: same coarse cells, same residuals,
     same residual-space codebook, same ADC join."""
@@ -590,7 +600,8 @@ def _ivfpq_oracle(
 WITH ms AS (SELECT unnest(range({num_subspaces})) AS m),
 cents AS (
     SELECT vec_id AS cell, embedding AS cell_v
-    FROM embeddings WHERE vec_id % {coarse_mod} = 0
+    FROM embeddings
+    WHERE vec_id % {coarse_mod} = 0 AND vec_id < {coarse_mod * max_centroids}
 ),
 corpus_assign AS (
     SELECT cid, cell, {res.format(V="cv")} AS rv FROM (
@@ -605,7 +616,8 @@ csub AS (
     SELECT cid, cell, ms.m, {sl} AS rs
     FROM corpus_assign CROSS JOIN ms
 ),
-pqc AS (SELECT cid AS pq_id, m, rs AS pq_s FROM csub WHERE cid % {pq_mod} = 0),
+pqc AS (SELECT cid AS pq_id, m, rs AS pq_s FROM csub
+        WHERE cid % {pq_mod} = 0 AND cid < {pq_mod * max_centroids}),
 dists AS (
     SELECT p.cid, p.cell, p.m, q.pq_id, {sub_d2} AS d
     FROM csub p JOIN pqc q ON p.m = q.m
