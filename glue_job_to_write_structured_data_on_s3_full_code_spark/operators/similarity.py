@@ -659,7 +659,12 @@ def pq_topk(
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .groupBy("query_id", F.col("cid").alias("neighbor_id"))
-        .agg(F.sum("d").alias("adc_dist"))
+        # rank on the ROUNDED distance: corpus vectors sharing a code
+        # tuple have mathematically equal ADC sums, but float summation
+        # order (across engines AND across partition orders run-to-run)
+        # leaves them ulps apart — ranking raw sums tie-breaks
+        # nondeterministically
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -671,7 +676,7 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("adc_dist", 6).alias("adc_dist"),
+            "adc_dist",
             F.col("rk").alias("rank"),
         )
     )

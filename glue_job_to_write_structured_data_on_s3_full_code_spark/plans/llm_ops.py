@@ -542,12 +542,14 @@ lut AS (
     FROM qsub q JOIN csub c ON q.m = c.m
 ),
 adc AS (
-    SELECT l.query_id, co.cid AS neighbor_id, sum(l.d) AS adc_dist
+    -- rank on the ROUNDED distance (same as the engine): equal-code
+    -- candidates are ulps apart across engines, not truly ordered
+    SELECT l.query_id, co.cid AS neighbor_id, round(sum(l.d), 6) AS adc_dist
     FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
     WHERE l.query_id <> co.cid
     GROUP BY 1, 2
 )
-SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist, rank
+SELECT query_id, neighbor_id, adc_dist, rank
 FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id

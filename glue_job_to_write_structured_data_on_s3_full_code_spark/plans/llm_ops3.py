@@ -444,6 +444,113 @@ FROM scored
 """
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with a fully ORACLED sketch: the
+    hash rows are md5-derived (row i buckets token t at
+    md5(i ':' t) mod width), so unlike the HLL/percentile suite the whole
+    sketch — counters, point queries, the min-over-rows estimate — is
+    bit-reproducible in DuckDB. Reports the top-50 true-count tokens with
+    their CMS estimate; CMS guarantees est ≥ true (collisions only ever
+    inflate), asserted as the ``overestimated`` flag.
+
+    Scale: the sketch is depth×width integers REGARDLESS of corpus size —
+    the counter build is one groupBy over (row, bucket) with map-side
+    combine, and a 100 TB corpus compresses into the same 4×1024 cells.
+    Point lookups join candidates against the (tiny, broadcast) counter
+    table. This is the memory story exact vocab counting can't offer."""
+    tune(spark)
+    toks = _nonempty_tokens(spark, sf_dir)
+    tok = toks.select(F.explode("ts").alias("tok"))
+
+    def bucket(i: int, col) -> "F.Column":
+        h = F.md5(F.concat(F.lit(f"{i}:"), col))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _CMS_WIDTH
+
+    counters = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"), bucket(i, F.col("tok")).alias("b")
+                        )
+                        for i in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy("rb.row", "rb.b")
+        .agg(F.count("*").alias("c"))
+    )
+
+    true_counts = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "tok")
+        .limit(50)
+    )
+    probes = true_counts.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), bucket(i, F.col("tok")).alias("b"))
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "true_count", "rb.row", "rb.b")
+
+    return (
+        probes.join(F.broadcast(counters), ["row", "b"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "tok",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") > F.col("true_count")).alias("overestimated"),
+        )
+    )
+
+
+def _cms_oracle(depth: int = 4, width: int = 1024) -> str:
+    bucket = (
+        "CAST(concat('0x', substr(md5(concat(CAST(r.row AS VARCHAR), ':', tok)), 1, 15))"
+        f" AS BIGINT) % {width}"
+    )
+    return f"""
+WITH rows_ AS (SELECT unnest(range({depth})) AS row),
+tok AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents WHERE {_NORM} <> ''
+), counters AS (
+    SELECT r.row, {bucket} AS b, count(*) AS c
+    FROM tok CROSS JOIN rows_ r
+    GROUP BY 1, 2
+), true_counts AS (
+    SELECT tok, count(*) AS true_count
+    FROM tok GROUP BY 1
+    ORDER BY true_count DESC, tok LIMIT 50
+), probes AS (
+    SELECT t.tok, t.true_count, r.row, {bucket} AS b
+    FROM true_counts t CROSS JOIN rows_ r
+)
+SELECT p.tok, p.true_count,
+       CAST(min(c.c) AS BIGINT) AS cms_estimate,
+       CAST(min(c.c) AS BIGINT) > p.true_count AS overestimated
+FROM probes p JOIN counters c ON p.row = c.row AND p.b = c.b
+GROUP BY 1, 2
+"""
+
+
+CMS_HEAVY_HITTERS_ORACLE = _cms_oracle()
+
+
 REGISTRY = [
     ("vocab_top_terms", vocab_top_terms, VOCAB_ORACLE),
     ("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE),
@@ -452,4 +559,5 @@ REGISTRY = [
     ("quality_percentile_gate", quality_percentile_gate, QUALITY_GATE_ORACLE),
     ("bigram_lm_probs", bigram_lm_probs, BIGRAM_LM_ORACLE),
     ("bigram_perplexity_filter", bigram_perplexity_filter, BIGRAM_PPL_ORACLE),
+    ("cms_heavy_hitters", cms_heavy_hitters, CMS_HEAVY_HITTERS_ORACLE),
 ]

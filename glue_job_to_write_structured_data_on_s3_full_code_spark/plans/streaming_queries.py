@@ -392,10 +392,93 @@ def _scd2_oracle() -> str:
     return SCD2_ORACLE
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the events stream joins a
+    customer dimension keyed by ``user_id % 1500`` (the fixture's synth
+    key bridge), replayed in two micro-batches. The static side is
+    re-planned per micro-batch and broadcast, the stream side is map-only
+    and carries NO join state (unlike stream-stream joins) — the
+    streaming twin of the reference's lookup enrichment (FULL.py:411-475)
+    and the shape that keeps a 100 TB/day event feed off the shuffle.
+    Hash-matches the batch join oracle."""
+    from ..streaming.incremental import stream_static_enrich
+
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 1500)
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    batches = [
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+    ]
+    for i, b in enumerate(batches):
+        tmp = os.path.join(in_dir, f"t{i}")
+        b.coalesce(1).write.parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"part-{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, f), dst)
+        shutil.rmtree(tmp)
+        now = os.stat(dst).st_mtime
+        os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
+
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .withColumn("cust_id", F.col("user_id") % 1500)
+        )
+        enriched = stream_static_enrich(stream, dim, "cust_id", how="left")
+        (
+            enriched.select(
+                "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = spark.read.parquet(out_dir).select(
+            "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+        )
+        return materialize_result(result, "streaming_static_enrich")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_mktsegment
+FROM events e
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey <= 1500) c
+       ON e.user_id % 1500 = c.c_custkey
+"""
+
+
 REGISTRY = [
     ("streaming_sessionization", streaming_sessionization, EVENTS_SESSION_ORACLE),
     ("streaming_hourly_rollup", streaming_hourly_rollup, STREAMING_HOURLY_ORACLE),
     ("streaming_exact_dedup", streaming_exact_dedup, STREAMING_DEDUP_ORACLE),
     ("streaming_interval_join", streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),
     ("streaming_scd2_merge", streaming_scd2_merge, _scd2_oracle()),
+    ("streaming_static_enrich", streaming_static_enrich, STREAMING_ENRICH_ORACLE),
 ]

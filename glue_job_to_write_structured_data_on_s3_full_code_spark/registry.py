@@ -62,7 +62,11 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # fixed (minhash_lsh_dedup oracle, both sessionizations' oracle typing),
 # the new reference-depth pipeline, and three of the oldest round-1 names.
 # Everything rotated out remains verified locally by
-# tests/test_oracle_parity.py (all 131 queries, every session).
+# tests/test_oracle_parity.py (all registered queries, every session).
+# Queries ADDED during round 3 (IVFADC, perplexity filter, leakage check,
+# pretraining pipeline, the four new streaming rows, salted join, audio
+# energy, CMS) register after slot 50 and rotate through the gate in
+# round 4.
 _VERIFIED_PREFIX = (
     # fixed since round 2's gate: md5 Carter-Wegman MinHash oracle,
     # BIGINT-cast sessionization oracle (events + streaming share it)
