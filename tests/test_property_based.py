@@ -186,3 +186,60 @@ def test_merge_upsert_matches_dict_semantics(spark, target, source):
     assert got == model
     again = {r.k: r.v for r in merge_upsert(merged, s, ["k"]).collect()}
     assert again == model
+
+
+def test_minhash_coeffs_are_overflow_safe_and_distinct():
+    """The md5 Carter-Wegman family is the correctness keystone of the
+    MinHash oracle: every (a, b, c) must keep a·u + b·v + c under 2^63
+    for u, v < M (no silent wrap in Spark, no overflow error in DuckDB),
+    a and b must be odd and nonzero mod M, and the tuples must be
+    pairwise distinct so the num_hashes family members are independent
+    hash functions, not repeats."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+        MINHASH_MOD,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(64)
+    assert len(set(coeffs)) == 64
+    umax = MINHASH_MOD - 1
+    for a, b, c in coeffs:
+        assert 0 < a < MINHASH_MOD and a % 2 == 1
+        assert 0 < b < MINHASH_MOD and b % 2 == 1
+        assert 0 <= c < MINHASH_MOD
+        # the engine computes (a·u) % M + (b·v) % M + c before the final
+        # mod: worst-case intermediate is 2·(M-1) + (M-1) — far below
+        # 2^63, and each product a·u < M² < 2^62
+        assert a * umax < 2**62 and b * umax < 2**62
+        assert (MINHASH_MOD - 1) * 3 < 2**63
+
+
+def test_minhash_cw_family_spreads_and_is_deterministic():
+    """Python replay of the engine/oracle hash family over real shingle
+    strings: deterministic across calls, and the 16 family members
+    disagree with each other (no accidental constant or duplicated
+    function over a realistic input set)."""
+    import hashlib
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+        MINHASH_MOD,
+        minhash_coeffs,
+    )
+
+    M = MINHASH_MOD
+    shingles = [f"tok{i} tok{i+1} tok{i+2}" for i in range(200)]
+
+    def uv(s: str) -> tuple[int, int]:
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[0:15], 16) % M, int(h[15:30], 16) % M
+
+    coeffs = minhash_coeffs(16)
+    tables = [
+        [((a * u) % M + (b * v) % M + c) % M for (u, v) in map(uv, shingles)]
+        for (a, b, c) in coeffs
+    ]
+    for t in tables:
+        assert len(set(t)) > 150  # spreads: few collisions over 200 inputs
+    for i in range(16):
+        for j in range(i + 1, 16):
+            assert tables[i] != tables[j]
