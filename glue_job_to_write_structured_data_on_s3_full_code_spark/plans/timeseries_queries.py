@@ -18,6 +18,8 @@ from ..operators.timeseries import (
     resample_ohlc,
     rolling_zscore,
 )
+from pyspark.sql import functions as F
+
 from ..session import tune
 from ..sources import read_table
 
@@ -195,9 +197,63 @@ FROM z
 """
 
 
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly gate: flag hourly buckets whose mean sits
+    more than 5 median-absolute-deviations from the series median — the
+    outlier detector that, unlike the z-score, is not itself dragged by
+    the outliers it is hunting.
+
+    Exactness: medians run over the 1e6-scaled INTEGER bucket means (the
+    TS_ZSCORE_ORACLE trick), so every median is an integer or an exact
+    .5 half, deviations are exact doubles, and the 5·MAD comparison is
+    bit-deterministic across engines — no float-boundary flag flips.
+    Scale: two tiny per-series aggregates broadcast back onto the bucket
+    frame; the bucket aggregation itself is the only corpus-sized shuffle."""
+    tune(spark)
+    b = _buckets(spark, sf_dir).withColumn(
+        "mi", F.round(F.col("mean_value") * 1e6).cast("long")
+    )
+    meds = b.groupBy("series_key").agg(F.median("mi").alias("med"))
+    dev = b.join(F.broadcast(meds), "series_key").withColumn(
+        "adev", F.abs(F.col("mi") - F.col("med"))
+    )
+    mads = dev.groupBy("series_key").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mads), "series_key")
+        .select(
+            "series_key",
+            "bucket_ts",
+            "mean_value",
+            F.round(F.col("med") / 1e6, 6).alias("series_median"),
+            F.round(F.col("mad") / 1e6, 6).alias("series_mad"),
+            (F.col("adev") > 5 * F.col("mad")).alias("flagged"),
+        )
+    )
+
+
+TS_ANOMALY_MAD_ORACLE = f"""
+WITH b AS (
+    SELECT *, CAST(round(mean_value * 1e6) AS BIGINT) AS mi
+    FROM ({_BUCKETS_SQL})
+),
+meds AS (SELECT series_key, median(mi) AS med FROM b GROUP BY 1),
+dev AS (
+    SELECT b.*, m.med, abs(b.mi - m.med) AS adev
+    FROM b JOIN meds m USING (series_key)
+),
+mads AS (SELECT series_key, median(adev) AS mad FROM dev GROUP BY 1)
+SELECT d.series_key, d.bucket_ts, d.mean_value,
+       round(d.med / 1e6, 6) AS series_median,
+       round(m.mad / 1e6, 6) AS series_mad,
+       d.adev > 5 * m.mad AS flagged
+FROM dev d JOIN mads m USING (series_key)
+"""
+
+
 REGISTRY = [
     ("ts_ohlc_resample", ts_ohlc_resample, TS_OHLC_ORACLE),
     ("ts_gap_fill_interpolate", ts_gap_fill_interpolate, TS_GAP_FILL_ORACLE),
     ("ts_ewma_hourly", ts_ewma_hourly, TS_EWMA_ORACLE),
     ("ts_rolling_zscore", ts_rolling_zscore, TS_ZSCORE_ORACLE),
+    ("ts_anomaly_mad", ts_anomaly_mad, TS_ANOMALY_MAD_ORACLE),
 ]
