@@ -57,74 +57,77 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # (each round records exactly the first 50 entries), so the prefix ROTATES
 # per round to keep every registered query driver-verified recently:
 # round 1 covered the flagship + relational/function breadth, round 2 the
-# LLM/events/streaming families. Round 3's prefix is every query neither
-# round saw (43), the three rows round 2 marked red/weak and this round
-# fixed (minhash_lsh_dedup oracle, both sessionizations' oracle typing),
-# the new reference-depth pipeline, and three of the oldest round-1 names.
-# Everything rotated out remains verified locally by
-# tests/test_oracle_parity.py (all registered queries, every session).
-# Queries ADDED during round 3 (IVFADC, perplexity filter, leakage check,
-# pretraining pipeline, the four new streaming rows, salted join, audio
-# energy, CMS) register after slot 50 and rotate through the gate in
-# round 4.
+# LLM/events/streaming families, round 3 the 43 queries neither saw plus
+# the three repaired rows. Round 4's prefix clears the whole verification
+# backlog at once: the 13 queries ADDED during round 3 (registered after
+# slot 50 then, never driver-verified), the 34 round-1 names that have been
+# gate-stale for two rounds, `embedding_lsh_topk` (newly oracled this round
+# via integer-quantized projections — the gate should prove the oracle),
+# and two round-2 rows worth keeping fresh (the flagship, and the
+# blocked-strategy near-dup whose scale fix landed in r3). Everything
+# rotated out remains verified locally by tests/test_oracle_parity.py
+# (all registered queries, every session). Queries ADDED during round 4
+# (outbound_pipeline) register after slot 50 and rotate in round 5.
 _VERIFIED_PREFIX = (
-    # fixed since round 2's gate: md5 Carter-Wegman MinHash oracle,
-    # BIGINT-cast sessionization oracle (events + streaming share it)
-    "minhash_lsh_dedup",
-    "events_sessionization",
-    "streaming_sessionization",
-    # new this round: the ~18-stage reference-depth pipeline
-    "deep_prospect_pipeline",
-    # never driver-verified before this round — ANN + multimodal + text
-    "embedding_ivf_topk",
-    "embedding_pq_topk",
+    # round-3 additions, never driver-verified — composed pipelines + ANN
+    "pretraining_data_pipeline",
+    "embedding_ivfpq_topk",
+    "bigram_perplexity_filter",
+    "split_leakage_check",
+    "cms_heavy_hitters",
+    "temperature_mix_weights",
+    "multimodal_audio_energy",
+    "ts_anomaly_mad",
+    "skew_salted_join",
+    # round-3 additions — streaming (batch-oracled foreachBatch paths)
+    "streaming_exact_dedup",
+    "streaming_interval_join",
+    "streaming_scd2_merge",
+    "streaming_static_enrich",
+    # newly oracled this round: integer-quantized hyperplane LSH
     "embedding_lsh_topk",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "language_id_heuristic",
-    "document_fingerprint",
-    "pii_redaction",
-    "html_strip",
-    "weighted_source_mix",
-    "dedup_components",
-    "repetition_ratio_filter",
-    "quality_percentile_gate",
-    "bigram_lm_probs",
-    "stratified_sample",
-    "stopword_discovery",
-    "consonant_skeleton_blocking",
-    # never driver-verified — events/temporal/engine
-    "events_json_extract",
-    "events_continuous_aggregate",
-    "events_gap_filled_rollup",
-    "merge_update_columns_orders",
-    "deterministic_mode",
-    # never driver-verified — relational/TPC-H breadth
-    "order_count_distribution",
-    "idle_customer_balance",
-    "range_frame_rolling_spend",
-    "json_function_suite",
-    "agg_breadth2_suite",
-    "quantity_histogram",
-    "revenue_forecast_filter_agg",
-    "product_type_profit",
-    "returned_item_ranking",
-    "shipping_delay_buckets",
-    "promo_revenue_share",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "large_volume_customers",
-    "disjunctive_bracket_join",
-    "lonely_late_suppliers",
-    "part_supplier_breadth",
-    "local_supplier_volume",
-    "important_part_values",
-    "heavy_part_suppliers",
-    "value_window_suite",
-    # oldest round-1 names rotated back through the gate
-    "top_unshipped_orders",
-    "nation_pair_volume",
-    "stats_agg_suite",
+    # round-1 names, gate-stale for two rounds — function suites
+    "scalar_function_suite",
+    "string_function_suite",
+    "datetime_function_suite",
+    "array_function_suite",
+    "map_function_suite",
+    "null_handling_suite",
+    "case_when_remap",
+    "timezone_shift_format",
+    "posexplode_tokens",
+    # round-1 — grouping breadth
+    "pivot_priority_counts",
+    "unpivot_quantity_metrics",
+    "rollup_subtotals",
+    "cube_subtotals",
+    "grouping_sets_subtotals",
+    "grouped_string_agg",
+    "groupby_having_dups",
+    "distinct_option_lookup",
+    # round-1 — joins/sets
+    "semi_join_exists",
+    "order_priority_semi_count",
+    "full_outer_align",
+    "intersect_common_customers",
+    "self_join_dup_suffix",
+    "min_price_part_per_type",
+    # round-1 — windows/stats/profiling
+    "ranking_window_suite",
+    "lag_lead_running",
+    "exact_percentiles",
+    "correlation_stats",
+    "approx_distinct_stats",
+    "market_share_by_year",
+    "key_skew_profile",
+    "table_profile",
+    "data_quality_checks",
+    "embedding_norms",
+    "scalable_surrogate_key",
+    # round-2 rows kept fresh: the flagship, and the r3-fixed blocked
+    # near-dup path
+    "flagship_prospect_pipeline",
+    "embedding_neardup_dedup",
 )
 
 _ALL_MODULES = (
