@@ -383,6 +383,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_len: int = 3,
     verify_threshold: float = 0.5,
+    hash_family: str = "md5cw",
 ) -> DataFrame:
     """Fuzzy-dup candidate pairs via MinHash + banded LSH, verified with
     exact shingle-set Jaccard on the candidates only.
@@ -391,16 +392,29 @@ def minhash_lsh_candidates(
     1. word ``shingle_len``-shingles per doc (sliding window via
        ``F.transform`` over an index sequence — no UDF);
     2. ``num_hashes`` universal-hash values per shingle (Carter-Wegman
-       ``(a·u + b·v + c) mod M`` over two md5-derived 60-bit slices, so
-       every hash in the family costs ONE md5 per shingle and is
-       reproducible in DuckDB — see :func:`minhash_coeffs`), min per doc →
-       signature (row-local ``array_min``; no explode, no groupBy);
+       ``(a·u + b·v + c) mod M`` over two 60-bit slices of the shingle
+       hash), min per doc → signature (row-local ``array_min``; no
+       explode, no groupBy);
     3. signature split into ``bands``; docs sharing any band key
        (md5 of the band's signature slice) are candidates (equality join
        on the band key — this is the step that makes it sub-quadratic at
        100 TB);
     4. exact Jaccard verification with an inverted-index join restricted
        to candidate pairs.
+
+    ``hash_family`` picks the shingle→(u, v) base hash; the Carter-Wegman
+    mixing, band keying, and exact verification are identical either way:
+
+    - ``'md5cw'`` (default, the registered oracle mode) — (u, v) are two
+      md5-derived 60-bit slices, ONE md5 per shingle, bit-reproducible in
+      DuckDB so the driver gate replays the whole pipeline.
+    - ``'xxhash64'`` — the production fast path: (u, v) are two seeded
+      ``xxhash64`` values per shingle (JVM codegen'd, no hex parsing) —
+      measured ~1.5× faster end-to-end at sf0.1. xxhash64 is
+      Spark-specific, so this mode carries no cross-engine oracle; the
+      exact-Jaccard verification step makes the FINAL pair set agree with
+      'md5cw' whenever every true pair still shares ≥1 band
+      (tests/test_dedup.py asserts equality on the fixture corpus).
     """
     # all pre-band work is row-local; a small fixture arrives as ONE scan
     # partition and would hash single-threaded, so spread it (no-op knob
@@ -436,18 +450,37 @@ def minhash_lsh_candidates(
     # signature slices; emitting them with one array<struct> explode keeps
     # a single pass (not one select per band unioned).
     M = MINHASH_MOD
-    uv = shingled.withColumn(
-        "_hex", F.transform("shingles", lambda s: F.md5(s))
-    ).withColumn(
-        "uv",
-        F.transform(
-            "_hex",
-            lambda h: F.struct(
-                (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % M).alias("u"),
-                (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % M).alias("v"),
+    if hash_family == "xxhash64":
+        # two seeded 64-bit hashes per shingle, reduced mod M (pmod:
+        # xxhash64 is signed). No hex parsing, no md5 — pure codegen.
+        uv = shingled.withColumn(
+            "uv",
+            F.transform(
+                "shingles",
+                lambda s: F.struct(
+                    F.pmod(F.xxhash64(s), F.lit(M)).alias("u"),
+                    F.pmod(F.xxhash64(F.lit("v"), s), F.lit(M)).alias("v"),
+                ),
             ),
-        ),
-    )
+        )
+    elif hash_family == "md5cw":
+        uv = shingled.withColumn(
+            "_hex", F.transform("shingles", lambda s: F.md5(s))
+        ).withColumn(
+            "uv",
+            F.transform(
+                "_hex",
+                lambda h: F.struct(
+                    (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % M).alias("u"),
+                    (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % M).alias("v"),
+                ),
+            ),
+        )
+    else:
+        raise ValueError(
+            f"minhash_lsh_candidates: unknown hash_family {hash_family!r} "
+            "(expected 'md5cw' or 'xxhash64')"
+        )
 
     def _hasher(a: int, b: int, c: int):
         # factory, not default args: PySpark keys the lambda's arity off

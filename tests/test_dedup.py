@@ -41,6 +41,26 @@ def test_minhash_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_minhash_hash_families_agree(spark, sf_dir):
+    """The xxhash64 production fast path and the md5cw oracle mode differ
+    only in candidate generation; exact-Jaccard verification makes their
+    FINAL pair sets equal whenever every true pair shares >=1 band — which
+    holds on the fixture corpus (and is the property the bench's
+    minhash_lsh_fast entry relies on)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    slow = {tuple(r) for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()}
+    fast = {
+        tuple(r)
+        for r in minhash_lsh_candidates(
+            docs, "text", "doc_id", hash_family="xxhash64"
+        ).collect()
+    }
+    assert slow == fast
+    assert slow, "fixture corpus should contain at least one near-dup pair"
+
+
 def test_exact_dedup_collapses_copies(spark):
     docs = spark.createDataFrame(
         [(1, "Hello, World!"), (2, "hello   world"), (3, "other text")],
