@@ -104,6 +104,7 @@ def cosine_neardup(
     id_col: str = "vec_id",
     threshold: float = 0.35,
     strategy: str = "expr",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup dedup (task brief: dedup family).
 
@@ -142,7 +143,9 @@ def cosine_neardup(
     if strategy == "matmul":
         return _cosine_neardup_matmul(corpus, vec_col, id_col, threshold)
     if strategy == "blocked":
-        return _cosine_neardup_blocked(corpus, vec_col, id_col, threshold)
+        return _cosine_neardup_blocked(
+            corpus, vec_col, id_col, threshold, num_blocks=num_blocks
+        )
     v = corpus.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
     ).withColumn("vnorm", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
@@ -258,7 +261,11 @@ def _cosine_neardup_blocked(
     per-vector partial counts of smaller-id near-dups; a final sum-groupBy
     (every vector emits a row in each of its ``num_blocks`` groups, so no
     re-join against the corpus is needed for the zero rows) yields the
-    same keep-min-id output as the other strategies, bit-identical.
+    same keep-min-id output as the other strategies — identical away from
+    threshold boundaries: the kept/count decision compares BLAS-summed
+    cosines to the threshold, and a similarity within a few ulps of it can
+    flip vs the expression strategy / DuckDB oracle, whose summation order
+    differs (the fixture corpus has no such boundary pair).
 
     Scale shape: shuffle volume is num_blocks·N rows (the replication),
     task memory is two blocks of vectors, and there are
@@ -269,10 +276,13 @@ def _cosine_neardup_blocked(
     import pandas as pd
 
     spark = corpus.sparkSession
+    # pmod, not %: Spark's % keeps the dividend's sign, and a negative id
+    # would land in a negative block never paired by the 0..num_blocks-1
+    # replication frame below — silently dropping its cross-block pairs
     v = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        (F.col(id_col) % num_blocks).cast("int").alias("blk"),
+        F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int").alias("blk"),
     )
     others = spark.range(num_blocks).select(F.col("id").cast("int").alias("other"))
     repl = v.crossJoin(F.broadcast(others)).select(
@@ -418,6 +428,25 @@ def ivf_topk(
     )
 
 
+def lsh_plane_signs(num_planes: int, dim: int, seed: int = 7) -> list[list[int]]:
+    """The deterministic ±1 Rademacher hyperplanes used by
+    :func:`lsh_bucketed_topk`: sign d of plane p is the parity of
+    md5(seed:p:d). Module-level so the DuckDB oracle builder
+    (plans.llm_ops._lsh_oracle) embeds the SAME planes as literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -427,6 +456,7 @@ def lsh_bucketed_topk(
     num_planes: int = 8,
     seed: int = 7,
     dim: int | None = None,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join, exact cosine inside buckets.
 
@@ -438,12 +468,21 @@ def lsh_bucketed_topk(
     (the previous per-dimension when-chain built num_planes·dim branches:
     8k+ nodes at dim=1024).
 
+    ``quantize_scale`` (e.g. 10_000) makes the bucket keys cross-engine
+    exact: each component is floored to an integer at that scale
+    (``floor(v·scale)`` — BIGINT in both Spark and DuckDB) and the
+    projection is an integer dot product with the ±1 planes, so the sign
+    test has no float-summation-order hazard and the whole bucket
+    assignment replays bit-identically in the DuckDB oracle. The sign can
+    differ from the float path only when |projection| < dim/scale — for
+    unit-ish embeddings a ~1e-3 sliver — and recall is unaffected on the
+    fixture (tests/test_similarity.py). ``None`` keeps the float
+    projection.
+
     ``dim`` is the embedding dimensionality; pass it explicitly to keep
     plan construction fully lazy. When omitted it is probed from the small
     query side (one driver-side row, clear error when empty).
     """
-    import hashlib
-
     from pyspark.sql import Window
 
     if dim is None:
@@ -454,27 +493,28 @@ def lsh_bucketed_topk(
                 "given; pass dim=<embedding dimensionality> explicitly"
             )
         dim = len(probe[0][0])
-    dim_probe = dim
 
-    def _plane_signs(p: int) -> list[float]:
-        return [
-            1.0
-            if int(
-                hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16
-            ) % 2 == 0
-            else -1.0
-            for d in range(dim_probe)
-        ]
+    planes = lsh_plane_signs(num_planes, dim, seed)
 
     def bucket_bits(vcol: Column) -> Column:
         bits = []
-        for p in range(num_planes):
-            w = F.array(*[F.lit(s) for s in _plane_signs(p)])
-            s = F.aggregate(
-                F.zip_with(vcol, w, lambda x, wi: x * wi),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
+        for signs in planes:
+            if quantize_scale is not None:
+                w = F.array(*[F.lit(s) for s in signs])
+                s = F.aggregate(
+                    F.zip_with(
+                        vcol, w, lambda x, wi: F.floor(x * quantize_scale) * wi
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                )
+            else:
+                w = F.array(*[F.lit(float(s)) for s in signs])
+                s = F.aggregate(
+                    F.zip_with(vcol, w, lambda x, wi: x * wi),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
             bits.append(F.when(s > 0, "1").otherwise("0"))
         return F.concat(*bits)
 

@@ -324,6 +324,14 @@ SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
 """
 
 
+_COS = """(SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+              FROM (SELECT unnest({A}) AS a, unnest({B}) AS b) x)
+           / (sqrt((SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.a AS DOUBLE))
+                      FROM (SELECT unnest({A}) AS a) x))
+              * sqrt((SELECT sum(CAST(x.b AS DOUBLE) * CAST(x.b AS DOUBLE))
+                        FROM (SELECT unnest({B}) AS b) x)))"""
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: queries = vec_id < 10, k = 5."""
     tune(spark)
@@ -357,11 +365,70 @@ WHERE rank <= 5
 
 
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (sign-LSH bucketed) ANN — rows-only driver check; recall
-    vs the exact baseline is asserted in tests/test_similarity.py."""
+    """Approximate (sign-LSH bucketed) ANN, fully oracled: with
+    quantize_scale the bucket keys are integer dot-product signs —
+    floor(v·10^4) against ±1 planes — exact in both engines, so the DuckDB
+    oracle replays bucket assignment, candidate join, and in-bucket exact
+    cosine (the same integer-taming that made PQ/IVFADC oracle-able).
+    Recall vs the exact baseline is asserted in tests/test_similarity.py."""
     tune(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=4)
+    return lsh_bucketed_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        num_planes=4,
+        dim=64,
+        quantize_scale=10_000,
+    )
+
+
+def _lsh_oracle(
+    k: int = 5, num_planes: int = 4, dim: int = 64, seed: int = 7, scale: int = 10_000
+) -> str:
+    """DuckDB replay of embedding_lsh_topk: the SAME md5-parity ±1 planes
+    (lsh_plane_signs) embedded as literals, the same integer-quantized
+    sign projection, the same in-bucket exact-cosine top-k."""
+    from ..operators.similarity import lsh_plane_signs
+
+    def bucket(vec: str) -> str:
+        cases = []
+        for signs in lsh_plane_signs(num_planes, dim, seed):
+            lits = ", ".join(str(s) for s in signs)
+            proj = (
+                f"(SELECT sum(CAST(floor(CAST(x.v AS DOUBLE) * {scale}) AS BIGINT)"
+                f" * x.w) FROM (SELECT unnest({vec}) AS v, unnest([{lits}]) AS w) x)"
+            )
+            cases.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+        return "concat(" + ", ".join(cases) + ")"
+
+    pair_cos = _COS.format(A="qv", B="cv")
+    return f"""
+WITH qb AS (
+    SELECT vec_id AS query_id, embedding AS qv, {bucket("embedding")} AS bucket
+    FROM embeddings WHERE vec_id < 10
+),
+cb AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv, {bucket("embedding")} AS bucket
+    FROM embeddings
+),
+scored AS (
+    SELECT query_id, neighbor_id, {pair_cos} AS cosine
+    FROM cb JOIN qb USING (bucket)
+    WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+EMBEDDING_LSH_ORACLE = _lsh_oracle()
 
 
 def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,14 +477,6 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, centroid_mod=50, nprobe=3
     )
-
-
-_COS = """(SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
-              FROM (SELECT unnest({A}) AS a, unnest({B}) AS b) x)
-           / (sqrt((SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.a AS DOUBLE))
-                      FROM (SELECT unnest({A}) AS a) x))
-              * sqrt((SELECT sum(CAST(x.b AS DOUBLE) * CAST(x.b AS DOUBLE))
-                        FROM (SELECT unnest({B}) AS b) x)))"""
 
 
 def _ivf_oracle(
@@ -812,7 +871,7 @@ REGISTRY = [
     ("token_count_bpe", token_count_bpe, TOKEN_COUNT_ORACLE),
     ("document_fingerprint", document_fingerprint, DOC_FINGERPRINT_ORACLE),
     ("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_COSINE_ORACLE),
-    ("embedding_lsh_topk", embedding_lsh_topk, None),
+    ("embedding_lsh_topk", embedding_lsh_topk, EMBEDDING_LSH_ORACLE),
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
     ("embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_ORACLE),
     ("embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_ORACLE),

@@ -73,6 +73,24 @@ def test_neardup_strategies_identical(spark, sf_dir):
         assert a == b, f"strategy {strategy} diverged from expr"
 
 
+def test_neardup_blocked_handles_negative_ids(spark, sf_dir):
+    """pmod block assignment: a negative id must land in 0..num_blocks-1
+    (Spark's % would put it in a negative block the replication frame
+    never pairs, silently dropping its cross-block near-dup pairs)."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(200)
+    shifted = emb.withColumn("vec_id", F.col("vec_id") - 100)
+    a = sorted(map(tuple, cosine_neardup(shifted, threshold=0.35).collect()))
+    b = sorted(
+        map(
+            tuple,
+            cosine_neardup(
+                shifted, threshold=0.35, strategy="blocked", num_blocks=4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_lsh_deterministic(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 3)
