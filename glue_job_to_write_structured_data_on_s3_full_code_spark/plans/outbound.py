@@ -180,6 +180,163 @@ FROM docs
 """
 
 
+def outbound_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTBOUND job end-to-end as ONE registered plan (OUTBOUND.py:
+    206-449): serving-store suppression (206-224), five-group document
+    assembly (239-343 — administration / customerDetails / purchaseDetails
+    / scoring / interests), conditional struct null-out (344-345),
+    and the bidirectional reconcile totals (372-457).
+
+    The serving store — leads already exported — is modeled as every order
+    placed before 1994-01-01 (deterministic, oracle-expressible). Instead
+    of a LEFT ANTI join followed by a second pass to count what it
+    dropped, candidates carry a store-hit FLAG through one left join, so
+    the reconcile counts (n_candidates = n_suppressed + n_exported, both
+    directions of OUTBOUND.py's audit) come from the same single pass that
+    produces the export rows: one broadcast-agg join, no recomputation of
+    the candidate subtree, no driver collect. The null-out ships flattened
+    (Spark omits null struct fields in to_json; DuckDB emits them — the
+    same engine asymmetry conditional_struct_nullout documents)."""
+    tune(spark)
+    base = _base(spark, sf_dir)
+    store = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < "1994-01-01")
+        .select(F.col("o_orderkey").alias("leadid"), F.lit(1).alias("_hit"))
+    )
+
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit("NA"))
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "LOW")
+        .when(F.col("o_totalprice") < 150000, "MEDIUM")
+        .otherwise("HIGH")
+    )
+    doc = F.struct(
+        F.struct(
+            F.concat(
+                F.lit("PM"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")
+            ).alias("prospectId"),
+            F.date_format("o_orderdate", "dd/MM/yyyy").alias("createdDate"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("NA")).alias("status"),
+        ).alias("administration"),
+        F.struct(
+            F.coalesce(F.col("c_name"), F.lit("NA")).alias("customerName"),
+            seg.alias("segment"),
+            F.coalesce(F.col("n_name"), F.lit("NA")).alias("nationName"),
+        ).alias("customerDetails"),
+        F.struct(
+            F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("totalPrice"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("NA")).alias("priority"),
+        ).alias("purchaseDetails"),
+        F.struct(
+            bucket.alias("priceBucket"),
+            F.year("o_orderdate").alias("orderYear"),
+        ).alias("scoring"),
+        F.array(
+            F.struct(F.lit("QM001").alias("questionId"), seg.alias("answer")),
+            F.struct(F.lit("QM002").alias("questionId"), bucket.alias("answer")),
+        ).alias("interests"),
+    )
+    nullable_details = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.struct(
+            F.coalesce(F.col("c_name"), F.lit("NA")).alias("customerName"),
+            seg.alias("segment"),
+        )
+    )
+    candidates = base.join(store, base.o_orderkey == store.leadid, "left").select(
+        F.col("o_orderkey").alias("leadid"),
+        F.col("o_orderstatus").alias("status"),
+        doc.alias("doc"),
+        nullable_details.alias("details"),
+        F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
+    )
+    stats = candidates.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum("hit").alias("n_suppressed"),
+    )
+    return (
+        candidates.where(F.col("hit") == 0)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "leadid",
+            "status",
+            F.col("doc.administration.prospectId").alias("prospect_id"),
+            F.to_json("doc").alias("document"),
+            F.col("details.customerName").alias("customer_name"),
+            F.col("details.segment").alias("segment"),
+            "n_candidates",
+            "n_suppressed",
+            (F.col("n_candidates") - F.col("n_suppressed")).alias("n_exported"),
+        )
+    )
+
+
+OUTBOUND_PIPELINE_ORACLE = """
+WITH latest AS (
+    SELECT * FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) = 1
+), base AS (
+    SELECT l.*, c.c_name, c.c_mktsegment, n.n_name
+    FROM latest l
+    LEFT JOIN customer c ON l.o_custkey = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+), store AS (
+    SELECT o_orderkey AS leadid, 1 AS hit
+    FROM orders WHERE o_orderdate < DATE '1994-01-01'
+), cand AS (
+    SELECT b.o_orderkey AS leadid,
+           b.o_orderstatus AS status,
+           concat('PM', lpad(cast(b.o_custkey AS VARCHAR), 9, '0')) AS prospect_id,
+           to_json(struct_pack(
+               administration := struct_pack(
+                   prospectId := concat('PM', lpad(cast(b.o_custkey AS VARCHAR), 9, '0')),
+                   createdDate := strftime(b.o_orderdate, '%d/%m/%Y'),
+                   status := coalesce(b.o_orderstatus, 'NA')
+               ),
+               customerDetails := struct_pack(
+                   customerName := coalesce(b.c_name, 'NA'),
+                   segment := coalesce(b.c_mktsegment, 'NA'),
+                   nationName := coalesce(b.n_name, 'NA')
+               ),
+               purchaseDetails := struct_pack(
+                   totalPrice := coalesce(b.o_totalprice, 0.0),
+                   priority := coalesce(b.o_orderpriority, 'NA')
+               ),
+               scoring := struct_pack(
+                   priceBucket := CASE WHEN b.o_totalprice < 50000 THEN 'LOW'
+                                       WHEN b.o_totalprice < 150000 THEN 'MEDIUM'
+                                       ELSE 'HIGH' END,
+                   orderYear := year(b.o_orderdate)
+               ),
+               interests := [
+                   struct_pack(questionId := 'QM001',
+                               answer := coalesce(b.c_mktsegment, 'NA')),
+                   struct_pack(questionId := 'QM002',
+                               answer := CASE WHEN b.o_totalprice < 50000 THEN 'LOW'
+                                              WHEN b.o_totalprice < 150000 THEN 'MEDIUM'
+                                              ELSE 'HIGH' END)
+               ]
+           )) AS document,
+           CASE WHEN b.o_orderstatus = 'P' THEN NULL
+                ELSE coalesce(b.c_name, 'NA') END AS customer_name,
+           CASE WHEN b.o_orderstatus = 'P' THEN NULL
+                ELSE coalesce(b.c_mktsegment, 'NA') END AS segment,
+           coalesce(s.hit, 0) AS hit
+    FROM base b LEFT JOIN store s ON b.o_orderkey = s.leadid
+), stats AS (
+    SELECT count(*) AS n_candidates, CAST(sum(hit) AS BIGINT) AS n_suppressed
+    FROM cand
+)
+SELECT leadid, status, prospect_id, document, customer_name, segment,
+       n_candidates, n_suppressed,
+       n_candidates - n_suppressed AS n_exported
+FROM cand CROSS JOIN stats
+WHERE hit = 0
+"""
+
+
 def outbound_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -212,4 +369,5 @@ def outbound_pipeline(
 REGISTRY = [
     ("nested_document_json", nested_document_json, NESTED_DOCUMENT_ORACLE),
     ("conditional_struct_nullout", conditional_struct_nullout, CONDITIONAL_NULLOUT_ORACLE),
+    ("outbound_document_pipeline", outbound_document_pipeline, OUTBOUND_PIPELINE_ORACLE),
 ]
