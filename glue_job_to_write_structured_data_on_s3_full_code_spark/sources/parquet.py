@@ -101,12 +101,17 @@ def materialize_result(df: DataFrame, name: str) -> DataFrame:
     trip — the previous shape — funnels the whole result through the
     driver. This keeps the exchange distributed: executors write, the
     caller gets a plain parquet scan. ``mode("overwrite")`` makes the path
-    self-cleaning across invocations (no per-run garbage)."""
+    self-cleaning across re-invocations within a session (no per-run
+    garbage), and the applicationId path segment keeps two sessions
+    sharing a warehouse dir from clobbering each other's staged files
+    mid-scan when they run the same query concurrently."""
     spark = df.sparkSession
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    path = os.path.join(warehouse, "_staged_results", name)
+    path = os.path.join(
+        warehouse, "_staged_results", spark.sparkContext.applicationId, name
+    )
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -78,6 +78,7 @@ def ensure_table(
     table: str,
     path: str,
     schema_source: DataFrame | None = None,
+    partition_cols: tuple[str, ...] = (),
     timeout_s: float = 30.0,
     poll_interval_s: float = 0.5,
 ) -> bool:
@@ -94,18 +95,34 @@ def ensure_table(
     (Glue/HMS) registration is asynchronous — ``tableExists`` may lag the
     DDL. Returns True if the table was created, False if it already
     existed. Raises TimeoutError if the catalog never reports the table.
+
+    Only the no-files-to-infer-from failure falls back to ``saveAsTable``
+    (with ``partition_cols`` so later ADD PARTITION / sync_partitions
+    still work); anything else — bad identifier, catalog outage — is a
+    real error and re-raises.
     """
     import time
+
+    from pyspark.errors import AnalysisException
 
     if spark.catalog.tableExists(table):
         return False
     try:
         spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{path}'")
-    except Exception:
-        if schema_source is None:
+    except AnalysisException as exc:
+        # schema inference finds nothing at an empty/missing location;
+        # that is the one condition the crawler-less fallback covers
+        empty_location = exc.getCondition() in (
+            "UNABLE_TO_INFER_SCHEMA",
+            "PATH_NOT_FOUND",
+        )
+        if not empty_location or schema_source is None:
             raise
         # empty path: register from the writer's schema instead
-        schema_source.limit(0).write.option("path", path).saveAsTable(table)
+        writer = schema_source.limit(0).write.option("path", path)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.saveAsTable(table)
     deadline = time.monotonic() + timeout_s
     while not spark.catalog.tableExists(table):
         if time.monotonic() > deadline:
@@ -117,7 +134,8 @@ def ensure_table(
 def sync_partitions(spark: SparkSession, table: str, path: str) -> list[str]:
     """Incremental crawler pass: diff the filesystem's Hive-style partition
     directories against the catalog and ``ADD PARTITION`` only the missing
-    ones. Returns the newly registered specs (``col=value`` strings).
+    ones. Returns the newly registered specs (``col=value`` or
+    ``col=value/col2=value2`` strings, matching ``SHOW PARTITIONS``).
 
     This is what the reference's crawler re-run does after each snapshot
     write (FULL.py:137). ``MSCK REPAIR TABLE`` is the blunt equivalent —
@@ -125,16 +143,37 @@ def sync_partitions(spark: SparkSession, table: str, path: str) -> list[str]:
     daily snapshots (10^5-10^6 partitions) is a full-listing storm per
     run; diff-and-add touches only the delta, like the crawler's
     incremental mode.
+
+    Listing goes through the Hadoop FileSystem API, so the same code works
+    on local paths and object stores (s3a://…) — a driver-local
+    ``os.listdir`` would throw on any URI — and recurses into nested
+    ``col=value`` directories for multi-level partition specs.
     """
-    import os
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def walk(dir_path, prefix: str) -> list[str]:
+        subdirs = []
+        for status in fs.listStatus(dir_path):
+            name = status.getPath().getName()
+            if status.isDirectory() and "=" in name and not name.startswith(("_", ".")):
+                subdirs.append((name, status.getPath()))
+        if not subdirs:
+            return [prefix] if prefix else []
+        specs = []
+        for name, child in sorted(subdirs):
+            specs.extend(walk(child, f"{prefix}/{name}" if prefix else name))
+        return specs
 
     known = set(show_partitions(spark, table))
     added = []
-    for entry in sorted(os.listdir(path)):
-        if "=" not in entry or entry.startswith(("_", ".")):
-            continue
-        if entry not in known:
-            col, value = entry.split("=", 1)
-            add_partition(spark, table, {col: value})
-            added.append(entry)
+    for spec in walk(hpath, ""):
+        if spec not in known:
+            add_partition(
+                spark,
+                table,
+                dict(seg.split("=", 1) for seg in spec.split("/")),
+            )
+            added.append(spec)
     return added

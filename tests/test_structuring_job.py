@@ -94,6 +94,76 @@ def test_ensure_table_empty_path_schema_fallback(spark):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_ensure_table_fallback_is_partitioned_and_real_errors_reraise(spark):
+    """The empty-path fallback must register the partition columns (so a
+    later sync_partitions/ADD PARTITION works), and a CREATE failure that
+    is NOT the empty-location condition — e.g. a bad identifier — must
+    re-raise instead of being masked by the fallback."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.snapshot import (
+        sync_partitions,
+    )
+
+    table = "crawler_partitioned_fallback_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "empty_loc")
+        schema_src = spark.range(1).selectExpr(
+            "id", "'x' AS payload", "'2024-01-01' AS dt"
+        )
+        assert (
+            ensure_table_mod(
+                spark, table, path, schema_source=schema_src, partition_cols=("dt",)
+            )
+            is True
+        )
+        # out-of-band partition write is discoverable => table really is
+        # registered partitioned (an unpartitioned fallback would fail here)
+        schema_src.write.mode("append").partitionBy("dt").parquet(path)
+        assert sync_partitions(spark, table, path) == ["dt=2024-01-01"]
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+        # bad identifier is not the empty-location condition: re-raises
+        # even though a schema_source fallback is available
+        with pytest.raises(AnalysisException):
+            ensure_table_mod(
+                spark, "not a valid identifier!", path, schema_source=schema_src
+            )
+
+
+def test_sync_partitions_multi_level(spark):
+    """Nested col1=v1/col2=v2 partition layouts register full multi-level
+    specs (the Hadoop-FS walk recurses; a single-level listdir saw only
+    the first level)."""
+    import pyspark.sql.functions as F
+
+    table = "sync_multilevel_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "tbl")
+        df = spark.range(4).select(
+            "id",
+            F.lit("2024-01-01").alias("dt"),
+            (F.col("id") % 2).cast("string").alias("shard"),
+        )
+        df.write.partitionBy("dt", "shard").parquet(path)
+        assert ensure_table_mod(spark, table, path) is True
+        assert sync_partitions(spark, table, path) == [
+            "dt=2024-01-01/shard=0",
+            "dt=2024-01-01/shard=1",
+        ]
+        assert sync_partitions(spark, table, path) == []  # idempotent
+        assert spark.table(table).where("shard = '1'").count() == 2
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.snapshot import (
+    sync_partitions,
+)
+
+
 from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.snapshot import (
     ensure_table as ensure_table_mod,
 )
