@@ -135,6 +135,110 @@ def test_stream_incremental_load(spark, sf_dir):
         assert total.select("o_orderkey").distinct().count() == total.count()
 
 
+def test_scd2_stream_restart_replays_batch_idempotently(spark, sf_dir):
+    """Recovery semantics for the foreachBatch SCD2 merge, not just
+    happy-path continuity: the stream is killed AFTER batch 1's target
+    write but BEFORE its checkpoint commit (the at-least-once window), a
+    new query restarts from the same checkpoint, Spark replays batch 1,
+    and the merge runs a second time on already-merged state. scd2_merge
+    re-merging an identical snapshot is a no-op, so the recovered final
+    history must be row-identical to an uninterrupted run — and the extra
+    target version proves the replay really did re-merge."""
+    import shutil
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.scd import (
+        scd2_merge,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.etl_ops import (
+        _LOAD,
+        _customer_updates,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = _customer_updates(cust)
+
+    def write_inputs(in_dir):
+        os.makedirs(in_dir)
+        batches = [
+            updates.where(F.col("c_custkey") % 2 == 0),
+            updates.where(F.col("c_custkey") % 2 == 1),
+        ]
+        for i, b in enumerate(batches):
+            tmp = os.path.join(in_dir, f"t{i}")
+            b.coalesce(1).write.parquet(tmp)
+            f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+            dst = os.path.join(in_dir, f"part-{i:03d}.parquet")
+            shutil.move(os.path.join(tmp, f), dst)
+            shutil.rmtree(tmp)
+            now = os.stat(dst).st_mtime
+            os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
+
+    def run(work, crash_on_batch=None):
+        in_dir = os.path.join(work, "in")
+        write_inputs(in_dir)
+        current.write.parquet(os.path.join(work, "target_v0"))
+        crash_flag = os.path.join(work, "_crashed")
+
+        def latest():
+            return max(
+                int(d.rsplit("_v", 1)[1])
+                for d in os.listdir(work)
+                if d.startswith("target_v")
+            )
+
+        def merge(batch_df, batch_id):
+            v = latest()
+            cur = spark.read.parquet(os.path.join(work, f"target_v{v}"))
+            merged = scd2_merge(
+                cur,
+                batch_df,
+                key="c_custkey",
+                compare_cols=["c_name", "c_acctbal"],
+                load_date=_LOAD,
+            )
+            merged.write.parquet(os.path.join(work, f"target_v{v + 1}"))
+            if batch_id == crash_on_batch and not os.path.exists(crash_flag):
+                open(crash_flag, "w").close()
+                raise RuntimeError("injected crash: target written, commit pending")
+
+        def start():
+            return (
+                spark.readStream.schema(
+                    "c_custkey bigint, c_name string, c_acctbal double"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(in_dir)
+                .writeStream.foreachBatch(merge)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        if crash_on_batch is not None:
+            with pytest.raises(StreamingQueryException):
+                start().awaitTermination()
+        start().awaitTermination()  # clean run, or restart from checkpoint
+        return latest(), spark.read.parquet(os.path.join(work, f"target_v{latest()}"))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        clean_versions, clean = run(os.path.join(tmp, "clean"))
+        crash_versions, recovered = run(os.path.join(tmp, "crash"), crash_on_batch=1)
+        assert crash_versions == clean_versions + 1, "batch 1 was not replayed"
+        assert sorted(map(tuple, clean.collect())) == sorted(
+            map(tuple, recovered.collect())
+        )
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir):
     """The applyInPandasWithState sessionizer, fed the events table as two
     in-order micro-batches, must reproduce the batch window query exactly
