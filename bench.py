@@ -97,12 +97,20 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
+    # The r1-r3 bench set was the first 23 queries; the set then grew
+    # (deep pipelines + the MinHash fast path), which inflates the raw
+    # total. baseline_comparable_total is the sum over the ORIGINAL 23 so
+    # cross-round totals stay apples-to-apples.
+    grown = {"deep_prospect_pipeline", "pretraining_data_pipeline", "minhash_lsh_fast"}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "baseline_comparable_total": round(
+                    sum(t for q, t in timings.items() if q not in grown), 3
+                ),
                 "queries": timings,
                 "sf": sf,
             }

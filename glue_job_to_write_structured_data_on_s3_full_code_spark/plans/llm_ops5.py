@@ -1,0 +1,505 @@
+"""LLM training-data pipeline pack 5 — embedding-space curation and
+tokenizer induction: integer-exact Lloyd k-means, SemDeDup-style semantic
+deduplication, model-based quality scoring (hashed linear classifier), BPE
+merge-rule induction over the corpus vocabulary, and the per-source
+dataset-card report.
+
+Design rules (same as llm_ops/llm_ops2/llm_ops3):
+- pure ``pyspark.sql.functions`` expressions — no Python boundary;
+- every query carries a DuckDB oracle. Embedding math is made
+  cross-engine-exact the same way `embedding_lsh_topk` was tamed: quantize
+  each float to ``floor(x * 1000)`` (a BIGINT), then do ALL distance /
+  dot-product / centroid arithmetic in integer space. Sums of 64-dim
+  products of |q| <= 1000 values stay far inside int64, so both engines
+  compute bit-identical results; cosine thresholds compare as integer
+  cross-products (``400*dot^2 >= 289*n1*n2`` <=> cos >= 0.85), never as
+  floats.
+- deterministic at any parallelism: argmin ties break on centroid id,
+  merge-rule ties on the pair string, sampling reuses md5 buckets.
+
+Scale notes (100 TB):
+- k-means is the classic K-fanout: each point scores against the K
+  broadcast centroids (K*N intermediate rows, one window per point) and
+  the centroid update is one (cid, dim) hash aggregation — no driver
+  collect anywhere; at production K (10^4-10^5, SemDeDup's regime) the
+  scoring join switches to the IVF-style coarse-then-refine shape already
+  in operators/similarity.py.
+- semantic dedup's pairwise stage runs ONLY within a cluster — the whole
+  point of SemDeDup (Abbas et al. 2023, arXiv:2303.09540): O(sum c_i^2)
+  with bounded cluster sizes instead of O(N^2).
+- BPE induction aggregates the corpus down to its VOCABULARY first
+  (bounded, ~10^5-10^6 rows at any corpus size); every merge step is one
+  map-side-combined pair count + a 1-row broadcast back. This is how
+  distributed tokenizer training actually shapes (map corpus -> word
+  histogram once; iterate on the histogram).
+- the dataset card is two hash aggregations and a broadcast join — the
+  report every released corpus ships (cf. Datasheets for Datasets).
+
+Reference parity: the reference has no embedding/tokenizer surface (it is
+a CRM ETL job, FULL.py); this pack is north-star extension material on the
+synthetic `embeddings` / `documents` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, tokens
+from ..session import tune
+from ..sources import read_table
+
+_Q = 1000  # quantization scale: floor(x * 1000) — exact in both engines
+_K = 8  # cluster count for the demo-scale corpus (parameter at scale)
+
+# DuckDB spellings shared with llm_ops3.
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+
+_QV_SQL = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+
+def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings quantized to integer space: qv[i] = floor(v[i]*1000)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.floor(x.cast("double") * _Q).cast("long")
+        ).alias("qv"),
+    )
+
+
+def _init_centroids(vecs: DataFrame) -> DataFrame:
+    """Deterministic seeds: the K lowest-id vectors (same policy as the
+    IVF/PQ quantizers in operators/similarity.py — no RNG, no driver
+    state, replayable in SQL)."""
+    return vecs.where(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cvec")
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin squared-L2 assignment. The centroid table is broadcast (K
+    rows); dist is an integer fold over zip_with, ties break on cid."""
+    dist = F.aggregate(
+        F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn("dist", dist)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "qv", "cid", "dist")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Element-wise integer mean: floor-division implemented as
+    (s - pmod(s, n)) / n so negative sums floor identically in both
+    engines (Spark's and DuckDB's `%` both truncate toward zero, so the
+    raw remainder differs on negatives — pmod does not)."""
+    longf = assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
+    sums = longf.groupBy("cid", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    cvals = sums.withColumn(
+        "cval", ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long")
+    )
+    return cvals.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
+        ).alias("cvec")
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8) in quantized integer space —
+    the curation-clustering primitive SemDeDup / SSL-prototypes pipelines
+    run before per-cluster dedup or sampling. Deterministic seeds, exact
+    integer distances, floor-div centroid updates: every step replays
+    bit-identically in the DuckDB oracle (the same taming that made
+    PQ/IVFADC oracle-able). Returns the final assignment."""
+    tune(spark)
+    vecs = _qvecs(spark, sf_dir)
+    a1 = _assign(vecs, _init_centroids(vecs))
+    a2 = _assign(vecs, _recompute_centroids(a1))
+    return a2.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("sq_dist")
+    )
+
+
+EMBEDDING_KMEANS_ORACLE = f"""
+WITH qv AS (
+    SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+), v AS (
+    SELECT vec_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val FROM qv
+), c0 AS (
+    SELECT vec_id AS cid, pos, val AS cval FROM v WHERE vec_id < {_K}
+), d1 AS (
+    SELECT v.vec_id, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+    FROM v JOIN c0 c USING (pos) GROUP BY 1, 2
+), a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d1) WHERE rk = 1
+), m1 AS (
+    SELECT a1.cid, v.pos,
+           CAST((sum(v.val) - ((sum(v.val) % count(*) + count(*)) % count(*)))
+                / count(*) AS BIGINT) AS cval
+    FROM a1 JOIN v USING (vec_id) GROUP BY 1, 2
+), d2 AS (
+    SELECT v.vec_id, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+    FROM v JOIN m1 c USING (pos) GROUP BY 1, 2
+)
+SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS sq_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d2) WHERE rk = 1
+"""
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop near-duplicates WITHIN each cluster only — the sub-quadratic
+    semantic twin of MinHash dedup. A row is dropped when a lower-id
+    vector in its cluster has cosine >= 0.85; the threshold compares as
+    the integer cross-product 400*dot^2 >= 289*n1*n2 (17/20 = 0.85) with
+    a dot > 0 guard, so both engines decide every pair identically.
+
+    One cluster-key equality self-join (never all-pairs), norms
+    precomputed per row, K-row broadcast for the assignment."""
+    tune(spark)
+    vecs = _qvecs(spark, sf_dir)
+    nrm = F.aggregate(
+        F.transform("qv", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = _assign(vecs, _init_centroids(vecs)).withColumn("nrm", nrm).select(
+        "vec_id", "cid", "qv", "nrm"
+    )
+    left = a.alias("l")
+    right = a.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.qv"), F.col("r.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.cid") == F.col("r.cid"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .withColumn("dot", dot)
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(400) * F.col("dot") * F.col("dot")
+                >= F.lit(289) * F.col("l.nrm") * F.col("r.nrm")
+            )
+        )
+    )
+    dropped = (
+        pairs.select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("kept", F.lit(False))
+    )
+    return (
+        a.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.coalesce("kept", F.lit(True)).alias("kept"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH qv AS (
+    SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+), v AS (
+    SELECT vec_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val FROM qv
+), c0 AS (
+    SELECT vec_id AS cid, pos, val AS cval FROM v WHERE vec_id < {_K}
+), d1 AS (
+    SELECT v.vec_id, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+    FROM v JOIN c0 c USING (pos) GROUP BY 1, 2
+), a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d1) WHERE rk = 1
+), ann AS (
+    SELECT a1.vec_id, a1.cid, qv.qv,
+           (SELECT sum(x.a * x.a) FROM (SELECT unnest(qv.qv) AS a) x) AS nrm
+    FROM a1 JOIN qv USING (vec_id)
+), dropped AS (
+    SELECT DISTINCT r.vec_id
+    FROM ann l JOIN ann r ON l.cid = r.cid AND l.vec_id < r.vec_id
+    WHERE (SELECT sum(x.a * x.b)
+           FROM (SELECT unnest(l.qv) AS a, unnest(r.qv) AS b) x) > 0
+      AND 400 * (SELECT sum(x.a * x.b)
+                 FROM (SELECT unnest(l.qv) AS a, unnest(r.qv) AS b) x)
+              * (SELECT sum(x.a * x.b)
+                 FROM (SELECT unnest(l.qv) AS a, unnest(r.qv) AS b) x)
+          >= 289 * l.nrm * r.nrm
+)
+SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS kept
+FROM ann a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with a hashed-feature linear classifier
+    — the fasttext-style quality filter of CCNet / GPT-3-era pipelines,
+    with a deterministic stand-in model: each token's weight is
+    md5-derived in [-1000, 1000], a document's score is the sum over its
+    token stream (bag of words), accept = score >= 0. Integer weights keep
+    the sum exact in both engines; swapping in real learned weights is a
+    broadcast-join against a weight table with the same plan shape.
+
+    Map-side tokenize -> one hash aggregation; the weight is computed
+    inline (no vocabulary join needed for a hashed model — that IS the
+    hashing trick)."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        docs.where(normalized_text("text") != "")
+        .select("doc_id", F.explode(tokens(normalized_text("text"))).alias("tok"))
+    )
+    w = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % 2001 - 1000
+    )
+    return (
+        tok.withColumn("w", w)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w").alias("score"),
+        )
+        .withColumn("accept", F.col("score") >= 0)
+    )
+
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok
+    FROM documents WHERE {_NORM} <> ''
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CAST(('0x' || substring(md5(tok), 1, 15))::UBIGINT % 2001 AS BIGINT)
+                - 1000) AS BIGINT) AS score,
+       CAST(sum(CAST(('0x' || substring(md5(tok), 1, 15))::UBIGINT % 2001 AS BIGINT)
+                - 1000) AS BIGINT) >= 0 AS accept
+FROM tok GROUP BY doc_id
+"""
+
+_VOCAB_CAP = 500  # merge statistics run over the top-|V| word histogram
+_BPE_STEPS = 3
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the (word, freq, syms) table.
+    Symbols travel as a '|'-delimited string ('|h|e|l|l|o|') so merge
+    application is a plain string replace in both engines."""
+    arr = F.filter(F.split("s", r"\|"), lambda x: x != "")
+    n = F.size(arr)
+    zipped = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+    )
+    return (
+        syms.select("freq", F.explode(zipped).alias("p"))
+        .select("freq", F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"))
+        .groupBy("l", "r")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first 3 merge rules: aggregate
+    the corpus to its word histogram ONCE (the only corpus-sized pass —
+    how tokenizer training shapes at 100 TB), cap at the top-500 words,
+    then iterate pair-count -> argmax -> merge on the bounded histogram.
+    Each merge is a 1-row broadcast; application is a left-to-right
+    non-overlapping replace of '|l|r|' with '|lr|' — deterministic and
+    identical in Spark and DuckDB (back-to-back overlapping chains merge
+    every other occurrence in BOTH engines, so the oracle replays it
+    exactly; textbook greedy BPE differs only on such chains). Ties break
+    on (count desc, l, r). Returns the learned merge table."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.where(normalized_text("text") != "")
+        .select(F.explode(tokens(normalized_text("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(_VOCAB_CAP)
+    )
+    syms = words.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.regexp_extract_all(F.col("w"), F.lit("."), 0), "|"),
+            F.lit("|"),
+        ).alias("s"),
+    )
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        top = (
+            _pair_counts(syms)
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                "pair_count",
+            )
+        )
+        merges.append(top)
+        syms = (
+            syms.crossJoin(F.broadcast(top))
+            .withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit("|"), "left_sym", F.lit("|"), "right_sym", F.lit("|")),
+                    F.concat(F.lit("|"), "merged", F.lit("|")),
+                ),
+            )
+            .select("w", "freq", "s")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_oracle() -> str:
+    base = f"""
+WITH words AS (
+    SELECT tok AS w, count(*) AS freq
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents WHERE {_NORM} <> '')
+    GROUP BY 1 ORDER BY freq DESC, w LIMIT {_VOCAB_CAP}
+), s1 AS (
+    SELECT w, freq,
+           '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|' AS s
+    FROM words
+)"""
+    parts = []
+    for step in range(1, _BPE_STEPS + 1):
+        parts.append(
+            f""", p{step} AS (
+    SELECT arr[i] AS l, arr[i + 1] AS r, sum(freq) AS pair_count
+    FROM (SELECT freq, list_filter(string_split(s, '|'), x -> x <> '') AS arr
+          FROM s{step}),
+         unnest(range(1, len(arr))) AS t(i)
+    GROUP BY 1, 2
+), t{step} AS (
+    SELECT {step} AS step, l AS left_sym, r AS right_sym, l || r AS merged,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM p{step} ORDER BY pair_count DESC, l, r LIMIT 1
+), s{step + 1} AS (
+    SELECT w, freq,
+           replace(s, '|' || t.left_sym || '|' || t.right_sym || '|',
+                   '|' || t.merged || '|') AS s
+    FROM s{step}, t{step} t
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM t{step}" for step in range(1, _BPE_STEPS + 1)
+    )
+    return base + "".join(parts) + "\n" + union
+
+
+BPE_MERGE_ORACLE = _bpe_oracle()
+
+
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the release-report aggregate every corpus
+    ships (docs, token volume, exact-dup rate, language spread, dominant
+    language). Two hash aggregations plus a broadcast join of the
+    source-level top-language row — integer/string outputs only, exact in
+    both engines. mean_tokens is an integer floor-division."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens(normalized_text("text"))).alias("n_toks"),
+        F.md5(normalized_text("text")).alias("fp"),
+    )
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.countDistinct("fp").alias("distinct_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lang_w = Window.partitionBy("source").orderBy(
+        F.col("lang_docs").desc(), "lang"
+    )
+    top_lang = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("lang_docs"))
+        .withColumn("rk", F.row_number().over(lang_w))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"),
+                F.col("lang_docs").alias("top_lang_docs"))
+    )
+    return (
+        base.join(F.broadcast(top_lang), "source")
+        .withColumn("dup_docs", F.col("n_docs") - F.col("distinct_docs"))
+        .withColumn(
+            "mean_tokens",
+            ((F.col("total_tokens") - F.pmod("total_tokens", "n_docs"))
+             / F.col("n_docs")).cast("long"),
+        )
+        .select(
+            "source", "n_docs", "total_tokens", "distinct_docs", "dup_docs",
+            "n_langs", "mean_tokens", "top_lang", "top_lang_docs",
+        )
+    )
+
+
+DATASET_CARD_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source, lang,
+           CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKS}) END AS n_toks,
+           md5({_NORM}) AS fp
+    FROM documents
+), base AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           count(DISTINCT fp) AS distinct_docs,
+           count(DISTINCT lang) AS n_langs
+    FROM d GROUP BY source
+), tl AS (
+    SELECT source, lang AS top_lang, lang_docs AS top_lang_docs FROM (
+        SELECT source, lang, count(*) AS lang_docs,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang) AS rk
+        FROM d GROUP BY source, lang) WHERE rk = 1
+)
+SELECT base.source, n_docs, total_tokens, distinct_docs,
+       n_docs - distinct_docs AS dup_docs, n_langs,
+       CAST((total_tokens - ((total_tokens % n_docs + n_docs) % n_docs))
+            / n_docs AS BIGINT) AS mean_tokens,
+       top_lang, top_lang_docs
+FROM base JOIN tl ON base.source = tl.source
+"""
+
+REGISTRY: list[tuple] = [
+    ("embedding_kmeans", embedding_kmeans, EMBEDDING_KMEANS_ORACLE),
+    ("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE),
+    ("quality_linear_classifier", quality_linear_classifier, QUALITY_CLASSIFIER_ORACLE),
+    ("bpe_merge_induction", bpe_merge_induction, BPE_MERGE_ORACLE),
+    ("dataset_card_stats", dataset_card_stats, DATASET_CARD_ORACLE),
+]

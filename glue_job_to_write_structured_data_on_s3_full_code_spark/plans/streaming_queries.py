@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..session import tune
 from ..sources import materialize_result, read_table
+from ..streaming.anomaly import run_anomaly_stream
 from ..streaming.sessionize import run_sessionize_stream
 from .events_queries import EVENTS_SESSION_ORACLE
 
@@ -474,8 +475,79 @@ LEFT JOIN (SELECT * FROM customer WHERE c_custkey <= 1500) c
 """
 
 
+def streaming_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-baseline anomaly detection run as a REAL stateful stream
+    (``applyInPandasWithState``, streaming/anomaly.py): per-user
+    (count, sum) state crosses the micro-batch boundary — the events are
+    split on the median timestamp so every user's baseline accumulates in
+    batch 0 and keeps flagging in batch 1. Integer cents arithmetic makes
+    the streamed output bit-identical to the batch window query, which is
+    the DuckDB oracle."""
+    tune(spark)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="anomaly_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    with_epoch = ev.withColumn("_epoch", F.unix_timestamp("ts"))
+    cut = with_epoch.approxQuantile("_epoch", [0.5], 0.0)[0]
+    early = with_epoch.where(F.col("_epoch") <= cut).drop("_epoch")
+    late = with_epoch.where(F.col("_epoch") > cut).drop("_epoch")
+
+    p0, p1 = os.path.join(in_dir, "b0"), os.path.join(in_dir, "b1")
+    early.coalesce(1).write.parquet(p0)
+    late.coalesce(1).write.parquet(p1)
+    flat0 = os.path.join(in_dir, "part-000.parquet")
+    flat1 = os.path.join(in_dir, "part-001.parquet")
+    for src, dst, age in ((p0, flat0, 100), (p1, flat1, 50)):
+        f = [x for x in os.listdir(src) if x.endswith(".parquet")][0]
+        shutil.move(os.path.join(src, f), dst)
+        shutil.rmtree(src)
+        now = os.stat(dst).st_mtime
+        os.utime(dst, (now - age, now - age))
+
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        run_anomaly_stream(spark, in_dir, ckpt, out_dir)
+        result = spark.read.parquet(out_dir).select(
+            "event_id", "user_id", "ts", "value_cents",
+            "n_prior", "sum_prior_cents", "is_alert",
+        )
+        return materialize_result(result, "streaming_anomaly_alerts")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_ANOMALY_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM events
+)
+SELECT event_id, user_id, ts, value_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_prior,
+       CAST(coalesce(sum(value_cents) OVER w, 0) AS BIGINT) AS sum_prior_cents,
+       (count(*) OVER w >= 5
+        AND value_cents * count(*) OVER w
+            > 3 * coalesce(sum(value_cents) OVER w, 0)) AS is_alert
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
 REGISTRY = [
     ("streaming_sessionization", streaming_sessionization, EVENTS_SESSION_ORACLE),
+    ("streaming_anomaly_alerts", streaming_anomaly_alerts, STREAMING_ANOMALY_ORACLE),
     ("streaming_hourly_rollup", streaming_hourly_rollup, STREAMING_HOURLY_ORACLE),
     ("streaming_exact_dedup", streaming_exact_dedup, STREAMING_DEDUP_ORACLE),
     ("streaming_interval_join", streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),

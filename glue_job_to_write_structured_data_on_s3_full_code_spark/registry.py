@@ -32,6 +32,7 @@ from .plans import (
     llm_ops2,
     llm_ops3,
     llm_ops4,
+    llm_ops5,
     outbound,
     relational,
     streaming_queries,
@@ -131,7 +132,8 @@ _VERIFIED_PREFIX = (
 )
 
 _ALL_MODULES = (
-    deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, linkage, events_queries,
+    deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, linkage,
+    events_queries,
     temporal_queries, timeseries_queries, streaming_queries, graph_queries,
     waterfall, outbound, etl_ops, engine_ops, relational, breadth, breadth2,
     tpch_more,

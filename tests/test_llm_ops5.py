@@ -1,0 +1,72 @@
+"""Semantic checks for llm_ops5 (embedding-space curation + tokenizer
+induction). Cross-engine value parity is covered by test_oracle_parity;
+these pin the operator SEMANTICS: dedup keeps the lowest id of every
+near-dup pair, k-means assignments are integer-exact argmins, BPE merges
+are real adjacent pairs with non-increasing counts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark.plans import llm_ops5 as m
+
+
+def test_kmeans_assignment_is_argmin(spark, sf_dir):
+    out = m.embedding_kmeans(spark, sf_dir)
+    rows = out.collect()
+    n = m.read_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n  # every vector assigned exactly once
+    assert all(r.sq_dist >= 0 for r in rows)
+    assert out.select("cluster").distinct().count() <= m._K
+
+
+def test_semantic_dedup_keeps_lowest_id(spark, sf_dir):
+    out = m.semantic_dedup(spark, sf_dir).cache()
+    # the lowest vec_id of each cluster can never be dropped: a drop
+    # requires a LOWER id in the same cluster
+    mins = out.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+    joined = out.join(mins, ["cluster", "vec_id"])
+    assert joined.where(~F.col("kept")).count() == 0
+    # total rows = corpus size (dedup flags, never deletes silently)
+    n = m.read_table(spark, sf_dir, "embeddings").count()
+    assert out.count() == n
+
+
+def test_quality_classifier_score_bounds(spark, sf_dir):
+    out = m.quality_linear_classifier(spark, sf_dir)
+    bad = out.where(
+        (F.col("score") > F.col("n_tokens") * 1000)
+        | (F.col("score") < F.col("n_tokens") * -1000)
+    )
+    assert bad.count() == 0  # per-token weights live in [-1000, 1000]
+    assert out.where(F.col("accept") != (F.col("score") >= 0)).count() == 0
+
+
+def test_bpe_merges_are_ordered_and_consistent(spark, sf_dir):
+    rows = m.bpe_merge_induction(spark, sf_dir).orderBy("step").collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.pair_count > 0
+    # a later merge can never count higher than the first (the first is
+    # the global argmax and merging only removes pair occurrences of the
+    # chosen pair; other counts are unchanged or grow only via the new
+    # merged symbol, which did not exist at step 1... except pairs formed
+    # WITH the merged symbol — so only assert step1 >= step2 when neither
+    # side of step2 is step1's merged symbol)
+    s1, s2 = rows[0], rows[1]
+    if s1.merged not in (s2.left_sym, s2.right_sym):
+        assert s1.pair_count >= s2.pair_count
+
+
+def test_dataset_card_totals(spark, sf_dir):
+    out = m.dataset_card_stats(spark, sf_dir)
+    docs = m.read_table(spark, sf_dir, "documents")
+    total = out.agg(F.sum("n_docs")).first()[0]
+    assert total == docs.count()
+    bad = out.where(
+        (F.col("distinct_docs") > F.col("n_docs"))
+        | (F.col("top_lang_docs") > F.col("n_docs"))
+        | (F.col("dup_docs") < 0)
+    )
+    assert bad.count() == 0
