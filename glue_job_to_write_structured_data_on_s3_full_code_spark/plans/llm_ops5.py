@@ -72,18 +72,19 @@ def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _init_centroids(vecs: DataFrame) -> DataFrame:
+def _init_centroids(vecs: DataFrame, k: int = _K) -> DataFrame:
     """Deterministic seeds: the K lowest-id vectors (same policy as the
     IVF/PQ quantizers in operators/similarity.py — no RNG, no driver
     state, replayable in SQL)."""
-    return vecs.where(F.col("vec_id") < _K).select(
+    return vecs.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cvec")
     )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Argmin squared-L2 assignment. The centroid table is broadcast (K
-    rows); dist is an integer fold over zip_with, ties break on cid."""
+def _assign(vecs: DataFrame, cents: DataFrame, keep: int = 1) -> DataFrame:
+    """Min squared-L2 assignment (``keep`` best cells — 1 for clustering,
+    nprobe for IVF probing). The centroid table is broadcast (K rows);
+    dist is an integer fold over zip_with, ties break on cid."""
     dist = F.aggregate(
         F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -93,8 +94,8 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "qv", "cid", "dist")
+        .where(F.col("rk") <= keep)
+        .drop("cvec", "rk")  # keep every input column (callers may carry norms)
     )
 
 
@@ -496,10 +497,131 @@ SELECT base.source, n_docs, total_tokens, distinct_docs,
 FROM base JOIN tl ON base.source = tl.source
 """
 
+_IVF_K = 16  # learned coarse-quantizer size
+_IVF_NPROBE = 3
+_IVF_TOPK = 5
+_IVF_NQUERIES = 10
+
+
+def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer — the production FAISS
+    recipe (train k-means on a sample, then assign/probe), completing the
+    ANN family: mod-id IVF (embedding_ivf_topk) showed the search shape,
+    this one trains the quantizer with one Lloyd iteration in quantized
+    integer space so training replays bit-identically in the oracle.
+    Cell assignment and probing are exact integer L2 argmins; in-cell
+    reranking is exact cosine computed from integer dot/norms, rounded to
+    6 dp BEFORE ranking (the PQ tie-break taming), ties on neighbor_id.
+
+    Scale: train = the kmeans fan-out on the (sampled) corpus; search =
+    K-row broadcast assignment + cell-equality candidate join. Nothing
+    collects; nprobe bounds read amplification exactly as in FAISS."""
+    tune(spark)
+    vecs = _qvecs(spark, sf_dir)
+    cents = _recompute_centroids(
+        _assign(vecs, _init_centroids(vecs, k=_IVF_K))
+    )
+    nrm = F.aggregate(
+        F.transform("qv", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    with_norm = vecs.withColumn("nrm", nrm)
+    corpus = _assign(with_norm, cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("cv"),
+        F.col("nrm").alias("n2"),
+        "cid",
+    )
+    probes = _assign(
+        with_norm.where(F.col("vec_id") < _IVF_NQUERIES), cents, keep=_IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("pv"),
+        F.col("nrm").alias("n1"),
+        "cid",
+    )
+    dot = F.aggregate(
+        F.zip_with("pv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").alias("rank"))
+    )
+
+
+EMBEDDING_IVF_KMEANS_ORACLE = f"""
+WITH qv AS (
+    SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+), v AS (
+    SELECT vec_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val FROM qv
+), c0 AS (
+    SELECT vec_id AS cid, pos, val AS cval FROM v WHERE vec_id < {_IVF_K}
+), d1 AS (
+    SELECT v.vec_id, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+    FROM v JOIN c0 c USING (pos) GROUP BY 1, 2
+), a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d1) WHERE rk = 1
+), m1 AS (
+    SELECT a1.cid, v.pos,
+           CAST((sum(v.val) - ((sum(v.val) % count(*) + count(*)) % count(*)))
+                / count(*) AS BIGINT) AS cval
+    FROM a1 JOIN v USING (vec_id) GROUP BY 1, 2
+), d2 AS (
+    SELECT v.vec_id, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+    FROM v JOIN m1 c USING (pos) GROUP BY 1, 2
+), nrm AS (
+    SELECT vec_id, (SELECT sum(x.a * x.a)
+                    FROM (SELECT unnest(qv.qv) AS a) x) AS nrm
+    FROM qv
+), corpus AS (
+    SELECT d2.vec_id AS neighbor_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d2) d2 WHERE rk = 1
+), probes AS (
+    SELECT d2.vec_id AS query_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d2 WHERE vec_id < {_IVF_NQUERIES}) d2 WHERE rk <= {_IVF_NPROBE}
+), scored AS (
+    SELECT p.query_id, c.neighbor_id,
+           round((SELECT sum(x.a * x.b)
+                  FROM (SELECT unnest(pq.qv) AS a, unnest(cq.qv) AS b) x)
+                 / (sqrt(pn.nrm) * sqrt(cn.nrm)), 6) AS cosine
+    FROM probes p
+    JOIN corpus c USING (cid)
+    JOIN qv pq ON pq.vec_id = p.query_id
+    JOIN qv cq ON cq.vec_id = c.neighbor_id
+    JOIN nrm pn ON pn.vec_id = p.query_id
+    JOIN nrm cn ON cn.vec_id = c.neighbor_id
+    WHERE p.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= {_IVF_TOPK}
+"""
+
 REGISTRY: list[tuple] = [
     ("embedding_kmeans", embedding_kmeans, EMBEDDING_KMEANS_ORACLE),
     ("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE),
     ("quality_linear_classifier", quality_linear_classifier, QUALITY_CLASSIFIER_ORACLE),
     ("bpe_merge_induction", bpe_merge_induction, BPE_MERGE_ORACLE),
     ("dataset_card_stats", dataset_card_stats, DATASET_CARD_ORACLE),
+    ("embedding_ivf_kmeans_topk", embedding_ivf_kmeans_topk, EMBEDDING_IVF_KMEANS_ORACLE),
 ]

@@ -70,3 +70,24 @@ def test_dataset_card_totals(spark, sf_dir):
         | (F.col("dup_docs") < 0)
     )
     assert bad.count() == 0
+
+
+def test_ivf_kmeans_recall_and_determinism(spark, sf_dir):
+    """The learned-quantizer IVF is approximate in candidate generation
+    only: its top-5 should overlap the exact cosine top-5 for most
+    queries, and repeated runs must be identical (no RNG anywhere)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = m.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < m._IVF_NQUERIES)
+    exact = cosine_topk(emb, queries, k=m._IVF_TOPK).collect()
+    approx = m.embedding_ivf_kmeans_topk(spark, sf_dir).collect()
+
+    exact_keys = {(r.query_id, r.neighbor_id) for r in exact}
+    hits = sum((r.query_id, r.neighbor_id) in exact_keys for r in approx)
+    assert hits >= len(exact_keys) // 4, "IVF-kmeans recall collapsed"
+
+    again = m.embedding_ivf_kmeans_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
