@@ -1,0 +1,118 @@
+"""Landing-format roundtrip queries: prove the JSONL / CSV / ORC codec
+paths end-to-end (write → re-read with an explicit schema → aggregate),
+oracled against the same aggregate computed directly on the parquet
+source. The reference's only non-parquet interchange is REST JSON staged
+through ``spark.read.json`` (FULL.py:156-197, SURVEY §2.1 S5); raw drops
+in practice arrive as CSV/JSONL, so the engine's landing path needs the
+same proof parquet gets.
+
+What the roundtrip proves: schema-first reads (never inference — an extra
+full pass at 100 TB), timestamp fidelity through text formats (explicit
+microsecond ``timestampFormat`` on write AND read — the default
+millisecond JSON format silently truncates), and double fidelity through
+CSV (Spark emits shortest-roundtrip representations).
+
+Scale notes: the write and re-read are both executor-parallel (one file
+per partition, no coalesce); the aggregate is a single map-side-combined
+shuffle. ``materialize_result`` re-stages the final rows before the temp
+landing dir is deleted.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources import materialize_result, read_csv, read_json, read_orc, read_table
+from ..sources.files import write_csv, write_json, write_orc
+
+_EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _rollup(ev: DataFrame) -> DataFrame:
+    """The post-roundtrip aggregate: integer cents + id/ts extrema per
+    event type — every column either integer-exact or order-exact, so any
+    codec corruption (type flip, truncation, row loss) breaks the hash."""
+    return (
+        ev.withColumn(
+            "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("total_cents"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.max("ts").alias("max_ts"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id,
+       max(ts) AS max_ts,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, name: str) -> DataFrame:
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix=f"{fmt}_roundtrip_")
+    land = os.path.join(work, "landing")
+    try:
+        if fmt == "json":
+            write_json(ev, land, timestampFormat=_TS_FMT)
+            back = read_json(spark, land, _EVENT_SCHEMA, timestampFormat=_TS_FMT)
+        elif fmt == "csv":
+            write_csv(ev, land, timestampFormat=_TS_FMT)
+            back = read_csv(spark, land, _EVENT_SCHEMA, timestampFormat=_TS_FMT)
+        else:
+            write_orc(ev, land)
+            back = read_orc(spark, land)
+        return materialize_result(_rollup(back), name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def jsonl_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines landing files → schema-first re-read →
+    rollup. Hash-equality with the direct-on-parquet oracle proves the
+    JSONL codec preserves longs, doubles, strings, and microsecond
+    timestamps."""
+    return _roundtrip(spark, sf_dir, "json", "jsonl_roundtrip_rollup")
+
+
+def csv_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → headered CSV landing files → schema-first re-read →
+    rollup; proves quoting, double shortest-roundtrip, and timestamp
+    fidelity through the delimited path."""
+    return _roundtrip(spark, sf_dir, "csv", "csv_roundtrip_rollup")
+
+
+def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → re-read → rollup; the third columnar format the
+    lake exchange layer speaks (binary-exact, schema carried in-file)."""
+    return _roundtrip(spark, sf_dir, "orc", "orc_roundtrip_rollup")
+
+
+REGISTRY: list[tuple] = [
+    ("jsonl_roundtrip_rollup", jsonl_roundtrip_rollup, _ROLLUP_ORACLE),
+    ("csv_roundtrip_rollup", csv_roundtrip_rollup, _ROLLUP_ORACLE),
+    ("orc_roundtrip_rollup", orc_roundtrip_rollup, _ROLLUP_ORACLE),
+]

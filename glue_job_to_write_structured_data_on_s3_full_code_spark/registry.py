@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .plans.flagship import FLAGSHIP_ORACLE, flagship
 from .plans import (
     breadth,
+    formats,
     breadth2,
     deep_pipeline,
     engine_ops,
@@ -135,8 +136,8 @@ _ALL_MODULES = (
     deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, linkage,
     events_queries,
     temporal_queries, timeseries_queries, streaming_queries, graph_queries,
-    waterfall, outbound, etl_ops, engine_ops, relational, breadth, breadth2,
-    tpch_more,
+    waterfall, outbound, etl_ops, engine_ops, formats, relational, breadth,
+    breadth2, tpch_more,
 )
 
 _by_name = {"flagship_prospect_pipeline": ("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)}
