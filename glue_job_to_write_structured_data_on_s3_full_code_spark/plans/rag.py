@@ -1,0 +1,234 @@
+"""RAG / retrieval-serving pack: deterministic hashed text embeddings and
+an end-to-end chunk-retrieval pipeline (chunk → embed → search → rank) —
+the serving-side twin of the ANN index family in operators/similarity.py.
+
+No embedding model ships in this environment, so the embedder is the
+classic **feature-hashing projection** (Weinberger et al. 2009): one md5
+per token gives u, and dimension j's weight is the Carter-Wegman mix
+``((A_j*u + B_j) mod P) mod 3 - 1`` ∈ {-1, 0, 1} — the same
+one-hash-many-seeds trick MinHash uses (operators/dedup.py), so a 16-dim
+document embedding costs ONE md5 per token and replays bit-identically in
+DuckDB. Swapping in a real encoder is a mapInPandas batch over the same
+(id, text) → (id, vec) contract.
+
+All vector math is integer (dims are token-count-bounded sums of ±1), so
+dot products and norms are exact in both engines; cosine is rounded to
+6 dp BEFORE ranking (the round-before-rank taming from PQ/IVFADC).
+
+Scale notes (100 TB):
+- embedding is map-side: tokenize → one md5 → 16 integer sums per key,
+  one hash aggregation; no vocabulary table, no model state (that is the
+  point of the hashing trick);
+- retrieval here is brute-force over chunks with a BROADCAST query side —
+  the correct baseline shape for bounded query batches; at corpus scale
+  the candidate step swaps for the IVF/LSH bucket joins already in
+  operators/similarity.py with the same scoring tail;
+- chunking is the map-only sequence+explode from llm_ops2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, tokens
+from ..session import tune
+from ..sources import read_table
+from .llm_ops2 import CHUNK_LEN, CHUNK_STRIDE
+
+_DIM = 16
+_P = 2_147_483_647  # 2^31 - 1, the Carter-Wegman prime shared with MinHash
+_NQUERIES = 3
+_TOPK = 3
+
+# DuckDB spellings shared with llm_ops3.
+_NORM = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = "string_split_regex({norm}, '\\s+')"
+
+
+def _u_col(tok) -> F.Column:
+    """One md5 per token → u ∈ [0, P): the seed every dimension mixes."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % _P
+    )
+
+
+_U_SQL = f"CAST(('0x' || substring(md5(tok), 1, 15))::UBIGINT % {_P} AS BIGINT)"
+
+
+def _dim_weight(j: int) -> F.Column:
+    """Dimension j's ±1/0 weight from u (Carter-Wegman mix, fixed odd
+    multipliers — literals mirrored in the oracle)."""
+    a, b = 2 * j + 3, 5 * j + 7
+    return (F.lit(a) * F.col("u") + F.lit(b)) % _P % 3 - 1
+
+
+def _dim_weight_sql(j: int) -> str:
+    a, b = 2 * j + 3, 5 * j + 7
+    return f"(({a} * u + {b}) % {_P}) % 3 - 1"
+
+
+def _embed(tok_df: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., tok) → (keys..., emb array<long>, nrm). Rows whose key
+    has zero tokens simply don't appear (nothing to embed)."""
+    with_u = tok_df.withColumn("u", _u_col(F.col("tok")))
+    aggs = [
+        F.sum(_dim_weight(j)).alias(f"e{j}") for j in range(_DIM)
+    ]
+    by_key = with_u.groupBy(*keys).agg(*aggs)
+    emb = F.array(*[F.col(f"e{j}") for j in range(_DIM)])
+    nrm = F.aggregate(
+        F.transform(emb, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return by_key.select(*keys, emb.alias("emb"), nrm.alias("nrm"))
+
+
+def _embed_sql(src: str, keys: str, text_expr: str) -> str:
+    """CTE text embedding ``src`` (a relation with ``keys`` and a text
+    column) the same way: explode tokens, one md5 → u, 16 mixed sums."""
+    norm = _NORM.format(col=text_expr)
+    toks = _TOKS.format(norm=norm)
+    dims = ", ".join(
+        f"CAST(sum({_dim_weight_sql(j)}) AS BIGINT)" for j in range(_DIM)
+    )
+    return f"""
+    SELECT {keys}, [{dims}] AS emb
+    FROM (SELECT {keys}, {_U_SQL} AS u
+          FROM (SELECT {keys}, unnest({toks}) AS tok FROM {src}
+                WHERE {norm} <> ''))
+    GROUP BY {keys}
+"""
+
+
+def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level hashed embeddings: doc_id → 16-dim integer vector +
+    its squared norm. The model-free embedder the rest of the RAG pack
+    (and any caller wanting semantic features without an encoder) builds
+    on. Map-side tokenize → one md5 → one hash aggregation."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.where(normalized_text("text") != "").select(
+        "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
+    )
+    # the driver gate hashes scalar cells only — ship the vector as a
+    # delimited string (the array form stays internal to the RAG pipeline)
+    return _embed(tok, "doc_id").select(
+        "doc_id",
+        F.array_join(F.col("emb").cast("array<string>"), ",").alias("emb_str"),
+        "nrm",
+    )
+
+
+TEXT_EMBED_ORACLE = (
+    "SELECT doc_id, array_to_string(emb, ',') AS emb_str, "
+    "(SELECT CAST(sum(x.a * x.a) AS BIGINT) FROM (SELECT unnest(emb) AS a) x) AS nrm "
+    "FROM (" + _embed_sql("documents", "doc_id", "text") + ")"
+)
+
+
+def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval serving: chunk the corpus (stride 200 / width
+    250, llm_ops2's map-only chunker), embed every chunk and the query
+    documents (doc_id < 3) with the hashed projection, score exact cosine
+    in integer space, return each query's top-3 foreign chunks (own-doc
+    chunks excluded — the classic leakage guard). One chunk-side hash
+    aggregation, a 3-row broadcast, one top-k window."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    n_chunks_minus1 = F.greatest(
+        F.floor((F.col("n_chars") - 1) / F.lit(float(CHUNK_STRIDE))), F.lit(0)
+    )
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_minus1)).alias(
+            "chunk_id"
+        ),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.expr(
+            f"substring(text, cast(chunk_id*{CHUNK_STRIDE}+1 as int), {CHUNK_LEN})"
+        ).alias("chunk_text"),
+    )
+    chunk_tok = chunks.where(normalized_text("chunk_text") != "").select(
+        "doc_id",
+        "chunk_id",
+        F.explode(tokens(normalized_text("chunk_text"))).alias("tok"),
+    )
+    chunk_emb = _embed(chunk_tok, "doc_id", "chunk_id")
+
+    qdocs = docs.where(F.col("doc_id") < _NQUERIES)
+    q_tok = qdocs.where(normalized_text("text") != "").select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(tokens(normalized_text("text"))).alias("tok"),
+    )
+    q_emb = _embed(q_tok, "query_id").select(
+        "query_id", F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        chunk_emb.where(F.col("nrm") > 0)
+        .crossJoin(F.broadcast(q_emb.where(F.col("q_nrm") > 0)))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cosine",
+            F.round(F.col("dot") / (F.sqrt("q_nrm") * F.sqrt("nrm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "doc_id", "chunk_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOPK)
+        .select(
+            "query_id", F.col("rk").alias("rank"), "doc_id", "chunk_id", "cosine"
+        )
+    )
+
+
+_CHUNKS_SQL = f"""
+    SELECT doc_id, chunk_id,
+           substring(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS INT), {CHUNK_LEN}) AS chunk_text
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0,
+                     greatest(CAST(floor((n_chars-1)/{CHUNK_STRIDE}.0) AS BIGINT), 0))) AS chunk_id
+          FROM documents WHERE n_chars > 0) t
+"""
+
+RAG_RETRIEVAL_ORACLE = f"""
+WITH chunks AS ({_CHUNKS_SQL}
+), chunk_emb AS ({_embed_sql("chunks", "doc_id, chunk_id", "chunk_text")}
+), q_emb AS ({_embed_sql("(SELECT * FROM documents WHERE doc_id < {nq} AND n_chars > 0)".format(nq=_NQUERIES), "doc_id", "text")}
+), scored AS (
+    SELECT q.doc_id AS query_id, c.doc_id, c.chunk_id,
+           round((SELECT sum(x.a * x.b)
+                  FROM (SELECT unnest(q.emb) AS a, unnest(c.emb) AS b) x)
+                 / (sqrt((SELECT sum(x.a * x.a)
+                          FROM (SELECT unnest(q.emb) AS a) x))
+                    * sqrt((SELECT sum(x.a * x.a)
+                            FROM (SELECT unnest(c.emb) AS a) x))), 6) AS cosine
+    FROM q_emb q, chunk_emb c
+    WHERE q.doc_id <> c.doc_id
+      AND (SELECT sum(x.a * x.a) FROM (SELECT unnest(q.emb) AS a) x) > 0
+      AND (SELECT sum(x.a * x.a) FROM (SELECT unnest(c.emb) AS a) x) > 0
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, chunk_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, doc_id, chunk_id) AS rank
+    FROM scored) WHERE rank <= {_TOPK}
+"""
+
+REGISTRY: list[tuple] = [
+    ("text_hash_embeddings", text_hash_embeddings, TEXT_EMBED_ORACLE),
+    ("rag_retrieval_pipeline", rag_retrieval_pipeline, RAG_RETRIEVAL_ORACLE),
+]

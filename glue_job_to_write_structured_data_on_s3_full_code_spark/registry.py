@@ -35,6 +35,7 @@ from .plans import (
     llm_ops4,
     llm_ops5,
     outbound,
+    rag,
     relational,
     streaming_queries,
     temporal_queries,
@@ -136,8 +137,8 @@ _ALL_MODULES = (
     deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, linkage,
     events_queries,
     temporal_queries, timeseries_queries, streaming_queries, graph_queries,
-    waterfall, outbound, etl_ops, engine_ops, formats, relational, breadth,
-    breadth2, tpch_more,
+    waterfall, outbound, etl_ops, engine_ops, formats, rag, relational,
+    breadth, breadth2, tpch_more,
 )
 
 _by_name = {"flagship_prospect_pipeline": ("flagship_prospect_pipeline", flagship, FLAGSHIP_ORACLE)}
