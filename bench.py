@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "cube_subtotals",
     "embedding_neardup_dedup",
     "minhash_lsh_fast",
+    "rag_retrieval_pipeline",
+    "duplicated_ngram_spans",
 ]
 
 
@@ -101,7 +103,13 @@ def main() -> None:
     # (deep pipelines + the MinHash fast path), which inflates the raw
     # total. baseline_comparable_total is the sum over the ORIGINAL 23 so
     # cross-round totals stay apples-to-apples.
-    grown = {"deep_prospect_pipeline", "pretraining_data_pipeline", "minhash_lsh_fast"}
+    grown = {
+        "deep_prospect_pipeline",
+        "pretraining_data_pipeline",
+        "minhash_lsh_fast",
+        "rag_retrieval_pipeline",
+        "duplicated_ngram_spans",
+    }
     print(
         json.dumps(
             {

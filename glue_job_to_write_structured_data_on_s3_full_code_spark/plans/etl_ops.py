@@ -128,7 +128,86 @@ SELECT o_orderkey + 10000000, 'removed' FROM orders WHERE o_orderkey < 200
 """
 
 
+def gdpr_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over an immutable parquet lake: erase every
+    row of the flagged data subjects by REWRITING ONLY the partitions
+    that own them, leaving all other partition files untouched.
+
+    The table is partitioned by a key-derived bucket (``o_custkey % 8``)
+    — the layout decision that makes erasure surgical: a subject's rows
+    live in exactly one partition, so the delete is (1) anti-join the
+    flagged keys inside the owning buckets, (2) dynamic-partition-
+    overwrite just those buckets (sources/snapshot.overwrite_partition).
+    Flagged subjects here are ``o_custkey % 64 == 0`` → all in bucket 0;
+    the untouched-files property is pinned in
+    tests/test_structuring_job.py::test_gdpr_erasure_touches_only_owning_partitions.
+
+    Scale: the rewrite cost is proportional to the FLAGGED buckets' size,
+    not the table; at 100 TB with 10⁴ buckets an erasure batch rewrites
+    only the buckets its subjects hash to. Output is the post-erasure
+    per-bucket audit (the deletion evidence a DPO files)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import materialize_result, overwrite_partition
+
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    with_bucket = orders.withColumn("bucket", F.col("o_custkey") % 8)
+
+    work = tempfile.mkdtemp(prefix="gdpr_erasure_")
+    table = os.path.join(work, "orders_by_bucket")
+    try:
+        with_bucket.write.partitionBy("bucket").parquet(table)
+        flagged = F.col("o_custkey") % 64 == 0
+        touched = (
+            spark.read.parquet(table)
+            .where(flagged)
+            .select("bucket")
+            .distinct()
+        )
+        retained = (
+            spark.read.parquet(table)
+            .join(F.broadcast(touched), "bucket", "left_semi")
+            .where(~flagged)
+        )
+        overwrite_partition(retained, table, partition_cols=("bucket",))
+        audit = (
+            spark.read.parquet(table)
+            .withColumn(
+                "price_cents",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_customers"),
+                F.sum("price_cents").alias("revenue_cents"),
+            )
+            .withColumn("bucket", F.col("bucket").cast("long"))
+        )
+        return materialize_result(audit, "gdpr_erasure_rewrite")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+GDPR_ERASURE_ORACLE = """
+SELECT o_custkey % 8 AS bucket,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+WHERE o_custkey % 64 <> 0
+GROUP BY 1
+"""
+
+
 REGISTRY: list[tuple] = [
     ("scd2_customer_merge", scd2_customer_merge, SCD2_ORACLE),
     ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
+    ("gdpr_erasure_rewrite", gdpr_erasure_rewrite, GDPR_ERASURE_ORACLE),
 ]

@@ -111,8 +111,71 @@ def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc", "orc_roundtrip_rollup")
 
 
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across landing batches — the lakehouse fact of life
+    the reference's opaque-string partitions sidestep (SURVEY §1.1:
+    partition values are strings precisely because upstream schemas
+    wobble). Batch 1 lands the original orders schema; batch 2 adds a
+    `channel` column. A `mergeSchema` read unifies them (old rows get
+    NULL channel), and the rollup proves both the widened schema and the
+    null backfill.
+
+    Scale: mergeSchema samples footers only (no data pass); the rollup is
+    one hash aggregation. Partition-dir layout mirrors a dated landing
+    zone, so at 100 TB the read prunes by landing date as usual."""
+    tune(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    old = orders.where(F.col("o_orderkey") % 2 == 0)
+    new = orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "channel",
+        F.when(F.col("o_custkey") % 3 == 0, F.lit("web")).otherwise(F.lit("store")),
+    )
+    work = tempfile.mkdtemp(prefix="schema_evolution_")
+    land = os.path.join(work, "landing")
+    try:
+        old.write.parquet(os.path.join(land, "batch=1"))
+        new.write.parquet(os.path.join(land, "batch=2"))
+        merged = spark.read.option("mergeSchema", "true").parquet(land)
+        out = (
+            merged.withColumn(
+                "price_cents",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+            )
+            .groupBy(F.coalesce("channel", F.lit("unknown")).alias("channel"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("price_cents").alias("revenue_cents"),
+                F.countDistinct("o_custkey").alias("n_customers"),
+            )
+        )
+        return materialize_result(out, "schema_evolution_merge")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+WITH widened AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN CASE WHEN o_custkey % 3 = 0 THEN 'web' ELSE 'store' END
+                ELSE NULL END AS channel
+    FROM orders
+)
+SELECT coalesce(channel, 'unknown') AS channel,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       count(DISTINCT o_custkey) AS n_customers
+FROM widened
+GROUP BY 1
+"""
+
+
 REGISTRY: list[tuple] = [
     ("jsonl_roundtrip_rollup", jsonl_roundtrip_rollup, _ROLLUP_ORACLE),
     ("csv_roundtrip_rollup", csv_roundtrip_rollup, _ROLLUP_ORACLE),
     ("orc_roundtrip_rollup", orc_roundtrip_rollup, _ROLLUP_ORACLE),
+    ("schema_evolution_merge", schema_evolution_merge, SCHEMA_EVOLUTION_ORACLE),
 ]

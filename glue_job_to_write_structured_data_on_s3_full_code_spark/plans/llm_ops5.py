@@ -299,6 +299,66 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM tok GROUP BY doc_id
 """
 
+def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span profile — the substring-level dedup
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): for every document, the share of its distinct
+    5-grams that appear in at least one OTHER document. Complements
+    `sentence_dedup` (exact sentence granularity) and
+    `repetition_ratio_filter` (within-doc): this is the cross-document
+    span-duplication rate that drives substring-trimming decisions.
+
+    Both shuffles carry 32-hex md5 digests, never gram text: one groupBy
+    on the digest for corpus frequencies, one digest-equality join back.
+    No broadcast — the gram-frequency table is corpus-sized by design."""
+    tune(spark)
+    from .llm_ops3 import _five_grams
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = (
+        docs.where(normalized_text("text") != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_five_grams(tokens(normalized_text("text"))))
+            ).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("gh"))
+    )
+    freq = grams.groupBy("gh").agg(F.count("*").alias("nd"))
+    return (
+        grams.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+        )
+    )
+
+
+DUP_NGRAM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS ts FROM documents WHERE {_NORM} <> ''
+), grams AS (
+    SELECT DISTINCT doc_id, md5(g) AS gh FROM (
+        SELECT doc_id, unnest(CASE WHEN len(ts) >= 5
+            THEN list_transform(range(1, len(ts) - 3),
+                 i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]))
+            ELSE [array_to_string(ts, ' ')] END) AS g
+        FROM toks)
+), freq AS (
+    SELECT gh, count(*) AS nd FROM grams GROUP BY gh
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       round(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS dup_fraction
+FROM grams g JOIN freq f USING (gh)
+GROUP BY g.doc_id
+"""
+
 _VOCAB_CAP = 500  # merge statistics run over the top-|V| word histogram
 _BPE_STEPS = 3
 
@@ -624,4 +684,5 @@ REGISTRY: list[tuple] = [
     ("bpe_merge_induction", bpe_merge_induction, BPE_MERGE_ORACLE),
     ("dataset_card_stats", dataset_card_stats, DATASET_CARD_ORACLE),
     ("embedding_ivf_kmeans_topk", embedding_ivf_kmeans_topk, EMBEDDING_IVF_KMEANS_ORACLE),
+    ("duplicated_ngram_spans", duplicated_ngram_spans, DUP_NGRAM_ORACLE),
 ]

@@ -341,3 +341,36 @@ def test_pretraining_pipeline_no_cartesian(spark, sf_dir, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir, queries):
+    # both Lloyd iterations assign via a K-row broadcast (no shuffle of
+    # the vector side against centroids) and never SortMergeJoin
+    plan = _plan(queries["embedding_kmeans"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_joins_on_cluster_key(spark, sf_dir, queries):
+    # the pairwise stage must be a cluster-key EQUALITY join (SemDeDup's
+    # sub-quadratic core), not a cartesian pair enumeration
+    plan = _plan(queries["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_rag_retrieval_broadcasts_queries(spark, sf_dir, queries):
+    # query embeddings (3 rows) broadcast against the chunk side; the only
+    # wide exchange is the top-k window partitioned by query
+    plan = _plan(queries["rag_retrieval_pipeline"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_duplicated_ngram_shuffles_digests_only(spark, sf_dir, queries):
+    # the frequency join shuffles md5 digests; gram text must not survive
+    # into the exchange (column pruning drops `g` after the digest select)
+    df = queries["duplicated_ngram_spans"](spark, sf_dir)
+    plan = _plan(df)
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines and all(" g#" not in l for l in ex_lines)

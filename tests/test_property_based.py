@@ -243,3 +243,49 @@ def test_minhash_cw_family_spreads_and_is_deterministic():
     for i in range(16):
         for j in range(i + 1, 16):
             assert tables[i] != tables[j]
+
+
+texts_st = st.lists(
+    st.text(alphabet="ab c1", min_size=0, max_size=24), min_size=1, max_size=6
+)
+
+
+@given(texts=texts_st)
+@settings(**_SETTINGS)
+def test_hashed_embedding_is_bag_of_words_linear(spark, texts):
+    """The feature-hashing embedder (plans/rag.py) is linear in the token
+    bag: emb(concat(a, b)) == emb(a) + emb(b) elementwise, and every dim
+    is bounded by the token count. This is the property that lets partial
+    aggregation (map-side combine) compute it distributively at 100 TB."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.rag import (
+        _DIM,
+        _embed,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.functions.text import (
+        normalized_text,
+        tokens,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((len(texts), " ".join(texts)))  # the concatenated bag
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = df.where(normalized_text("text") != "").select(
+        "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
+    )
+    out = {r["doc_id"]: (r["emb"], r["nrm"]) for r in _embed(tok, "doc_id").collect()}
+    if len(texts) not in out:
+        return  # everything normalized to empty
+    whole, _ = out[len(texts)]
+    parts = [out[i][0] for i in range(len(texts)) if i in out]
+    for j in range(_DIM):
+        assert whole[j] == sum(p[j] for p in parts)
+    n_toks = sum(
+        len(t.split()) for t in (normalize_py(x) for x in texts) if t
+    )
+    assert all(abs(whole[j]) <= n_toks for j in range(_DIM))
+
+
+def normalize_py(s: str) -> str:
+    import re
+
+    return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()

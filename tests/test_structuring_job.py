@@ -167,3 +167,50 @@ from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.snapshot im
 from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.snapshot import (
     ensure_table as ensure_table_mod,
 )
+
+
+def test_gdpr_erasure_touches_only_owning_partitions(spark, sf_dir, tmp_path):
+    """The erasure rewrite must leave every partition that owns no flagged
+    subject byte-identical on disk — the property that makes
+    right-to-be-forgotten affordable on a 100 TB lake."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import (
+        overwrite_partition,
+        read_table,
+    )
+
+    table = str(tmp_path / "orders_by_bucket")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders.withColumn("bucket", F.col("o_custkey") % 8).write.partitionBy(
+        "bucket"
+    ).parquet(table)
+
+    def snapshot_files(skip_bucket: str):
+        out = {}
+        for root, _dirs, files in os.walk(table):
+            if skip_bucket in root:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot_files("bucket=0")
+    flagged = F.col("o_custkey") % 64 == 0
+    touched = spark.read.parquet(table).where(flagged).select("bucket").distinct()
+    retained = (
+        spark.read.parquet(table)
+        .join(F.broadcast(touched), "bucket", "left_semi")
+        .where(~flagged)
+    )
+    overwrite_partition(retained, table, partition_cols=("bucket",))
+
+    assert snapshot_files("bucket=0") == before  # other buckets untouched
+    after = spark.read.parquet(table)
+    assert after.where(flagged).count() == 0  # flagged subjects gone
+    assert after.where(~flagged).count() == orders.where(~flagged).count()
