@@ -141,6 +141,38 @@ def _five_grams(ts: F.Column) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", ts)))
 
 
+def five_gram_digests(with_text: DataFrame, *key_cols: str) -> DataFrame:
+    """(key_cols..., text) → distinct (key_cols..., gh) where gh is the
+    md5 of each 5-gram over the normalized token stream (docs shorter
+    than 5 tokens contribute their whole text as one gram).
+
+    Explodes the gram INDEX rather than a built gram array: constructing
+    grams inside a `transform` lambda makes Catalyst inline the (unaliased)
+    tokenizer subtree into every array-element evaluation — measured 77 s
+    vs 2 s at sf0.1 (SCALE.md tuning log). Index-explode tokenizes once
+    per row and builds each gram as a flat codegen projection."""
+    toks = with_text.where(normalized_text("text") != "").select(
+        *key_cols, tokens(normalized_text("text")).alias("ts")
+    )
+    n = F.size("ts")
+    idx = toks.select(
+        *key_cols,
+        "ts",
+        F.explode(
+            F.when(n >= 5, F.sequence(F.lit(0), n - 5)).otherwise(
+                F.array(F.lit(-1))
+            )
+        ).alias("i"),
+    )
+    gram = F.when(
+        F.col("i") >= 0,
+        F.concat_ws(
+            " ", *[F.element_at("ts", F.col("i") + k + 1) for k in range(5)]
+        ),
+    ).otherwise(F.concat_ws(" ", "ts"))
+    return idx.select(*key_cols, F.md5(gram).alias("gh")).distinct()
+
+
 def ngram_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: for every eval-split document, the share
     of its distinct 5-grams that also appear anywhere in the train split
@@ -154,16 +186,8 @@ def ngram_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_table(spark, sf_dir, "documents")
     bucket = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
-    grams = (
-        docs.where(normalized_text("text") != "")
-        .select(
-            "doc_id",
-            bucket.alias("bucket"),
-            F.explode(
-                F.array_distinct(_five_grams(tokens(normalized_text("text"))))
-            ).alias("g"),
-        )
-        .select("doc_id", "bucket", F.md5("g").alias("gh"))
+    grams = five_gram_digests(
+        docs.select("doc_id", bucket.alias("bucket"), "text"), "doc_id", "bucket"
     )
     train_g = (
         grams.where(F.col("bucket") < TRAIN_BUCKET_MAX).select("gh").distinct()

@@ -310,21 +310,16 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both shuffles carry 32-hex md5 digests, never gram text: one groupBy
     on the digest for corpus frequencies, one digest-equality join back.
-    No broadcast — the gram-frequency table is corpus-sized by design."""
+    No broadcast — the gram-frequency table is corpus-sized by design.
+
+    Gram generation uses llm_ops3.five_gram_digests (index-explode — the
+    lambda-inlining hazard documented there and in SCALE.md's tuning log
+    measured 77 s vs 2 s at sf0.1 for this query)."""
     tune(spark)
-    from .llm_ops3 import _five_grams
+    from .llm_ops3 import five_gram_digests
 
     docs = read_table(spark, sf_dir, "documents")
-    grams = (
-        docs.where(normalized_text("text") != "")
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(_five_grams(tokens(normalized_text("text"))))
-            ).alias("g"),
-        )
-        .select("doc_id", F.md5("g").alias("gh"))
-    )
+    grams = five_gram_digests(docs.select("doc_id", "text"), "doc_id")
     freq = grams.groupBy("gh").agg(F.count("*").alias("nd"))
     return (
         grams.join(freq, "gh")
