@@ -72,3 +72,37 @@ def test_jw_pairs_blocked_and_thresholded(spark):
     # cross-block pair (1,4) identical but never compared
     assert all(4 not in k for k in got)
     assert all(3 not in k for k in got)
+
+
+def test_name_level_pairs_conserve_row_pair_counts(spark, sf_dir):
+    """The dedupe-before-kernel rewrite must represent EXACTLY the same
+    row-pair set: sum(n_pairs) over name pairs == the row-level pair
+    count the old O(N²) form produced."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.linkage import (
+        fuzzy_name_pairs,
+        jaro_winkler_linkage,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.linkage import (
+        blocked_levenshtein_pairs,
+        jaro_winkler_pairs,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    part = read_table(spark, sf_dir, "part")
+    lev_rows = blocked_levenshtein_pairs(
+        part, "p_name", "p_partkey", "p_type", max_dist=4
+    ).count()
+    lev_agg = (
+        fuzzy_name_pairs(spark, sf_dir).agg(F.sum("n_pairs")).first()[0]
+    )
+    assert lev_agg == lev_rows
+
+    jw_rows = jaro_winkler_pairs(
+        part, "p_name", "p_partkey", "p_type", threshold=0.88
+    ).count()
+    jw_agg = (
+        jaro_winkler_linkage(spark, sf_dir).agg(F.sum("n_pairs")).first()[0]
+    )
+    assert jw_agg == jw_rows
