@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "minhash_lsh_fast",
     "rag_retrieval_pipeline",
     "duplicated_ngram_spans",
+    "ngram_contamination_check",
+    "jaro_winkler_linkage",
 ]
 
 
@@ -109,6 +111,8 @@ def main() -> None:
         "minhash_lsh_fast",
         "rag_retrieval_pipeline",
         "duplicated_ngram_spans",
+        "ngram_contamination_check",
+        "jaro_winkler_linkage",
     }
     print(
         json.dumps(
