@@ -672,6 +672,97 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
     FROM scored) WHERE rank <= {_IVF_TOPK}
 """
 
+def corpus_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus slices — the data
+    observability check every refreshed training corpus runs (token
+    distribution of the incoming batch vs the established corpus). Slices
+    reuse the deterministic md5-bucket split; per-token drift is the
+    cross-multiplied integer L1 term |fa·NB − fb·NA| (comparing the
+    RATES fa/NA vs fb/NB without ever dividing — stays exact in both
+    engines). Top-30 drifted tokens.
+
+    One tokenize pass, one token aggregation, a 1-row broadcast of the
+    totals, TakeOrdered for the top-k — no sort of the vocabulary."""
+    tune(spark)
+    from .llm_ops3 import TRAIN_BUCKET_MAX
+
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+    tok = docs.where(normalized_text("text") != "").select(
+        (bucket < TRAIN_BUCKET_MAX).alias("is_a"),
+        F.explode(tokens(normalized_text("text"))).alias("tok"),
+    )
+    freq = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("fa"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("fb"),
+    )
+    tot = freq.agg(F.sum("fa").alias("na"), F.sum("fb").alias("nb"))
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "drift", F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
+        )
+        .orderBy(F.col("drift").desc(), "tok")
+        .limit(30)
+        .select("tok", "fa", "fb", "drift")
+    )
+
+
+_BUCKET_MAX = "d3"  # llm_ops3.TRAIN_BUCKET_MAX (md5 2-hex-char split point)
+
+CORPUS_DRIFT_ORACLE = f"""
+WITH tok AS (
+    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_BUCKET_MAX}' AS is_a,
+           unnest({_TOKS}) AS tok
+    FROM documents WHERE {_NORM} <> ''
+), freq AS (
+    SELECT tok,
+           CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS fa,
+           CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS fb
+    FROM tok GROUP BY tok
+), tot AS (
+    SELECT CAST(sum(fa) AS BIGINT) AS na, CAST(sum(fb) AS BIGINT) AS nb FROM freq
+)
+SELECT tok, fa, fb, CAST(abs(fa * nb - fb * na) AS BIGINT) AS drift
+FROM freq, tot
+ORDER BY drift DESC, tok LIMIT 30
+"""
+
+
+def multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup end-to-end: binary payloads → Arrow mapInPandas
+    feature/digest extraction (operators/multimodal.py — the decode step
+    is the honest stub, the digest is a pure function of the payload
+    bytes) → exact dedup on the content digest, keep-lowest-id. The
+    perceptual-hash dedup shape: swap the md5 for a real pHash inside the
+    same Arrow batch and the plan is unchanged.
+
+    The groupBy shuffles (digest, doc_id, n_bytes) — never payload bytes:
+    at 100 TB of media the shuffle carries 16-byte digests."""
+    tune(spark)
+    from ..operators.multimodal import extract_media_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = extract_media_features(payloads)
+    return feats.groupBy("digest").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+
+
+MULTIMODAL_DEDUP_ORACLE = """
+SELECT md5(text) AS digest,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+"""
+
 REGISTRY: list[tuple] = [
     ("embedding_kmeans", embedding_kmeans, EMBEDDING_KMEANS_ORACLE),
     ("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE),
@@ -680,4 +771,6 @@ REGISTRY: list[tuple] = [
     ("dataset_card_stats", dataset_card_stats, DATASET_CARD_ORACLE),
     ("embedding_ivf_kmeans_topk", embedding_ivf_kmeans_topk, EMBEDDING_IVF_KMEANS_ORACLE),
     ("duplicated_ngram_spans", duplicated_ngram_spans, DUP_NGRAM_ORACLE),
+    ("corpus_drift_l1", corpus_drift_l1, CORPUS_DRIFT_ORACLE),
+    ("multimodal_dedup_pipeline", multimodal_dedup_pipeline, MULTIMODAL_DEDUP_ORACLE),
 ]
