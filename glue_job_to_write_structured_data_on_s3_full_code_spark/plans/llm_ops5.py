@@ -376,18 +376,35 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training, first 3 merge rules: aggregate
-    the corpus to its word histogram ONCE (the only corpus-sized pass —
-    how tokenizer training shapes at 100 TB), cap at the top-500 words,
-    then iterate pair-count -> argmax -> merge on the bounded histogram.
-    Each merge is a 1-row broadcast; application is a left-to-right
-    non-overlapping replace of '|l|r|' with '|lr|' — deterministic and
-    identical in Spark and DuckDB (back-to-back overlapping chains merge
-    every other occurrence in BOTH engines, so the oracle replays it
-    exactly; textbook greedy BPE differs only on such chains). Ties break
-    on (count desc, l, r). Returns the learned merge table."""
-    tune(spark)
+def _sym_string(word_col: str) -> F.Column:
+    """'hello' → '|h|e|l|l|o|' — the delimited symbol representation that
+    makes merge application a plain string replace in both engines."""
+    return F.concat(
+        F.lit("|"),
+        F.array_join(F.regexp_extract_all(F.col(word_col), F.lit("."), 0), "|"),
+        F.lit("|"),
+    )
+
+
+def _apply_merge(syms: DataFrame, top: DataFrame) -> DataFrame:
+    """Apply a 1-row merge table (broadcast) to the delimited symbols."""
+    return (
+        syms.crossJoin(F.broadcast(top.select("left_sym", "right_sym", "merged")))
+        .withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit("|"), "left_sym", F.lit("|"), "right_sym", F.lit("|")),
+                F.concat(F.lit("|"), "merged", F.lit("|")),
+            ),
+        )
+        .drop("left_sym", "right_sym", "merged")
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Learn the first _BPE_STEPS merge rules from the capped word
+    histogram; returns one 1-row DataFrame per step."""
     docs = read_table(spark, sf_dir, "documents")
     words = (
         docs.where(normalized_text("text") != "")
@@ -397,15 +414,7 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "w")
         .limit(_VOCAB_CAP)
     )
-    syms = words.select(
-        "w",
-        "freq",
-        F.concat(
-            F.lit("|"),
-            F.array_join(F.regexp_extract_all(F.col("w"), F.lit("."), 0), "|"),
-            F.lit("|"),
-        ).alias("s"),
-    )
+    syms = words.select("w", "freq", _sym_string("w").alias("s"))
     merges = []
     for step in range(1, _BPE_STEPS + 1):
         top = (
@@ -421,25 +430,32 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         merges.append(top)
-        syms = (
-            syms.crossJoin(F.broadcast(top))
-            .withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.concat(F.lit("|"), "left_sym", F.lit("|"), "right_sym", F.lit("|")),
-                    F.concat(F.lit("|"), "merged", F.lit("|")),
-                ),
-            )
-            .select("w", "freq", "s")
-        )
+        syms = _apply_merge(syms, top)
+    return merges
+
+
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first 3 merge rules: aggregate
+    the corpus to its word histogram ONCE (the only corpus-sized pass —
+    how tokenizer training shapes at 100 TB), cap at the top-500 words,
+    then iterate pair-count -> argmax -> merge on the bounded histogram.
+    Each merge is a 1-row broadcast; application is a left-to-right
+    non-overlapping replace of '|l|r|' with '|lr|' — deterministic and
+    identical in Spark and DuckDB (back-to-back overlapping chains merge
+    every other occurrence in BOTH engines, so the oracle replays it
+    exactly; textbook greedy BPE differs only on such chains). Ties break
+    on (count desc, l, r). Returns the learned merge table."""
+    tune(spark)
+    merges = _bpe_learn(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle_ctes() -> str:
+    """The merge-learning CTE chain (words → s1 → t1..t3) shared by the
+    induction and the corpus-encode oracles."""
     base = f"""
 WITH words AS (
     SELECT tok AS w, count(*) AS freq
@@ -470,13 +486,147 @@ WITH words AS (
     FROM s{step}, t{step} t
 )"""
         )
+    return base + "".join(parts)
+
+
+def _bpe_oracle() -> str:
     union = " UNION ALL ".join(
         f"SELECT * FROM t{step}" for step in range(1, _BPE_STEPS + 1)
     )
-    return base + "".join(parts) + "\n" + union
+    return _bpe_oracle_ctes() + "\n" + union
 
 
 BPE_MERGE_ORACLE = _bpe_oracle()
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer loop CLOSED: learn the merge rules (bounded-vocab
+    iteration, see bpe_merge_induction), then ENCODE the whole corpus
+    with them — per document, the token/char/BPE-symbol counts that a
+    token-budget packer or cost model consumes.
+
+    Encoding applies the merges to the DISTINCT word set (dedupe-before-
+    kernel again: |V| rows through the replace chain, not N·doc_len) and
+    joins the per-word symbol counts back to the token stream — one
+    distinct + one join + one doc aggregation beyond the learning pass."""
+    tune(spark)
+    merges = _bpe_learn(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.where(normalized_text("text") != "").select(
+        "doc_id", F.explode(tokens(normalized_text("text"))).alias("w")
+    )
+    words_all = tok.select("w").distinct().withColumn("s", _sym_string("w"))
+    for top in merges:
+        words_all = _apply_merge(words_all, top)
+    word_stats = words_all.select(
+        "w",
+        F.size(F.filter(F.split("s", r"\|"), lambda x: x != "")).alias("n_syms"),
+        F.length("w").alias("n_chars"),
+    )
+    return (
+        tok.join(word_stats, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_syms").alias("n_bpe_symbols"),
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    enc = [
+        """, aw AS (
+    SELECT DISTINCT tok AS w
+    FROM (SELECT unnest(TOKS_PLACEHOLDER) AS tok FROM documents WHERE NORM_PLACEHOLDER <> '')
+), e1 AS (
+    SELECT w, '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|' AS s
+    FROM aw
+)"""
+    ]
+    for step in range(1, _BPE_STEPS + 1):
+        enc.append(
+            f""", e{step + 1} AS (
+    SELECT w, replace(s, '|' || t.left_sym || '|' || t.right_sym || '|',
+                      '|' || t.merged || '|') AS s
+    FROM e{step}, t{step} t
+)"""
+        )
+    tail = f""", ws AS (
+    SELECT w, len(list_filter(string_split(s, '|'), x -> x <> '')) AS n_syms,
+           length(w) AS n_chars
+    FROM e{_BPE_STEPS + 1}
+)
+SELECT d.doc_id, count(*) AS n_tokens,
+       CAST(sum(ws.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(ws.n_syms) AS BIGINT) AS n_bpe_symbols
+FROM (SELECT doc_id, unnest(TOKS_PLACEHOLDER) AS w
+      FROM documents WHERE NORM_PLACEHOLDER <> '') d
+JOIN ws USING (w)
+GROUP BY d.doc_id"""
+    sql = _bpe_oracle_ctes() + "".join(enc) + tail
+    return sql.replace("TOKS_PLACEHOLDER", _TOKS).replace("NORM_PLACEHOLDER", _NORM)
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
+
+
+_SYS_PREFIX = "<|system|>You are a helpful assistant.<|user|>"
+_ASSIST_TAG = "<|assistant|>"
+_END_TAG = "<|end|>"
+_RESP_BUDGET = 200
+
+
+def chat_template_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT data prep: format each document into a chat template (system /
+    user / assistant) with a response-side truncation budget and emit the
+    LOSS-MASK character offsets of the assistant span — the assembly step
+    between a curated corpus and a fine-tuning dataloader. Map-only;
+    every output is an integer offset or a digest, so the oracle is
+    exact. Swapping the halves-split for real (prompt, response) columns
+    keeps the same plan."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    cut = F.floor(F.col("n_chars") / 2).cast("int")
+    prompt = F.expr("substring(text, 1, cast(floor(n_chars / 2) as int))")
+    resp = F.expr(
+        "substring(text, cast(floor(n_chars / 2) as int) + 1, "
+        f"{_RESP_BUDGET})"
+    )
+    template = F.concat(
+        F.lit(_SYS_PREFIX), prompt, F.lit(_ASSIST_TAG), resp, F.lit(_END_TAG)
+    )
+    resp_start = (
+        F.lit(len(_SYS_PREFIX)) + cut + F.lit(len(_ASSIST_TAG)) + F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        F.length(template).alias("template_len"),
+        resp_start.cast("long").alias("resp_start"),
+        (resp_start + F.length(resp) - 1).cast("long").alias("resp_end"),
+        ((F.col("n_chars") - cut) > _RESP_BUDGET).alias("truncated"),
+        F.md5(template).alias("template_digest"),
+    )
+
+
+CHAT_TEMPLATE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, n_chars,
+           CAST(floor(n_chars / 2) AS INT) AS cut,
+           substring(text, 1, CAST(floor(n_chars / 2) AS INT)) AS prompt,
+           substring(text, CAST(floor(n_chars / 2) AS INT) + 1, {_RESP_BUDGET}) AS resp
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length('{_SYS_PREFIX}' || prompt || '{_ASSIST_TAG}' || resp || '{_END_TAG}')
+            AS BIGINT) AS template_len,
+       CAST({len(_SYS_PREFIX)} + cut + {len(_ASSIST_TAG)} + 1 AS BIGINT) AS resp_start,
+       CAST({len(_SYS_PREFIX)} + cut + {len(_ASSIST_TAG)} + length(resp) AS BIGINT) AS resp_end,
+       (n_chars - cut) > {_RESP_BUDGET} AS truncated,
+       md5('{_SYS_PREFIX}' || prompt || '{_ASSIST_TAG}' || resp || '{_END_TAG}')
+           AS template_digest
+FROM t
+"""
 
 
 def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,4 +923,6 @@ REGISTRY: list[tuple] = [
     ("duplicated_ngram_spans", duplicated_ngram_spans, DUP_NGRAM_ORACLE),
     ("corpus_drift_l1", corpus_drift_l1, CORPUS_DRIFT_ORACLE),
     ("multimodal_dedup_pipeline", multimodal_dedup_pipeline, MULTIMODAL_DEDUP_ORACLE),
+    ("bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_ORACLE),
+    ("chat_template_assembly", chat_template_assembly, CHAT_TEMPLATE_ORACLE),
 ]
