@@ -203,8 +203,96 @@ GROUP BY 1
 """
 
 
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (the MDM pipeline): name histogram →
+    fuzzy match (levenshtein ≤ 2 on DISTINCT names, exact length-band
+    prune) → connected components over the name-similarity graph →
+    survivorship (golden record per cluster: master name = component
+    label, row/name counts, master key, integer-cents retail total).
+
+    Scale shape: the match and clustering run on the BOUNDED distinct-
+    name table (dedupe-before-kernel; 64 names here vs 20k rows), with
+    the name→row expansion deferred to the final aggregate join. At a
+    vocabulary too large for all-pairs, the edge stage swaps in the
+    blocked candidates (consonant_skeleton_blocking / MinHash) with the
+    same downstream. Components use the iterative min-label operator
+    (operators/components.py), oracled by a recursive CTE."""
+    from ..operators.components import connected_components
+
+    tune(spark)
+    part = read_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count("*").alias("n_rows"),
+        F.min("p_partkey").alias("min_partkey"),
+        F.sum(
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("retail_cents"),
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    edges = (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .where(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .where(F.levenshtein("name_a", "name_b") <= 2)
+    )
+    comp = connected_components(
+        names.select(F.col("p_name").alias("node")),
+        edges,
+        src_col="name_a",
+        dst_col="name_b",
+    )
+    return (
+        names.join(comp, names["p_name"] == comp["node"])
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_names"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_partkey").alias("master_partkey"),
+            F.sum("retail_cents").alias("retail_cents"),
+        )
+        .select(
+            F.col("component").alias("master_name"),
+            "n_names",
+            "n_rows",
+            "master_partkey",
+            "retail_cents",
+        )
+    )
+
+
+ENTITY_RESOLUTION_ORACLE = """
+WITH RECURSIVE names AS (
+    SELECT p_name, count(*) AS n_rows, min(p_partkey) AS min_partkey,
+           CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS retail_cents
+    FROM part GROUP BY 1
+), pairs AS (
+    SELECT a.p_name AS s, b.p_name AS d
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+), edges AS (
+    SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+), reach AS (
+    SELECT p_name AS node, p_name AS label FROM names
+    UNION
+    SELECT e.s AS node, r.label
+    FROM edges e JOIN reach r ON e.d = r.node
+), comp AS (
+    SELECT node, min(label) AS component FROM reach GROUP BY node
+)
+SELECT c.component AS master_name, count(*) AS n_names,
+       CAST(sum(n.n_rows) AS BIGINT) AS n_rows,
+       min(n.min_partkey) AS master_partkey,
+       CAST(sum(n.retail_cents) AS BIGINT) AS retail_cents
+FROM names n JOIN comp c ON n.p_name = c.node
+GROUP BY 1
+"""
+
+
 REGISTRY = [
     ("fuzzy_name_pairs", fuzzy_name_pairs, FUZZY_NAME_PAIRS_ORACLE),
+    ("entity_resolution_pipeline", entity_resolution_pipeline, ENTITY_RESOLUTION_ORACLE),
     ("jaro_winkler_linkage", jaro_winkler_linkage, JARO_WINKLER_ORACLE),
     ("token_sort_clusters", token_sort_clusters, TOKEN_SORT_ORACLE),
     (
