@@ -128,6 +128,82 @@ SELECT o_orderkey + 10000000, 'removed' FROM orders WHERE o_orderkey < 200
 """
 
 
+def scd2_pointintime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD2 history — the query
+    side of slowly-changing dimensions: reconstruct the dimension as of
+    two instants (one before, one after the load) and aggregate each
+    state. `valid_from <= t < valid_to` (open = NULL) is the standard
+    bitemporal band; the filter is map-side over the history, one hash
+    aggregation per as-of date (both states come from ONE history scan
+    via explode of the as-of list)."""
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    history = scd2_merge(
+        current,
+        _customer_updates(cust),
+        key="c_custkey",
+        compare_cols=["c_name", "c_acctbal"],
+        load_date=_LOAD,
+    )
+    as_of = F.explode(
+        F.array(F.lit("2024-01-15"), F.lit("2024-02-15"))
+    ).alias("as_of")
+    return (
+        history.select("*", as_of)
+        .where(
+            (F.col("valid_from") <= F.col("as_of").cast("date"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") > F.col("as_of").cast("date"))
+            )
+        )
+        .withColumn(
+            "bal_cents",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .groupBy("as_of")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
+
+
+SCD2_PIT_ORACLE = f"""
+WITH changed AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 2 AND c_custkey % 7 = 0
+), history AS (
+    SELECT c_custkey, c_acctbal,
+           DATE '2024-01-01' AS valid_from,
+           CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
+                THEN DATE '{_LOAD}' END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_acctbal + 100.0, DATE '{_LOAD}', CAST(NULL AS DATE)
+    FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey + 1000000, c_acctbal, DATE '{_LOAD}', CAST(NULL AS DATE)
+    FROM customer WHERE c_custkey <= 50
+), dates AS (
+    SELECT unnest(['2024-01-15', '2024-02-15']) AS as_of
+)
+SELECT as_of, count(*) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_bal_cents
+FROM history, dates
+WHERE valid_from <= CAST(as_of AS DATE)
+  AND (valid_to IS NULL OR valid_to > CAST(as_of AS DATE))
+GROUP BY as_of
+"""
+
+
 def gdpr_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten over an immutable parquet lake: erase every
     row of the flagged data subjects by REWRITING ONLY the partitions
@@ -210,4 +286,5 @@ REGISTRY: list[tuple] = [
     ("scd2_customer_merge", scd2_customer_merge, SCD2_ORACLE),
     ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
     ("gdpr_erasure_rewrite", gdpr_erasure_rewrite, GDPR_ERASURE_ORACLE),
+    ("scd2_pointintime_read", scd2_pointintime_read, SCD2_PIT_ORACLE),
 ]

@@ -571,6 +571,73 @@ GROUP BY d.doc_id"""
 BPE_ENCODE_ORACLE = _bpe_encode_oracle()
 
 
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair mining for embedding-model finetuning: positives are
+    MinHash near-duplicate pairs (the md5 Carter-Wegman family — the
+    whole candidate pipeline replays in the oracle), negatives are
+    deterministic pseudo-random pairings (consecutive docs in md5 order
+    WITHIN a hash bucket — a partitioned window, never a global sort),
+    minus any pair that is also a positive. The (anchor, other, label)
+    table a contrastive dataloader consumes.
+
+    Scale: positives are the sub-quadratic LSH band join; negatives cost
+    one bucketed window over doc ids; the label anti-join runs on id
+    pairs only."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pos = (
+        minhash_lsh_candidates(docs, "text", "doc_id")
+        .select("doc_a", "doc_b")
+        .withColumn("label", F.lit(1))
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    ordered = docs.select(
+        "doc_id", h.alias("h"), F.substring(h, 1, 1).alias("bkt")
+    )
+    neg_raw = (
+        ordered.withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.least("doc_id", "nxt").alias("doc_a"),
+            F.greatest("doc_id", "nxt").alias("doc_b"),
+        )
+    )
+    neg = neg_raw.join(pos, ["doc_a", "doc_b"], "left_anti").withColumn(
+        "label", F.lit(0)
+    )
+    return pos.unionByName(neg)
+
+
+def _contrastive_oracle() -> str:
+    from .llm_ops import _minhash_oracle
+
+    return f"""
+WITH pos AS (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+), ordered AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bkt
+    FROM documents
+), ranked AS (
+    SELECT doc_id, bkt,
+           row_number() OVER (PARTITION BY bkt ORDER BY h, doc_id) AS rk
+    FROM ordered
+), neg AS (
+    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b
+    FROM ranked a JOIN ranked b ON a.bkt = b.bkt AND b.rk = a.rk + 1
+)
+SELECT doc_a, doc_b, 1 AS label FROM pos
+UNION ALL
+SELECT n.doc_a, n.doc_b, 0 AS label
+FROM neg n LEFT JOIN pos p ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
+WHERE p.doc_a IS NULL
+"""
+
+
 _SYS_PREFIX = "<|system|>You are a helpful assistant.<|user|>"
 _ASSIST_TAG = "<|assistant|>"
 _END_TAG = "<|end|>"
@@ -925,4 +992,5 @@ REGISTRY: list[tuple] = [
     ("multimodal_dedup_pipeline", multimodal_dedup_pipeline, MULTIMODAL_DEDUP_ORACLE),
     ("bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_ORACLE),
     ("chat_template_assembly", chat_template_assembly, CHAT_TEMPLATE_ORACLE),
+    ("contrastive_pair_mining", contrastive_pair_mining, _contrastive_oracle()),
 ]
