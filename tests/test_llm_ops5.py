@@ -91,3 +91,37 @@ def test_ivf_kmeans_recall_and_determinism(spark, sf_dir):
 
     again = m.embedding_ivf_kmeans_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_bpe_encode_bounds(spark, sf_dir):
+    """Merges only ever shrink the symbol stream: tokens <= symbols <=
+    chars, and a document's symbol count can never grow past its char
+    count (identity if no merge applies)."""
+    out = m.bpe_encode_corpus(spark, sf_dir)
+    bad = out.where(
+        (F.col("n_bpe_symbols") > F.col("n_chars"))
+        | (F.col("n_bpe_symbols") < F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+
+
+def test_chat_template_offsets_are_consistent(spark, sf_dir):
+    out = m.chat_template_assembly(spark, sf_dir).collect()
+    end_len = len("<|end|>")
+    for r in out:
+        assert 1 <= r.resp_start <= r.template_len
+        # resp_end + end tag reaches exactly the template end
+        assert r.resp_end + end_len == r.template_len
+        assert len(r.template_digest) == 32
+
+
+def test_contrastive_labels_are_disjoint(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops5 import (
+        contrastive_pair_mining,
+    )
+
+    out = contrastive_pair_mining(spark, sf_dir).cache()
+    dup = out.groupBy("doc_a", "doc_b").count().where(F.col("count") > 1)
+    assert dup.count() == 0  # a pair carries exactly one label
+    labels = {r.label for r in out.select("label").distinct().collect()}
+    assert labels <= {0, 1} and 0 in labels
