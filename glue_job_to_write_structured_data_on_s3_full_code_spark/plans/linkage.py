@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import consonant_skeleton, token_sort_key
-from ..operators.linkage import blocked_levenshtein_pairs, jaro_winkler_pairs
 from ..session import tune
 from ..sources import read_table
 
