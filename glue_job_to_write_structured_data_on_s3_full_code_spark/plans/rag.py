@@ -228,7 +228,58 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, chunk_id, cosine FROM (
     FROM scored) WHERE rank <= {_TOPK}
 """
 
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation — the metrics job every RAG/search
+    deployment runs on its eval set: per query, precision@k against a
+    relevance oracle (here: a retrieved chunk is relevant iff its
+    document shares the query document's `source`). Composes the full
+    retrieval pipeline and joins the two metadata lookups broadcast;
+    precision reported in integer thousandths (floor) so the metric is
+    cross-engine exact.
+
+    Scale: the eval set is query-batch-sized — everything after the
+    retrieval pipeline is broadcast joins over top-k rows."""
+    tune(spark)
+    res = rag_retrieval_pipeline(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q_src = docs.select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("q_source")
+    )
+    c_src = docs.select("doc_id", F.col("source").alias("c_source"))
+    return (
+        res.join(F.broadcast(q_src), "query_id")
+        .join(F.broadcast(c_src), "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(
+                F.when(F.col("q_source") == F.col("c_source"), 1).otherwise(0)
+            ).alias("hits"),
+        )
+        .withColumn(
+            "precision_milli",
+            F.floor(F.col("hits") * 1000 / F.col("k")).cast("long"),
+        )
+    )
+
+
+RETRIEVAL_EVAL_ORACLE = f"""
+WITH rag AS (
+    SELECT * FROM ({RAG_RETRIEVAL_ORACLE})
+)
+SELECT r.query_id, count(*) AS k,
+       CAST(sum(CASE WHEN dq.source = dc.source THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits,
+       CAST(floor(sum(CASE WHEN dq.source = dc.source THEN 1 ELSE 0 END)
+                  * 1000.0 / count(*)) AS BIGINT) AS precision_milli
+FROM rag r
+JOIN documents dq ON dq.doc_id = r.query_id
+JOIN documents dc ON dc.doc_id = r.doc_id
+GROUP BY r.query_id
+"""
+
 REGISTRY: list[tuple] = [
     ("text_hash_embeddings", text_hash_embeddings, TEXT_EMBED_ORACLE),
     ("rag_retrieval_pipeline", rag_retrieval_pipeline, RAG_RETRIEVAL_ORACLE),
+    ("retrieval_eval_metrics", retrieval_eval_metrics, RETRIEVAL_EVAL_ORACLE),
 ]
