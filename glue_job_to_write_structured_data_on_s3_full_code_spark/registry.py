@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .plans.flagship import FLAGSHIP_ORACLE, flagship
 from .plans import (
+    analytics,
     breadth,
     formats,
     breadth2,
@@ -69,7 +70,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # and two round-2 rows worth keeping fresh (the flagship, and the
 # blocked-strategy near-dup whose scale fix landed in r3). Everything
 # rotated out remains verified locally by tests/test_oracle_parity.py
-# (all registered queries, every session). The 27 queries ADDED during
+# (all registered queries, every session). The 30 queries ADDED during
 # round 4 register after slot 50 and are the round-5 prefix's first
 # claim: outbound_document_pipeline, the llm_ops5 pack (embedding_kmeans,
 # semantic_dedup, quality_linear_classifier, bpe_merge_induction,
@@ -77,7 +78,8 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # embedding_ivf_kmeans_topk, duplicated_ngram_spans, corpus_drift_l1,
 # multimodal_dedup_pipeline, contrastive_pair_mining),
 # entity_resolution_pipeline, scd2_pointintime_read,
-# scd2_temporal_enrich, last_touch_attribution, the rag pack (text_hash_embeddings,
+# scd2_temporal_enrich, last_touch_attribution, the analytics pack
+# (event_transition_matrix, equi_depth_histogram, winsorized_stats), the rag pack (text_hash_embeddings,
 # rag_retrieval_pipeline, retrieval_eval_metrics), the formats pack (jsonl/csv/orc roundtrips,
 # schema_evolution_merge), streaming_anomaly_alerts, and
 # gdpr_erasure_rewrite — plus the round-2-verified names that will then
@@ -148,7 +150,8 @@ _ALL_MODULES = (
     deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, linkage,
     events_queries,
     temporal_queries, timeseries_queries, streaming_queries, graph_queries,
-    waterfall, outbound, etl_ops, engine_ops, formats, rag, relational,
+    waterfall, outbound, etl_ops, engine_ops, formats, rag, analytics,
+    relational,
     breadth, breadth2, tpch_more,
 )
 
