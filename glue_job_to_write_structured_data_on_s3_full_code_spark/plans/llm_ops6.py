@@ -1,0 +1,346 @@
+"""LLM training-data pipeline pack 6 — the "last mile" between a curated
+corpus and the trainer, plus retrieval diversity and clustering evaluation:
+deterministic shard export (the epoch shuffle), per-source token-budget
+enforcement, MMR-diversified top-k retrieval, and k-means label purity.
+
+Design rules (same as llm_ops2..5): pure JVM expressions, no Python
+boundary; every random decision derives from md5 of a stable key so reruns
+and the DuckDB oracle reproduce the same rows; embedding math runs in the
+integer-quantized space established by llm_ops5 (floor(x*1000) BIGINTs),
+with cosines rounded to 6 dp BEFORE any ranking (the PQ tie-break taming).
+
+Reference parity: the reference (a CRM ETL Glue job, FULL.py) has no
+training-export or retrieval surface; this pack is north-star extension
+material on the synthetic `documents` / `embeddings` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..session import tune
+from ..sources import read_table
+from .llm_ops5 import (
+    EMBEDDING_KMEANS_ORACLE,
+    _QV_SQL,
+    _qvecs,
+    embedding_kmeans,
+)
+
+N_SHARDS = 8
+TOKEN_BUDGET = 5000  # per-source token cap for the budgeted mix
+_SHORTLIST = 10  # ANN shortlist MMR reranks
+_MMR_K = 3  # diversified picks
+_LAMBDA = 0.7  # MMR relevance weight
+
+# DuckDB spelling of functions.text.token_count (shared with llm_ops4).
+_TOKCNT = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+def training_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + epoch shuffle for training export.
+
+    Trainers want the corpus split into N equal-ish shard files whose
+    *within-shard order is a global shuffle* — but a true global shuffle
+    (ORDER BY rand()) is a full sort and non-reproducible. The standard
+    scalable recipe: shard = hash(doc) mod N (uniform, no skew), order
+    within a shard by a second hash (the md5 draw IS the shuffle). Each
+    shard sorts independently — at 100 TB, N is picked so a shard is one
+    output file (~1 GB), and the per-shard window becomes
+    ``repartition(N, shard) + sortWithinPartitions`` with zero cross-shard
+    coordination. One shuffle total.
+
+    Output: one row per doc with its shard, position-in-shard, and token
+    count (the per-shard token sums a manifest needs are one groupBy away).
+    """
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|epoch0")))
+    shard = (
+        F.conv(F.substring(F.col("draw"), 1, 15), 16, 10).cast("long") % N_SHARDS
+    )
+    w = Window.partitionBy("shard_id").orderBy("draw", "doc_id")
+    return (
+        docs.select("doc_id", token_count("text").alias("n_tok"), draw.alias("draw"))
+        .withColumn("shard_id", shard.cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select("doc_id", "shard_id", "pos_in_shard", "n_tok")
+    )
+
+
+TRAINING_SHARD_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST({_TOKCNT} AS INT) AS n_tok,
+           md5(CAST(doc_id AS VARCHAR) || '|epoch0') AS draw
+    FROM documents
+), s AS (
+    SELECT doc_id, n_tok, draw,
+           CAST(('0x' || substring(draw, 1, 15))::UBIGINT % {N_SHARDS} AS INT)
+               AS shard_id
+    FROM t
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY draw, doc_id)
+            AS INT) AS pos_in_shard,
+       n_tok
+FROM s
+"""
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget enforcement: keep a uniform random prefix
+    of each source until its token budget is spent.
+
+    The mixing recipe "X tokens of source A, Y of source B" (Pile-style
+    per-set epochs) needs an operator that *stops sampling a source at a
+    token count*, not a row count. Docs are ordered by an md5 draw (the
+    uniform sample), the running token total is a per-source window
+    cumsum, and a doc survives iff its cumulative total (inclusive) fits
+    the budget — so the output is reproducible and the budget is never
+    overshot by more than zero docs. One shuffle (the per-source window);
+    at 100 TB the window key extends to (source, shard) exactly like
+    sequence_packing, then per-shard budgets = budget / n_shards.
+    """
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("draw", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = docs.select(
+        "source", "doc_id", token_count("text").alias("n_tok"), draw.alias("draw")
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tok").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tok", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+    SELECT source, doc_id,
+           CAST({_TOKCNT} AS INT) AS n_tok,
+           md5(CAST(doc_id AS VARCHAR) || '|mix') AS draw
+    FROM documents
+), c AS (
+    SELECT source, doc_id, n_tok,
+           sum(n_tok) OVER (PARTITION BY source ORDER BY draw, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+    FROM t
+)
+SELECT source, doc_id, n_tok, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+def _cosine(u_vec: str, v_vec: str, u_nrm: str, v_nrm: str) -> F.Column:
+    """Exact cosine from integer dot/norms, rounded to 6 dp before any
+    comparison (cross-engine-stable away from 1e-6 ties, which the
+    deterministic vec_id tie-break then absorbs)."""
+    dot = F.aggregate(
+        F.zip_with(u_vec, v_vec, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot / (F.sqrt(u_nrm) * F.sqrt(v_nrm)), 6)
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the standard diversity pass retrieval stacks run AFTER ANN: take the
+    shortlist, then greedily pick argmax of
+    ``lambda * rel(c) - (1 - lambda) * max_{s in picked} sim(c, s)``.
+
+    Query = vec 0; shortlist = its top-10 exact-cosine neighbors
+    (TakeOrderedAndProject — no global sort materializes); the three MMR
+    picks are unrolled as three 1-row broadcast joins, so the whole rerank
+    is a constant-depth plan over a k-row frame. At scale the shortlist
+    per query comes from the ANN family (IVF/PQ) and MMR cost is
+    O(shortlist * k) per query — independent of corpus size. All scores
+    in the quantized integer space, rounded before ranking.
+    """
+    tune(spark)
+    vecs = _qvecs(spark, sf_dir)
+    nrm = F.aggregate(
+        F.transform("qv", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    with_norm = vecs.withColumn("nrm", nrm).where(F.col("nrm") > 0)
+    q = with_norm.where(F.col("vec_id") == 0).select(
+        F.col("qv").alias("q_qv"), F.col("nrm").alias("q_nrm")
+    )
+    scored = (
+        with_norm.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rel", _cosine("q_qv", "qv", "q_nrm", "nrm"))
+        .select("vec_id", "qv", "nrm", "rel")
+    )
+    shortlist = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_SHORTLIST).cache()
+
+    picks: list[DataFrame] = []
+    # pick 1: pure relevance
+    s1 = shortlist.orderBy(F.col("rel").desc(), "vec_id").limit(1)
+    picks.append(s1)
+    remaining = shortlist
+    for step in range(2, _MMR_K + 1):
+        remaining = remaining.join(
+            F.broadcast(picks[-1].select(F.col("vec_id").alias("p_id"))),
+            F.col("vec_id") == F.col("p_id"),
+            "left_anti",
+        )
+        # diversity penalty: max cosine against every pick so far
+        div_cols = []
+        cand = remaining
+        for i, p in enumerate(picks):
+            pi = F.broadcast(
+                p.select(
+                    F.col("qv").alias(f"p{i}_qv"), F.col("nrm").alias(f"p{i}_nrm")
+                )
+            )
+            cand = cand.crossJoin(pi)
+            div_cols.append(_cosine(f"p{i}_qv", "qv", f"p{i}_nrm", "nrm"))
+        div = div_cols[0] if len(div_cols) == 1 else F.greatest(*div_cols)
+        cand = cand.withColumn(
+            "mmr", F.round(F.lit(_LAMBDA) * F.col("rel") - F.lit(1 - _LAMBDA) * div, 6)
+        )
+        nxt = (
+            cand.orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "qv", "nrm", "rel")
+        )
+        picks.append(nxt)
+
+    out = None
+    for rank, p in enumerate(picks, start=1):
+        row = p.select(
+            F.lit(rank).cast("int").alias("rank"), "vec_id", F.col("rel").alias("relevance")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _mmr_oracle() -> str:
+    lam, mu = _LAMBDA, round(1 - _LAMBDA, 10)
+    cos = (
+        "round((SELECT sum(x.a * x.b) FROM (SELECT unnest({u}.qv) AS a, "
+        "unnest({v}.qv) AS b) x) / (sqrt({u}.nrm) * sqrt({v}.nrm)), 6)"
+    )
+    return f"""
+WITH qv0 AS (
+    SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+), wn AS (
+    SELECT vec_id, qv,
+           (SELECT sum(x.a * x.a) FROM (SELECT unnest(qv) AS a) x) AS nrm
+    FROM qv0
+), q AS (
+    SELECT qv, nrm FROM wn WHERE vec_id = 0 AND nrm > 0
+), scored AS (
+    SELECT c.vec_id, c.qv, c.nrm,
+           {cos.format(u='q', v='c')} AS rel
+    FROM wn c, q
+    WHERE c.vec_id <> 0 AND c.nrm > 0
+), shortlist AS (
+    SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT {_SHORTLIST}
+), s1 AS (
+    SELECT * FROM shortlist ORDER BY rel DESC, vec_id LIMIT 1
+), step2 AS (
+    SELECT c.vec_id, c.qv, c.nrm, c.rel,
+           round({lam} * c.rel - {mu} * {cos.format(u='p0', v='c')}, 6) AS mmr
+    FROM shortlist c, s1 p0
+    WHERE c.vec_id <> p0.vec_id
+), s2 AS (
+    SELECT vec_id, qv, nrm, rel FROM step2 ORDER BY mmr DESC, vec_id LIMIT 1
+), step3 AS (
+    SELECT c.vec_id, c.rel,
+           round({lam} * c.rel - {mu} * greatest(
+               {cos.format(u='p0', v='c')},
+               {cos.format(u='p1', v='c')}), 6) AS mmr
+    FROM shortlist c, s1 p0, s2 p1
+    WHERE c.vec_id <> p0.vec_id AND c.vec_id <> p1.vec_id
+), s3 AS (
+    SELECT vec_id, rel FROM step3 ORDER BY mmr DESC, vec_id LIMIT 1
+)
+SELECT CAST(1 AS INT) AS rank, vec_id, rel AS relevance FROM s1
+UNION ALL
+SELECT CAST(2 AS INT) AS rank, vec_id, rel AS relevance FROM s2
+UNION ALL
+SELECT CAST(3 AS INT) AS rank, vec_id, rel AS relevance FROM s3
+"""
+
+
+MMR_ORACLE = _mmr_oracle()
+
+
+def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation: per-cluster size, majority label, and purity
+    (majority count / cluster size) for the embedding_kmeans assignment
+    against the fixture's ground-truth ``label`` column — the check a
+    curation pipeline runs before trusting cluster-level decisions
+    (SemDeDup drops, per-cluster sampling). Purity is the standard
+    external metric; computing it is two hash aggregations and a top-1
+    window on the (cluster, label) contingency frame, which has at most
+    K * n_labels rows regardless of corpus size."""
+    tune(spark)
+    assigned = embedding_kmeans(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    contingency = (
+        assigned.join(emb, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), "label")
+    totals = contingency.groupBy("cluster").agg(F.sum("n").alias("cluster_size"))
+    majority = (
+        contingency.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cluster", F.col("label").alias("majority_label"), F.col("n").alias("majority_n"))
+    )
+    return (
+        totals.join(majority, "cluster")
+        .select(
+            "cluster",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "majority_label",
+            F.round(F.col("majority_n") / F.col("cluster_size"), 6).alias("purity"),
+        )
+    )
+
+
+KMEANS_PURITY_ORACLE = f"""
+WITH k AS (
+    SELECT * FROM ({EMBEDDING_KMEANS_ORACLE})
+), cont AS (
+    SELECT k.cluster, e.label, count(*) AS n
+    FROM k JOIN embeddings e ON e.vec_id = k.vec_id
+    GROUP BY 1, 2
+), tot AS (
+    SELECT cluster, CAST(sum(n) AS BIGINT) AS cluster_size FROM cont GROUP BY 1
+), maj AS (
+    SELECT cluster, label AS majority_label, n AS majority_n FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster
+                                     ORDER BY n DESC, label) AS rk
+        FROM cont) WHERE rk = 1
+)
+SELECT t.cluster, t.cluster_size, m.majority_label,
+       round(m.majority_n / t.cluster_size, 6) AS purity
+FROM tot t JOIN maj m USING (cluster)
+"""
+
+
+REGISTRY: list[tuple] = [
+    ("training_shard_export", training_shard_export, TRAINING_SHARD_ORACLE),
+    ("token_budget_mix", token_budget_mix, TOKEN_BUDGET_ORACLE),
+    ("mmr_diverse_topk", mmr_diverse_topk, MMR_ORACLE),
+    ("kmeans_label_purity", kmeans_label_purity, KMEANS_PURITY_ORACLE),
+]

@@ -35,6 +35,7 @@ from .plans import (
     llm_ops3,
     llm_ops4,
     llm_ops5,
+    llm_ops6,
     outbound,
     rag,
     relational,
@@ -81,8 +82,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # scd2_temporal_enrich, last_touch_attribution, the analytics pack
 # (event_transition_matrix, equi_depth_histogram, winsorized_stats), the rag pack (text_hash_embeddings,
 # rag_retrieval_pipeline, retrieval_eval_metrics), the formats pack (jsonl/csv/orc roundtrips,
-# schema_evolution_merge), streaming_anomaly_alerts, and
-# gdpr_erasure_rewrite — plus the round-2-verified names that will then
+# schema_evolution_merge), streaming_anomaly_alerts,
+# gdpr_erasure_rewrite, and the llm_ops6 last-mile pack
+# (training_shard_export, token_budget_mix, mmr_diverse_topk,
+# kmeans_label_purity) — plus the round-2-verified names that will then
 # be three rounds stale.
 _VERIFIED_PREFIX = (
     # round-3 additions, never driver-verified — composed pipelines + ANN
@@ -147,7 +150,8 @@ _VERIFIED_PREFIX = (
 )
 
 _ALL_MODULES = (
-    deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, linkage,
+    deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, llm_ops6,
+    linkage,
     events_queries,
     temporal_queries, timeseries_queries, streaming_queries, graph_queries,
     waterfall, outbound, etl_ops, engine_ops, formats, rag, analytics,

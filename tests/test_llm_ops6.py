@@ -1,0 +1,83 @@
+"""Semantic checks for llm_ops6 (training last-mile + retrieval diversity).
+Cross-engine value parity is covered by test_oracle_parity; these pin the
+operator SEMANTICS: shard export is a permutation with contiguous in-shard
+positions, budget enforcement keeps an exact draw-order prefix and never
+overshoots, MMR picks are distinct shortlist members led by the relevance
+argmax, and purity is a valid per-cluster majority share."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark.plans import llm_ops6 as m
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+
+def test_shard_export_is_a_permutation(spark, sf_dir):
+    out = m.training_shard_export(spark, sf_dir).cache()
+    docs = read_table(spark, sf_dir, "documents")
+    # every doc appears exactly once, in exactly one shard
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    assert out.where((F.col("shard_id") < 0) | (F.col("shard_id") >= m.N_SHARDS)).count() == 0
+    # positions within a shard are contiguous 1..n (no gaps/dups)
+    per_shard = out.groupBy("shard_id").agg(
+        F.count("*").alias("n"),
+        F.min("pos_in_shard").alias("mn"),
+        F.max("pos_in_shard").alias("mx"),
+        F.count_distinct("pos_in_shard").alias("nd"),
+    )
+    bad = per_shard.where(
+        (F.col("mn") != 1) | (F.col("mx") != F.col("n")) | (F.col("nd") != F.col("n"))
+    )
+    assert bad.count() == 0
+
+
+def test_token_budget_never_overshoots_and_is_a_prefix(spark, sf_dir):
+    out = m.token_budget_mix(spark, sf_dir).cache()
+    assert out.where(F.col("cum_tokens") > m.TOKEN_BUDGET).count() == 0
+    # kept set per source is a PREFIX of the draw order: the count of kept
+    # docs equals the number of docs whose inclusive cumsum fits — recompute
+    # independently with the same draw and compare per source
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.functions.text import token_count
+
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("draw", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expect = (
+        docs.select("source", "doc_id", token_count("text").alias("n_tok"), draw.alias("draw"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .where(F.col("cum") <= m.TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_expect"))
+    )
+    got = out.groupBy("source").agg(F.count("*").alias("n_got"))
+    diff = expect.join(got, "source", "full_outer").where(
+        F.coalesce("n_expect", F.lit(-1)) != F.coalesce("n_got", F.lit(-2))
+    )
+    assert diff.count() == 0
+
+
+def test_mmr_picks_are_distinct_and_relevance_led(spark, sf_dir):
+    rows = m.mmr_diverse_topk(spark, sf_dir).orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 3 and 0 not in ids  # distinct, never the query
+    # rank 1 is the pure-relevance argmax: no other pick beats it
+    assert all(rows[0].relevance >= r.relevance for r in rows[1:])
+
+
+def test_kmeans_purity_is_a_valid_majority_share(spark, sf_dir):
+    out = m.kmeans_label_purity(spark, sf_dir).cache()
+    emb = read_table(spark, sf_dir, "embeddings")
+    # cluster sizes partition the corpus
+    assert out.agg(F.sum("cluster_size")).first()[0] == emb.count()
+    # purity in (0, 1]; majority label exists in the fixture's label set
+    assert out.where((F.col("purity") <= 0) | (F.col("purity") > 1)).count() == 0
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert {r.majority_label for r in out.collect()} <= labels
