@@ -374,3 +374,28 @@ def test_duplicated_ngram_shuffles_digests_only(spark, sf_dir, queries):
     plan = _plan(df)
     ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
     assert ex_lines and all(" g#" not in l for l in ex_lines)
+
+
+def test_shard_export_single_exchange(spark, sf_dir, queries):
+    # shard export claims one shuffle (the per-shard window); the token
+    # count, draw, and shard assignment all stay map-side
+    df = queries["training_shard_export"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_token_budget_single_exchange(spark, sf_dir, queries):
+    # budget enforcement claims one shuffle (the per-source cumsum window)
+    df = queries["token_budget_mix"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_mmr_broadcasts_every_pick(spark, sf_dir, queries):
+    # every MMR step joins the shortlist against a 1-row broadcast pick —
+    # never a SortMergeJoin, never an unhinted cartesian
+    plan = _plan(queries["mmr_diverse_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
