@@ -13,7 +13,7 @@ of these two operators; see operators/scd.py docstrings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.scd import scd2_merge, snapshot_diff
@@ -282,9 +282,58 @@ GROUP BY 1
 """
 
 
+_K_ANON = 15  # minimum group size for a releasable quasi-identifier cell
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: k-anonymity of the customer table under
+    the quasi-identifier (c_nationkey, c_mktsegment) — the check a data
+    release runs BEFORE publishing: any QI cell with fewer than k members
+    re-identifies its customers and must be suppressed or generalized
+    (Sweeney 2002). Output: every QI cell with its size, the below-k
+    flag, and the share of total rows at risk if released as-is.
+
+    Scale: one hash aggregation over the QI columns (the cell frame is
+    |nations| x |segments| regardless of row count) plus a window over
+    that tiny frame for the risk share — the same shape at 100 TB.
+    """
+    tune(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("cell_size")
+    )
+    wall = Window.partitionBy()
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("cell_size").cast("long").alias("cell_size"),
+        (F.col("cell_size") < _K_ANON).alias("below_k"),
+        F.round(
+            F.sum(F.when(F.col("cell_size") < _K_ANON, F.col("cell_size")).otherwise(0)).over(wall)
+            / F.sum("cell_size").over(wall),
+            6,
+        ).alias("at_risk_share"),
+    )
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH cells AS (
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS cell_size
+    FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, cell_size,
+       (cell_size < {_K_ANON}) AS below_k,
+       round(sum(CASE WHEN cell_size < {_K_ANON} THEN cell_size ELSE 0 END)
+                 OVER () * 1.0
+             / sum(cell_size) OVER (), 6) AS at_risk_share
+FROM cells
+"""
+
+
 REGISTRY: list[tuple] = [
     ("scd2_customer_merge", scd2_customer_merge, SCD2_ORACLE),
     ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
     ("gdpr_erasure_rewrite", gdpr_erasure_rewrite, GDPR_ERASURE_ORACLE),
     ("scd2_pointintime_read", scd2_pointintime_read, SCD2_PIT_ORACLE),
+    ("k_anonymity_audit", k_anonymity_audit, K_ANONYMITY_ORACLE),
 ]

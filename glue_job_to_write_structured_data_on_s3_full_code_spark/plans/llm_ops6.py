@@ -338,9 +338,117 @@ FROM tot t JOIN maj m USING (cluster)
 """
 
 
+_INCOMING_SOURCE = "src5"  # the "today's crawl" batch (has head-fp overlaps)
+_PREFIX_TOKENS = 30  # head-fingerprint width
+_RECRAWL_MOD = 50  # corpus docs with doc_id % 50 == 7 are re-crawled today
+_RECRAWL_ID_OFFSET = 1_000_000  # re-crawled docs arrive under new ids
+
+
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: flag each INCOMING doc against the
+    already-ingested corpus — the shape a production pipeline runs every
+    batch, where re-deduplicating the whole corpus is off the table.
+
+    Two digest-equality probes, both left joins against corpus-side
+    digest sets reduced to DISTINCT before the join:
+    - ``exact_dup``: full normalized-text fingerprint seen in the corpus;
+    - ``head_dup``: fingerprint of the first 30 normalized tokens seen —
+      catches tail-edited re-crawls exact dedup misses (the cheap
+      constant-width cousin of suffix dedup; MinHash cross-batch
+      candidates are the recall upgrade, `split_leakage_check` shape).
+
+    Verdict: 'drop' on either flag, else 'ingest'. The incoming batch is
+    the src5 slice PLUS a simulated re-crawl (corpus docs with
+    ``doc_id % 50 == 7`` arriving again under fresh ids) so both flag
+    paths are exercised: re-crawls hit ``exact_dup``, src5's shared
+    boilerplate heads hit ``head_dup``. Scale: the incoming batch is
+    daily-sized (≪ corpus); the corpus side reduces to two digest
+    columns before shuffling, and each probe is one equality join on a
+    128-bit key — at 100 TB the corpus digests live as a bucketed table
+    so the probe is shuffle-free on the corpus side.
+    """
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    head = F.concat_ws(" ", F.slice(F.split(norm, r"\s+"), 1, _PREFIX_TOKENS))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("fp"),
+        F.md5(head).alias("head_fp"),
+    )
+    corpus = keyed.where(F.col("source") != _INCOMING_SOURCE)
+    recrawl = corpus.where(
+        F.pmod(F.col("doc_id"), F.lit(_RECRAWL_MOD)) == 7
+    ).select(
+        (F.col("doc_id") + _RECRAWL_ID_OFFSET).alias("doc_id"),
+        F.lit(_INCOMING_SOURCE).alias("source"),
+        "fp",
+        "head_fp",
+    )
+    incoming = keyed.where(F.col("source") == _INCOMING_SOURCE).unionByName(recrawl)
+    corpus_fp = corpus.select("fp").distinct().withColumn("is_exact", F.lit(True))
+    corpus_head = (
+        corpus.select("head_fp").distinct().withColumn("is_head", F.lit(True))
+    )
+    return (
+        incoming.join(F.broadcast(corpus_fp), "fp", "left")
+        .join(F.broadcast(corpus_head), "head_fp", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact", F.lit(False)).alias("exact_dup"),
+            F.coalesce("is_head", F.lit(False)).alias("head_dup"),
+            F.when(
+                F.coalesce("is_exact", F.lit(False))
+                | F.coalesce("is_head", F.lit(False)),
+                "drop",
+            )
+            .otherwise("ingest")
+            .alias("verdict"),
+        )
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_HEAD_SQL = (
+    f"array_to_string(list_slice(string_split_regex({_NORM_SQL}, '\\s+'), "
+    f"1, {_PREFIX_TOKENS}), ' ')"
+)
+
+INCREMENTAL_DEDUP_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           md5({_NORM_SQL}) AS fp,
+           md5({_HEAD_SQL}) AS head_fp
+    FROM documents
+), corpus AS (
+    SELECT * FROM keyed WHERE source <> '{_INCOMING_SOURCE}'
+), incoming AS (
+    SELECT doc_id, fp, head_fp FROM keyed
+    WHERE source = '{_INCOMING_SOURCE}'
+    UNION ALL
+    SELECT doc_id + {_RECRAWL_ID_OFFSET}, fp, head_fp FROM corpus
+    WHERE doc_id % {_RECRAWL_MOD} = 7
+), corpus_fp AS (
+    SELECT DISTINCT fp FROM corpus
+), corpus_head AS (
+    SELECT DISTINCT head_fp FROM corpus
+)
+SELECT i.doc_id,
+       (cf.fp IS NOT NULL) AS exact_dup,
+       (ch.head_fp IS NOT NULL) AS head_dup,
+       CASE WHEN cf.fp IS NOT NULL OR ch.head_fp IS NOT NULL
+            THEN 'drop' ELSE 'ingest' END AS verdict
+FROM incoming i
+LEFT JOIN corpus_fp cf ON i.fp = cf.fp
+LEFT JOIN corpus_head ch ON i.head_fp = ch.head_fp
+"""
+
+
 REGISTRY: list[tuple] = [
     ("training_shard_export", training_shard_export, TRAINING_SHARD_ORACLE),
     ("token_budget_mix", token_budget_mix, TOKEN_BUDGET_ORACLE),
     ("mmr_diverse_topk", mmr_diverse_topk, MMR_ORACLE),
     ("kmeans_label_purity", kmeans_label_purity, KMEANS_PURITY_ORACLE),
+    ("incremental_corpus_dedup", incremental_corpus_dedup, INCREMENTAL_DEDUP_ORACLE),
 ]

@@ -81,3 +81,38 @@ def test_kmeans_purity_is_a_valid_majority_share(spark, sf_dir):
     assert out.where((F.col("purity") <= 0) | (F.col("purity") > 1)).count() == 0
     labels = {r.label for r in emb.select("label").distinct().collect()}
     assert {r.majority_label for r in out.collect()} <= labels
+
+
+def test_incremental_dedup_recrawls_are_exact_dups(spark, sf_dir):
+    out = m.incremental_corpus_dedup(spark, sf_dir).cache()
+    # every simulated re-crawl row (id >= offset) must flag exact_dup:
+    # its text IS in the corpus by construction
+    recrawl = out.where(F.col("doc_id") >= m._RECRAWL_ID_OFFSET)
+    assert recrawl.count() > 0
+    assert recrawl.where(~F.col("exact_dup")).count() == 0
+    # an exact dup implies a head dup (same text -> same head)
+    assert out.where(F.col("exact_dup") & ~F.col("head_dup")).count() == 0
+    # verdict is exactly the OR of the flags
+    assert (
+        out.where(
+            (F.col("verdict") == "drop")
+            != (F.col("exact_dup") | F.col("head_dup"))
+        ).count()
+        == 0
+    )
+
+
+def test_k_anonymity_risk_share_matches_flags(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans import etl_ops
+
+    out = etl_ops.k_anonymity_audit(spark, sf_dir).cache()
+    cust = read_table(spark, sf_dir, "customer")
+    # cells partition the table
+    assert out.agg(F.sum("cell_size")).first()[0] == cust.count()
+    # below_k is exactly cell_size < k
+    assert out.where(F.col("below_k") != (F.col("cell_size") < etl_ops._K_ANON)).count() == 0
+    # the published share equals the recomputed ratio on the collected frame
+    rows = out.collect()
+    at_risk = sum(r.cell_size for r in rows if r.below_k)
+    total = sum(r.cell_size for r in rows)
+    assert abs(rows[0].at_risk_share - round(at_risk / total, 6)) < 1e-9
