@@ -445,10 +445,98 @@ LEFT JOIN corpus_head ch ON i.head_fp = ch.head_fp
 """
 
 
+_QUOTA_TOTAL = 100  # eval-set size allocated across sources
+
+
+def proportional_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional-allocation sampling with largest-remainder rounding:
+    build an eval set of exactly ``_QUOTA_TOTAL`` docs whose source mix
+    matches the corpus mix as closely as integer quotas allow (the Hare
+    largest-remainder method apportionment uses; fixed-k-per-stratum
+    sampling — `stratified_sample` — distorts the mix whenever strata
+    differ in size).
+
+    All quota arithmetic is integer-exact: with per-source counts n_s and
+    corpus total N, ``M * n_s = base_s * N + rem_s`` splits each source's
+    ideal share into its floor quota and a scaled remainder, the leftover
+    ``M - sum(base_s)`` seats go to the largest remainders (ties on
+    source name), and each source then keeps its ``quota_s`` docs with
+    the lowest md5 draw. Scale: the quota computation runs on the
+    n_sources-row frame (two windows over a tiny aggregate); the only
+    data-sized operations are one broadcast quota join and the
+    per-source selection window — the same shuffle budget as
+    `stratified_sample`.
+    """
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    wall = Window.partitionBy()
+    wrem = Window.partitionBy().orderBy(F.col("rem").desc(), "source")
+    quotas = (
+        counts.withColumn("n_total", F.sum("n_s").over(wall))
+        .withColumn("base", (_QUOTA_TOTAL * F.col("n_s") - F.pmod(_QUOTA_TOTAL * F.col("n_s"), F.col("n_total"))) / F.col("n_total"))
+        .withColumn("base", F.col("base").cast("long"))
+        .withColumn("rem", _QUOTA_TOTAL * F.col("n_s") - F.col("base") * F.col("n_total"))
+        .withColumn("leftover", F.lit(_QUOTA_TOTAL) - F.sum("base").over(wall))
+        .withColumn("rrk", F.row_number().over(wrem))
+        .withColumn(
+            "quota",
+            (F.col("base") + F.when(F.col("rrk") <= F.col("leftover"), 1).otherwise(0)).cast("long"),
+        )
+        .select("source", "quota")
+    )
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|quota")))
+    wsel = Window.partitionBy("source").orderBy("draw", "doc_id")
+    return (
+        docs.select("source", "doc_id", draw.alias("draw"))
+        .withColumn("rk", F.row_number().over(wsel))
+        .join(F.broadcast(quotas), "source")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("source", "doc_id", F.col("rk").cast("int").alias("rk"), "quota")
+    )
+
+
+PROPORTIONAL_QUOTA_ORACLE = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+), q AS (
+    SELECT source, n_s,
+           sum(n_s) OVER () AS n_total,
+           CAST(({_QUOTA_TOTAL} * n_s
+                 - (({_QUOTA_TOTAL} * n_s) % sum(n_s) OVER ()))
+                / sum(n_s) OVER () AS BIGINT) AS base
+    FROM counts
+), r AS (
+    SELECT source, base,
+           {_QUOTA_TOTAL} * n_s - base * n_total AS rem,
+           {_QUOTA_TOTAL} - sum(base) OVER () AS leftover
+    FROM q
+), quotas AS (
+    SELECT source,
+           CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                                 <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r
+), ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY
+               md5(CAST(doc_id AS VARCHAR) || '|quota'), doc_id) AS rk
+    FROM documents
+)
+SELECT ranked.source, doc_id, CAST(rk AS INT) AS rk, quota
+FROM ranked JOIN quotas ON ranked.source = quotas.source
+WHERE rk <= quota
+"""
+
+
 REGISTRY: list[tuple] = [
     ("training_shard_export", training_shard_export, TRAINING_SHARD_ORACLE),
     ("token_budget_mix", token_budget_mix, TOKEN_BUDGET_ORACLE),
     ("mmr_diverse_topk", mmr_diverse_topk, MMR_ORACLE),
     ("kmeans_label_purity", kmeans_label_purity, KMEANS_PURITY_ORACLE),
     ("incremental_corpus_dedup", incremental_corpus_dedup, INCREMENTAL_DEDUP_ORACLE),
+    (
+        "proportional_quota_sample",
+        proportional_quota_sample,
+        PROPORTIONAL_QUOTA_ORACLE,
+    ),
 ]

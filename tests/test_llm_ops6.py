@@ -8,9 +8,20 @@ argmax, and purity is a valid per-cluster majority share."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from glue_job_to_write_structured_data_on_s3_full_code_spark.plans import llm_ops6 as m
 from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    """These tests cache the very plans test_plan_quality later inspects;
+    a leaked InMemoryRelation would make the gate read the cached plan's
+    string dump (which repeats the exchange in its Final/Initial plan
+    sections) instead of the fresh plan. Drop all cache on the way out."""
+    yield
+    spark.catalog.clearCache()
 
 
 def test_shard_export_is_a_permutation(spark, sf_dir):
@@ -116,3 +127,21 @@ def test_k_anonymity_risk_share_matches_flags(spark, sf_dir):
     at_risk = sum(r.cell_size for r in rows if r.below_k)
     total = sum(r.cell_size for r in rows)
     assert abs(rows[0].at_risk_share - round(at_risk / total, 6)) < 1e-9
+
+
+def test_quota_sample_is_exact_and_within_one_seat(spark, sf_dir):
+    out = m.proportional_quota_sample(spark, sf_dir).cache()
+    docs = read_table(spark, sf_dir, "documents")
+    # exactly M rows total
+    assert out.count() == m._QUOTA_TOTAL
+    # largest-remainder property: every source's quota is floor or ceil
+    # of its ideal share M * n_s / N
+    counts = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    quotas = {r.source: r.quota for r in out.select("source", "quota").distinct().collect()}
+    for s, q in quotas.items():
+        ideal = m._QUOTA_TOTAL * counts[s] / total
+        assert q in (int(ideal), int(ideal) + 1), (s, q, ideal)
+    # each source delivers exactly its quota (no short strata in fixture)
+    per = out.groupBy("source").agg(F.count("*").alias("n"), F.max("quota").alias("q"))
+    assert per.where(F.col("n") != F.col("q")).count() == 0
