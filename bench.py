@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "duplicated_ngram_spans",
     "ngram_contamination_check",
     "jaro_winkler_linkage",
+    "incremental_corpus_dedup",
+    "training_shard_export",
 ]
 
 
@@ -113,6 +115,8 @@ def main() -> None:
         "duplicated_ngram_spans",
         "ngram_contamination_check",
         "jaro_winkler_linkage",
+        "incremental_corpus_dedup",
+        "training_shard_export",
     }
     print(
         json.dumps(

@@ -528,6 +528,70 @@ WHERE rk <= quota
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-overlap audit: for every source pair, how many head
+    fingerprints (first 30 normalized tokens) they share, and the overlap
+    coefficient ``shared / min(|A|, |B|)`` — the matrix a corpus owner
+    reads before blending crawls (two mirrors of the same site show up as
+    a high-overlap pair; the union of such pairs is double-counted mass
+    the dedup pass must absorb).
+
+    Scale: the only payload shuffled is the 128-bit digest. The self-join
+    is digest-equality, so its fan-out is bounded by duplicate-group
+    sizes (a digest shared by k sources yields C(k,2) pairs), and the
+    output frame is at most n_sources² rows regardless of corpus size.
+    Per-source distinct-head counts ride the same digest frame.
+    """
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    head = F.concat_ws(" ", F.slice(F.split(norm, r"\s+"), 1, _PREFIX_TOKENS))
+    heads = docs.select("source", F.md5(head).alias("head_fp")).distinct()
+    sizes = heads.groupBy("source").agg(F.count("*").alias("n_heads"))
+    a = heads.select(F.col("source").alias("source_a"), "head_fp")
+    b = heads.select(F.col("source").alias("source_b"), "head_fp")
+    pairs = (
+        a.join(b, "head_fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_heads"))
+    )
+    na = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_heads").alias("n_a")))
+    nb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_heads").alias("n_b")))
+    return (
+        pairs.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_heads",
+            F.round(F.col("shared_heads") / F.least("n_a", "n_b"), 6).alias(
+                "overlap_coeff"
+            ),
+        )
+    )
+
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH heads AS (
+    SELECT DISTINCT source, md5({_HEAD_SQL}) AS head_fp FROM documents
+), sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_heads FROM heads GROUP BY 1
+), pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_heads
+    FROM heads a JOIN heads b
+      ON a.head_fp = b.head_fp AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared_heads,
+       round(p.shared_heads / least(sa.n_heads, sb.n_heads), 6) AS overlap_coeff
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+"""
+
+
 REGISTRY: list[tuple] = [
     ("training_shard_export", training_shard_export, TRAINING_SHARD_ORACLE),
     ("token_budget_mix", token_budget_mix, TOKEN_BUDGET_ORACLE),
@@ -539,4 +603,5 @@ REGISTRY: list[tuple] = [
         proportional_quota_sample,
         PROPORTIONAL_QUOTA_ORACLE,
     ),
+    ("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE),
 ]

@@ -145,3 +145,12 @@ def test_quota_sample_is_exact_and_within_one_seat(spark, sf_dir):
     # each source delivers exactly its quota (no short strata in fixture)
     per = out.groupBy("source").agg(F.count("*").alias("n"), F.max("quota").alias("q"))
     assert per.where(F.col("n") != F.col("q")).count() == 0
+
+
+def test_source_overlap_is_symmetric_half_and_bounded(spark, sf_dir):
+    out = m.source_overlap_matrix(spark, sf_dir).cache()
+    # only the upper triangle appears, coefficients in (0, 1]
+    assert out.where(F.col("source_a") >= F.col("source_b")).count() == 0
+    assert out.where((F.col("overlap_coeff") <= 0) | (F.col("overlap_coeff") > 1)).count() == 0
+    # every reported pair really shares at least one head fingerprint
+    assert out.where(F.col("shared_heads") < 1).count() == 0

@@ -399,3 +399,12 @@ def test_mmr_broadcasts_every_pick(spark, sf_dir, queries):
     plan = _plan(queries["mmr_diverse_topk"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_broadcasts_digest_sets(spark, sf_dir, queries):
+    # both corpus digest probes must be broadcast joins on md5 keys; the
+    # incoming side never sort-merge-joins or shuffles for the probe
+    df = queries["incremental_corpus_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
