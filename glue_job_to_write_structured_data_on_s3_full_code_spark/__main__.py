@@ -18,9 +18,11 @@ catalog registration, FULL.py shape) against a warehouse path.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+# same data-dir override bench.py honors
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -19,9 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import normalized_text, token_count
 from ..session import tune
 from ..sources import read_table
+from .llm_ops4 import _TOKCNT  # DuckDB spelling of token_count — ONE copy
 from .llm_ops5 import (
     EMBEDDING_KMEANS_ORACLE,
     _QV_SQL,
@@ -34,12 +35,10 @@ TOKEN_BUDGET = 5000  # per-source token cap for the budgeted mix
 _SHORTLIST = 10  # ANN shortlist MMR reranks
 _MMR_K = 3  # diversified picks
 _LAMBDA = 0.7  # MMR relevance weight
-
-# DuckDB spelling of functions.text.token_count (shared with llm_ops4).
-_TOKCNT = (
-    "CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
-)
+# penalty weight as the EXACT double both engines multiply by: 1 - 0.7 is
+# the double 0.30000000000000004, round(.., 10) is 0.3 — the oracle bakes
+# in the rounded literal, so the Spark side must use the same constant
+_MU = round(1 - _LAMBDA, 10)
 
 
 def training_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,7 +185,16 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rel", _cosine("q_qv", "qv", "q_nrm", "nrm"))
         .select("vec_id", "qv", "nrm", "rel")
     )
-    shortlist = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_SHORTLIST).cache()
+    # localCheckpoint, not cache(): the k-row shortlist is materialized
+    # once (the scored scan never re-runs per pick) WITHOUT registering an
+    # InMemoryRelation in the session catalog — a cache here outlives the
+    # query and pollutes later plan inspections of identical subtrees
+    # (ContextCleaner reclaims checkpointed blocks when the frame is GC'd)
+    shortlist = (
+        scored.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_SHORTLIST)
+        .localCheckpoint(eager=True)
+    )
 
     picks: list[DataFrame] = []
     # pick 1: pure relevance
@@ -212,7 +220,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             div_cols.append(_cosine(f"p{i}_qv", "qv", f"p{i}_nrm", "nrm"))
         div = div_cols[0] if len(div_cols) == 1 else F.greatest(*div_cols)
         cand = cand.withColumn(
-            "mmr", F.round(F.lit(_LAMBDA) * F.col("rel") - F.lit(1 - _LAMBDA) * div, 6)
+            "mmr", F.round(F.lit(_LAMBDA) * F.col("rel") - F.lit(_MU) * div, 6)
         )
         nxt = (
             cand.orderBy(F.col("mmr").desc(), "vec_id")
@@ -231,7 +239,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mmr_oracle() -> str:
-    lam, mu = _LAMBDA, round(1 - _LAMBDA, 10)
+    lam, mu = _LAMBDA, _MU
     cos = (
         "round((SELECT sum(x.a * x.b) FROM (SELECT unnest({u}.qv) AS a, "
         "unnest({v}.qv) AS b) x) / (sqrt({u}.nrm) * sqrt({v}.nrm)), 6)"
@@ -340,6 +348,15 @@ FROM tot t JOIN maj m USING (cluster)
 
 _INCOMING_SOURCE = "src5"  # the "today's crawl" batch (has head-fp overlaps)
 _PREFIX_TOKENS = 30  # head-fingerprint width
+
+
+def _head_key(col) -> F.Column:
+    """First `_PREFIX_TOKENS` tokens of the canonical normalized form —
+    built on functions.text.normalized_text so every fingerprint in the
+    repo derives from the ONE normalization definition."""
+    return F.concat_ws(
+        " ", F.slice(F.split(normalized_text(col), r"\s+"), 1, _PREFIX_TOKENS)
+    )
 _RECRAWL_MOD = 50  # corpus docs with doc_id % 50 == 7 are re-crawled today
 _RECRAWL_ID_OFFSET = 1_000_000  # re-crawled docs arrive under new ids
 
@@ -369,13 +386,11 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = read_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
-    head = F.concat_ws(" ", F.slice(F.split(norm, r"\s+"), 1, _PREFIX_TOKENS))
     keyed = docs.select(
         "doc_id",
         "source",
-        F.md5(norm).alias("fp"),
-        F.md5(head).alias("head_fp"),
+        F.md5(normalized_text("text")).alias("fp"),
+        F.md5(_head_key("text")).alias("head_fp"),
     )
     corpus = keyed.where(F.col("source") != _INCOMING_SOURCE)
     recrawl = corpus.where(
@@ -474,8 +489,12 @@ def proportional_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrem = Window.partitionBy().orderBy(F.col("rem").desc(), "source")
     quotas = (
         counts.withColumn("n_total", F.sum("n_s").over(wall))
-        .withColumn("base", (_QUOTA_TOTAL * F.col("n_s") - F.pmod(_QUOTA_TOTAL * F.col("n_s"), F.col("n_total"))) / F.col("n_total"))
-        .withColumn("base", F.col("base").cast("long"))
+        .withColumn(
+            # integral division (`div`), never a double divide: exact for
+            # any BIGINT-representable M * n_s, as SCALE.md claims
+            "base",
+            F.expr(f"CAST(({_QUOTA_TOTAL} * n_s) DIV n_total AS BIGINT)"),
+        )
         .withColumn("rem", _QUOTA_TOTAL * F.col("n_s") - F.col("base") * F.col("n_total"))
         .withColumn("leftover", F.lit(_QUOTA_TOTAL) - F.sum("base").over(wall))
         .withColumn("rrk", F.row_number().over(wrem))
@@ -502,9 +521,7 @@ WITH counts AS (
 ), q AS (
     SELECT source, n_s,
            sum(n_s) OVER () AS n_total,
-           CAST(({_QUOTA_TOTAL} * n_s
-                 - (({_QUOTA_TOTAL} * n_s) % sum(n_s) OVER ()))
-                / sum(n_s) OVER () AS BIGINT) AS base
+           CAST(({_QUOTA_TOTAL} * n_s) // sum(n_s) OVER () AS BIGINT) AS base
     FROM counts
 ), r AS (
     SELECT source, base,
@@ -544,9 +561,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = read_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
-    head = F.concat_ws(" ", F.slice(F.split(norm, r"\s+"), 1, _PREFIX_TOKENS))
-    heads = docs.select("source", F.md5(head).alias("head_fp")).distinct()
+    heads = docs.select("source", F.md5(_head_key("text")).alias("head_fp")).distinct()
     sizes = heads.groupBy("source").agg(F.count("*").alias("n_heads"))
     a = heads.select(F.col("source").alias("source_a"), "head_fp")
     b = heads.select(F.col("source").alias("source_b"), "head_fp")
