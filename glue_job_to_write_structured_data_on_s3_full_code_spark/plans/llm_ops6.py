@@ -463,6 +463,33 @@ LEFT JOIN corpus_head ch ON i.head_fp = ch.head_fp
 _QUOTA_TOTAL = 100  # eval-set size allocated across sources
 
 
+def largest_remainder_quotas(counts: DataFrame, total: int) -> DataFrame:
+    """Hare largest-remainder apportionment on a (source, n_s) frame:
+    returns (source, quota) with sum(quota) == total exactly, every quota
+    in {floor(ideal), ceil(ideal)}. All arithmetic integral (DIV) so the
+    result is exact for any BIGINT-representable ``total * n_s``.
+    Runs entirely on the n_sources-row frame."""
+    wall = Window.partitionBy()
+    wrem = Window.partitionBy().orderBy(F.col("rem").desc(), "source")
+    return (
+        counts.withColumn("n_total", F.sum("n_s").over(wall))
+        .withColumn(
+            "base",
+            F.expr(f"CAST(({total} * n_s) DIV n_total AS BIGINT)"),
+        )
+        .withColumn("rem", total * F.col("n_s") - F.col("base") * F.col("n_total"))
+        .withColumn("leftover", F.lit(total) - F.sum("base").over(wall))
+        .withColumn("rrk", F.row_number().over(wrem))
+        .withColumn(
+            "quota",
+            (
+                F.col("base") + F.when(F.col("rrk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .select("source", "quota")
+    )
+
+
 def proportional_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proportional-allocation sampling with largest-remainder rounding:
     build an eval set of exactly ``_QUOTA_TOTAL`` docs whose source mix
@@ -485,25 +512,7 @@ def proportional_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
-    wall = Window.partitionBy()
-    wrem = Window.partitionBy().orderBy(F.col("rem").desc(), "source")
-    quotas = (
-        counts.withColumn("n_total", F.sum("n_s").over(wall))
-        .withColumn(
-            # integral division (`div`), never a double divide: exact for
-            # any BIGINT-representable M * n_s, as SCALE.md claims
-            "base",
-            F.expr(f"CAST(({_QUOTA_TOTAL} * n_s) DIV n_total AS BIGINT)"),
-        )
-        .withColumn("rem", _QUOTA_TOTAL * F.col("n_s") - F.col("base") * F.col("n_total"))
-        .withColumn("leftover", F.lit(_QUOTA_TOTAL) - F.sum("base").over(wall))
-        .withColumn("rrk", F.row_number().over(wrem))
-        .withColumn(
-            "quota",
-            (F.col("base") + F.when(F.col("rrk") <= F.col("leftover"), 1).otherwise(0)).cast("long"),
-        )
-        .select("source", "quota")
-    )
+    quotas = largest_remainder_quotas(counts, _QUOTA_TOTAL)
     draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|quota")))
     wsel = Window.partitionBy("source").orderBy("draw", "doc_id")
     return (

@@ -154,3 +154,33 @@ def test_source_overlap_is_symmetric_half_and_bounded(spark, sf_dir):
     assert out.where((F.col("overlap_coeff") <= 0) | (F.col("overlap_coeff") > 1)).count() == 0
     # every reported pair really shares at least one head fingerprint
     assert out.where(F.col("shared_heads") < 1).count() == 0
+
+
+def test_write_training_shards_one_sorted_file_per_shard(spark, sf_dir, tmp_path):
+    import glob
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.shards import (
+        write_training_shards,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|epoch0")))
+    frame = docs.select("doc_id", draw.alias("draw")).withColumn(
+        "shard_id",
+        (F.conv(F.substring("draw", 1, 15), 16, 10).cast("long") % m.N_SHARDS).cast("int"),
+    )
+    target = str(tmp_path / "shards")
+    write_training_shards(frame, target, m.N_SHARDS)
+
+    total = 0
+    for d in sorted(glob.glob(target + "/shard_id=*")):
+        files = glob.glob(d + "/*.parquet")
+        # the production contract: one sequentially streamable file per shard
+        assert len(files) == 1, (d, files)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files[0]).to_pydict()
+        draws = t["draw"]
+        assert draws == sorted(draws), f"{d} not draw-sorted"
+        total += len(draws)
+    assert total == docs.count()  # no row lost or duplicated across shards

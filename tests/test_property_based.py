@@ -289,3 +289,35 @@ def normalize_py(s: str) -> str:
     import re
 
     return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+
+counts_st = st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2", "s3", "s4"]), st.integers(1, 500)),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+
+
+def _model_largest_remainder(counts: dict[str, int], total: int) -> dict[str, int]:
+    n_total = sum(counts.values())
+    base = {s: (total * n) // n_total for s, n in counts.items()}
+    rem = {s: total * n - base[s] * n_total for s, n in counts.items()}
+    leftover = total - sum(base.values())
+    for s in sorted(counts, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    return base
+
+
+@given(counts=counts_st, total=st.integers(1, 200))
+@settings(**_SETTINGS)
+def test_largest_remainder_quotas_match_model(spark, counts, total):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops6 import (
+        largest_remainder_quotas,
+    )
+
+    df = spark.createDataFrame(counts, "source string, n_s long")
+    got = {r.source: r.quota for r in largest_remainder_quotas(df, total).collect()}
+    want = _model_largest_remainder(dict(counts), total)
+    assert got == want
+    assert sum(got.values()) == total
