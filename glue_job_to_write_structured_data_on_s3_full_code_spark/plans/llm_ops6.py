@@ -616,6 +616,59 @@ JOIN sizes sb ON sb.source = p.source_b
 """
 
 
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of `llm_ops4.sequence_packing`: per (source,
+    pack), how many docs landed in the pack, its token load, and the
+    padding a fixed-width trainer would burn on it — the wasted-FLOPs
+    estimate run before committing to a packing configuration. A pack's
+    load can exceed the budget (an over-budget doc becomes a singleton
+    pack by the cum-DIV arithmetic), so padding clamps at zero and an
+    ``overflow`` flag marks those packs.
+
+    Scale: reuses the packing assignment (one per-source window), then
+    one (source, pack) hash aggregation — the report frame is
+    corpus_tokens / budget rows, ~10^6 per TB, trivially aggregable.
+    """
+    from .llm_ops4 import PACK_BUDGET, sequence_packing
+
+    packed = sequence_packing(spark, sf_dir)
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("used_tokens"),
+        )
+        .select(
+            "source",
+            "pack_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("used_tokens").cast("long").alias("used_tokens"),
+            F.greatest(
+                F.lit(0).cast("long"), F.lit(PACK_BUDGET) - F.col("used_tokens")
+            ).alias("padding_tokens"),
+            (F.col("used_tokens") > PACK_BUDGET).alias("overflow"),
+        )
+    )
+
+
+def _packing_efficiency_oracle() -> str:
+    from .llm_ops4 import PACK_BUDGET, SEQUENCE_PACKING_ORACLE
+
+    return f"""
+WITH packed AS ({SEQUENCE_PACKING_ORACLE})
+SELECT source, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS used_tokens,
+       greatest(0, {PACK_BUDGET} - CAST(sum(n_tok) AS BIGINT)) AS padding_tokens,
+       (CAST(sum(n_tok) AS BIGINT) > {PACK_BUDGET}) AS overflow
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+PACKING_EFFICIENCY_ORACLE = _packing_efficiency_oracle()
+
+
 REGISTRY: list[tuple] = [
     ("training_shard_export", training_shard_export, TRAINING_SHARD_ORACLE),
     ("token_budget_mix", token_budget_mix, TOKEN_BUDGET_ORACLE),
@@ -628,4 +681,9 @@ REGISTRY: list[tuple] = [
         PROPORTIONAL_QUOTA_ORACLE,
     ),
     ("source_overlap_matrix", source_overlap_matrix, SOURCE_OVERLAP_ORACLE),
+    (
+        "packing_efficiency_report",
+        packing_efficiency_report,
+        PACKING_EFFICIENCY_ORACLE,
+    ),
 ]

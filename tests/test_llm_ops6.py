@@ -184,3 +184,24 @@ def test_write_training_shards_one_sorted_file_per_shard(spark, sf_dir, tmp_path
         assert draws == sorted(draws), f"{d} not draw-sorted"
         total += len(draws)
     assert total == docs.count()  # no row lost or duplicated across shards
+
+
+def test_packing_efficiency_conserves_tokens(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops4 import (
+        PACK_BUDGET,
+        sequence_packing,
+    )
+
+    out = m.packing_efficiency_report(spark, sf_dir).cache()
+    packed = sequence_packing(spark, sf_dir)
+    # token mass conserved: report sums what packing assigned
+    assert (
+        out.agg(F.sum("used_tokens")).first()[0]
+        == packed.agg(F.sum("n_tok")).first()[0]
+    )
+    # padding + used == budget exactly on non-overflow packs; padding is 0 on overflow
+    bad = out.where(
+        (~F.col("overflow") & (F.col("used_tokens") + F.col("padding_tokens") != PACK_BUDGET))
+        | (F.col("overflow") & (F.col("padding_tokens") != 0))
+    )
+    assert bad.count() == 0
