@@ -52,7 +52,16 @@ def structuring_job(
     # crawler lifecycle (FULL.py:106-141): register the table by schema
     # inference if it doesn't exist, then an incremental discover-and-add
     # pass for any partition the catalog doesn't know yet
-    ensure_table(spark, table, target_path, schema_source=stamped)
+    # partition_cols flows into the saveAsTable fallback too, so even the
+    # empty-path registration path creates a PARTITIONED table and the
+    # sync_partitions / ADD PARTITION calls below stay valid
+    ensure_table(
+        spark,
+        table,
+        target_path,
+        schema_source=stamped,
+        partition_cols=("dataset_date",),
+    )
     sync_partitions(spark, table, target_path)
 
     n = spark.table(table).where(F.col("dataset_date") == dataset_date).count()

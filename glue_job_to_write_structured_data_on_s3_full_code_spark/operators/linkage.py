@@ -129,6 +129,47 @@ def _jw_udf(a, b):
     )
 
 
+def jw_similarity(a, b) -> F.Column:
+    """Public Jaro-Winkler column kernel (Arrow-batched pandas UDF —
+    Spark has no builtin). Plans compose THIS, not the private UDF."""
+    return _jw_udf(a, b)
+
+
+def name_pair_candidates(
+    df: DataFrame, name_col: str, block_col: str
+) -> DataFrame:
+    """Dedupe-before-kernel pair generation: distinct within-block name
+    pairs (``name_a <= name_b``) with the row-pair multiplicity each one
+    represents (``n_a * n_b`` across distinct names, ``C(n, 2)`` within
+    an identical name). String kernels run on THIS frame — O(|V|²) per
+    block — never on the O(N²) row-pair space; the id-level expansion
+    stays a multiplicity-weighted join a consumer may choose to pay.
+    Output: ``blk, name_a, name_b, n_a, n_b, n_pairs`` (pairs with zero
+    multiplicity — a unique name paired with itself — already dropped).
+    """
+    names = df.groupBy(block_col, name_col).agg(F.count("*").alias("n"))
+    a = names.select(
+        F.col(block_col).alias("blk"),
+        F.col(name_col).alias("name_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = names.select(
+        F.col(block_col).alias("blk"),
+        F.col(name_col).alias("name_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_pairs = F.when(
+        F.col("name_a") == F.col("name_b"),
+        (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long"),
+    ).otherwise(F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") <= F.col("name_b"))
+        .withColumn("n_pairs", n_pairs)
+        .where(F.col("n_pairs") > 0)
+    )
+
+
 def jaro_winkler_pairs(
     df: DataFrame,
     name_col: str,

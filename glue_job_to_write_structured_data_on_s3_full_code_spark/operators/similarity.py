@@ -518,15 +518,33 @@ def lsh_bucketed_topk(
             bits.append(F.when(s > 0, "1").otherwise("0"))
         return F.concat(*bits)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", bucket_bits(F.col("qv")))
+    # fail fast on a dim mismatch: zip_with null-pads the shorter side,
+    # which would silently collapse every bucket key to all-zero bits
+    # (LSH degrades to one giant bucket) instead of erroring
+    def checked(vcol: Column) -> Column:
+        return F.assert_true(
+            F.size(vcol) == dim,
+            F.lit(f"lsh_bucketed_topk: embedding dim != configured dim={dim}"),
+        ).isNull()  # assert_true returns NULL; fold it into a no-op filter
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .where(checked(F.col("qv")))
+        .withColumn("bucket", bucket_bits(F.col("qv")))
+    )
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", bucket_bits(F.col("cv")))
+    c = (
+        corpus.repartition(par)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .where(checked(F.col("cv")))
+        .withColumn("bucket", bucket_bits(F.col("cv")))
+    )
 
     scored = (
         c.join(F.broadcast(q), "bucket")

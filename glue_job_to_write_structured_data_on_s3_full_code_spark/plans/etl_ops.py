@@ -41,10 +41,14 @@ def _customer_updates(cust: DataFrame) -> DataFrame:
     return base.unionByName(new_rows)
 
 
-def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 merge of a synthesized customer snapshot into a day-1 history.
-    One key shuffle (the full-outer compare join); unions are free."""
-    tune(spark)
+def customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 customer history every temporal query builds on: day-1
+    snapshot as the open current state, merged with the synthesized
+    update batch (_customer_updates) at ``_LOAD``. ONE definition —
+    scd2_customer_merge, scd2_pointintime_read, and
+    temporal_queries.scd2_temporal_enrich all consume this, so the load
+    date / compare columns / update modeling can never desynchronize
+    across their oracles."""
     cust = read_table(spark, sf_dir, "customer")
     current = cust.select(
         "c_custkey",
@@ -53,13 +57,20 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-01").cast("date").alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
     )
-    merged = scd2_merge(
+    return scd2_merge(
         current,
         _customer_updates(cust),
         key="c_custkey",
         compare_cols=["c_name", "c_acctbal"],
         load_date=_LOAD,
     )
+
+
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge of a synthesized customer snapshot into a day-1 history.
+    One key shuffle (the full-outer compare join); unions are free."""
+    tune(spark)
+    merged = customer_history(spark, sf_dir)
     # register as timestamps: the driver's canonicalizer (like pandas)
     # renders DATE and TIMESTAMP cells differently across engines
     return merged.withColumn(
@@ -137,21 +148,7 @@ def scd2_pointintime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation per as-of date (both states come from ONE history scan
     via explode of the as-of list)."""
     tune(spark)
-    cust = read_table(spark, sf_dir, "customer")
-    current = cust.select(
-        "c_custkey",
-        "c_name",
-        "c_acctbal",
-        F.lit("2024-01-01").cast("date").alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-    )
-    history = scd2_merge(
-        current,
-        _customer_updates(cust),
-        key="c_custkey",
-        compare_cols=["c_name", "c_acctbal"],
-        load_date=_LOAD,
-    )
+    history = customer_history(spark, sf_dir)
     as_of = F.explode(
         F.array(F.lit("2024-01-15"), F.lit("2024-02-15"))
     ).alias("as_of")

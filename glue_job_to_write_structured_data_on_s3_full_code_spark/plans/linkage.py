@@ -17,57 +17,24 @@ from ..session import tune
 from ..sources import read_table
 
 
-def _name_histogram(part: DataFrame) -> DataFrame:
-    """(p_type, p_name) → multiplicity. The dedupe-before-kernel move:
-    every string-similarity kernel below runs on DISTINCT names, never on
-    rows. The fixture (like real dirty dimensions) repeats a small name
-    vocabulary across many rows, so the row-level pair space is O(N²)
-    while the name-level space is O(|V|²) — at sf0.1: 20k parts but 64
-    names, i.e. 33M candidate row pairs vs ~2k name pairs. Round 4's
-    sweep measured the row-level Jaro-Winkler query at 389 s; this form
-    runs in ~1 s with the SAME information content (the id-level
-    expansion, if a consumer wants it, is a multiplicity-weighted join
-    against the name→id index — the output explosion you do NOT
-    materialize at 100 TB)."""
-    return part.groupBy("p_type", "p_name").agg(F.count("*").alias("n"))
-
-
-def _n_pairs() -> F.Column:
-    """Row pairs represented by a name pair: n_a·n_b across distinct
-    names, C(n,2) within an identical name (id_a < id_b ordering)."""
-    return F.when(
-        F.col("name_a") == F.col("name_b"),
-        (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long"),
-    ).otherwise(F.col("n_a") * F.col("n_b"))
-
-
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance linkage: same-type name pairs ≤ 4 edits apart, with
-    the row-pair multiplicity each name pair represents. Kernel work is
-    O(|distinct names|²) per block (see _name_histogram); the exact
-    length-band prune (|Δlen| ≤ max_dist ⇒ candidate) still cuts the
-    kernel invocations before the O(len²) levenshtein."""
+    the row-pair multiplicity each name pair represents. Pair generation
+    is `operators.linkage.name_pair_candidates` — the dedupe-before-kernel
+    move: kernels run on DISTINCT names (O(|V|²) per block; at sf0.1: 64
+    names vs 20k rows, ~2k name pairs vs 33M row pairs — the row-level
+    form measured 389 s, this one ~1 s). The exact length-band prune
+    (|Δlen| ≤ max_dist ⇒ candidate) still cuts the kernel invocations
+    before the O(len²) levenshtein."""
+    from ..operators.linkage import name_pair_candidates
+
     tune(spark)
     part = read_table(spark, sf_dir, "part")
-    names = _name_histogram(part)
-    a = names.select(
-        F.col("p_type").alias("blk"),
-        F.col("p_name").alias("name_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = names.select(
-        F.col("p_type").alias("blk"),
-        F.col("p_name").alias("name_b"),
-        F.col("n").alias("n_b"),
-    )
     return (
-        a.join(b, "blk")
-        .where(F.col("name_a") <= F.col("name_b"))
+        name_pair_candidates(part, "p_name", "p_type")
         .where(F.abs(F.length("name_a") - F.length("name_b")) <= 4)
         .withColumn("lev_dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("lev_dist") <= 4)
-        .withColumn("n_pairs", _n_pairs())
-        .where(F.col("n_pairs") > 0)
         .select(
             F.col("blk").alias("p_type"),
             "name_a",
@@ -98,28 +65,14 @@ def jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas UDF, value-exact vs DuckDB's jaro_winkler_similarity), on the
     dedupe-before-kernel shape: the Python kernel sees each distinct name
     pair ONCE (~2k Arrow rows at sf0.1, was 33M row pairs / 389 s)."""
-    from ..operators.linkage import _jw_udf
+    from ..operators.linkage import jw_similarity, name_pair_candidates
 
     tune(spark)
     part = read_table(spark, sf_dir, "part")
-    names = _name_histogram(part)
-    a = names.select(
-        F.col("p_type").alias("blk"),
-        F.col("p_name").alias("name_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = names.select(
-        F.col("p_type").alias("blk"),
-        F.col("p_name").alias("name_b"),
-        F.col("n").alias("n_b"),
-    )
     return (
-        a.join(b, "blk")
-        .where(F.col("name_a") <= F.col("name_b"))
-        .withColumn("jw_sim", F.round(_jw_udf("name_a", "name_b"), 6))
+        name_pair_candidates(part, "p_name", "p_type")
+        .withColumn("jw_sim", F.round(jw_similarity("name_a", "name_b"), 6))
         .where(F.col("jw_sim") >= 0.88)
-        .withColumn("n_pairs", _n_pairs())
-        .where(F.col("n_pairs") > 0)
         .select(
             F.col("blk").alias("p_type"), "name_a", "name_b", "jw_sim", "n_pairs"
         )

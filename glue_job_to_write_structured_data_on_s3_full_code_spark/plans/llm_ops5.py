@@ -198,10 +198,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dot", dot)
         .where(
+            # DECIMAL(38,0) for the cross-product compare: bigint would
+            # wrap silently once 400*dot^2 passes 2^63 (components > ~1.2
+            # after quantization), while DuckDB promotes to HUGEINT —
+            # decimal keeps both engines exact to 38 digits, far beyond
+            # any unit-norm-ish embedding family
             (F.col("dot") > 0)
             & (
-                F.lit(400) * F.col("dot") * F.col("dot")
-                >= F.lit(289) * F.col("l.nrm") * F.col("r.nrm")
+                F.lit(400) * F.col("dot").cast("decimal(38,0)") * F.col("dot")
+                >= F.lit(289)
+                * F.col("l.nrm").cast("decimal(38,0)")
+                * F.col("r.nrm")
             )
         )
     )
@@ -898,9 +905,13 @@ def corpus_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     RATES fa/NA vs fb/NB without ever dividing — stays exact in both
     engines). Top-30 drifted tokens.
 
-    One tokenize pass, one token aggregation, a 1-row broadcast of the
-    totals, TakeOrdered for the top-k — no sort of the vocabulary."""
+    One tokenize pass, one token aggregation, totals as window sums over
+    the vocabulary-bounded freq frame (an agg + broadcast here would
+    re-execute the whole tokenize lineage a second time), TakeOrdered
+    for the top-k — no sort of the vocabulary."""
     tune(spark)
+    from pyspark.sql import Window
+
     from .llm_ops3 import TRAIN_BUCKET_MAX
 
     docs = read_table(spark, sf_dir, "documents")
@@ -913,11 +924,14 @@ def corpus_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("fa"),
         F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("fb"),
     )
-    tot = freq.agg(F.sum("fa").alias("na"), F.sum("fb").alias("nb"))
+    wall = Window.partitionBy()
     return (
-        freq.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "drift", F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
+        freq.withColumn(
+            "drift",
+            F.abs(
+                F.col("fa") * F.sum("fb").over(wall)
+                - F.col("fb") * F.sum("fa").over(wall)
+            ),
         )
         .orderBy(F.col("drift").desc(), "tok")
         .limit(30)
@@ -925,7 +939,7 @@ def corpus_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_MAX = "d3"  # llm_ops3.TRAIN_BUCKET_MAX (md5 2-hex-char split point)
+from .llm_ops3 import TRAIN_BUCKET_MAX as _BUCKET_MAX  # ONE split-point constant
 
 CORPUS_DRIFT_ORACLE = f"""
 WITH tok AS (

@@ -47,36 +47,60 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _document(df: DataFrame) -> DataFrame:
-    """OUTBOUND.py:239-343 shape: struct groups + array-of-struct interests
-    (FULL.py:659-696 question/response arrays). All leaves coalesced."""
-    seg = F.coalesce(F.col("c_mktsegment"), F.lit("NA"))
-    bucket = (
+def _seg() -> F.Column:
+    return F.coalesce(F.col("c_mktsegment"), F.lit("NA"))
+
+
+def _bucket() -> F.Column:
+    return (
         F.when(F.col("o_totalprice") < 50000, "LOW")
         .when(F.col("o_totalprice") < 150000, "MEDIUM")
         .otherwise("HIGH")
     )
+
+
+def _administration() -> F.Column:
+    return F.struct(
+        F.concat(F.lit("PM"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")).alias("prospectId"),
+        F.date_format("o_orderdate", "dd/MM/yyyy").alias("createdDate"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("NA")).alias("status"),
+    ).alias("administration")
+
+
+def _customer_details() -> F.Column:
+    return F.struct(
+        F.coalesce(F.col("c_name"), F.lit("NA")).alias("customerName"),
+        _seg().alias("segment"),
+        F.coalesce(F.col("n_name"), F.lit("NA")).alias("nationName"),
+    ).alias("customerDetails")
+
+
+def _purchase_details() -> F.Column:
+    return F.struct(
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("totalPrice"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("NA")).alias("priority"),
+    ).alias("purchaseDetails")
+
+
+def _interests() -> F.Column:
+    return F.array(
+        F.struct(F.lit("QM001").alias("questionId"), _seg().alias("answer")),
+        F.struct(F.lit("QM002").alias("questionId"), _bucket().alias("answer")),
+    ).alias("interests")
+
+
+def _document(df: DataFrame) -> DataFrame:
+    """OUTBOUND.py:239-343 shape: struct groups + array-of-struct interests
+    (FULL.py:659-696 question/response arrays). All leaves coalesced.
+    The group builders above are the single definition — the end-to-end
+    pipeline composes the same groups plus its scoring extension."""
     return df.select(
         F.col("o_orderkey").alias("leadid"),
         F.struct(
-            F.struct(
-                F.concat(F.lit("PM"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")).alias("prospectId"),
-                F.date_format("o_orderdate", "dd/MM/yyyy").alias("createdDate"),
-                F.coalesce(F.col("o_orderstatus"), F.lit("NA")).alias("status"),
-            ).alias("administration"),
-            F.struct(
-                F.coalesce(F.col("c_name"), F.lit("NA")).alias("customerName"),
-                seg.alias("segment"),
-                F.coalesce(F.col("n_name"), F.lit("NA")).alias("nationName"),
-            ).alias("customerDetails"),
-            F.struct(
-                F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("totalPrice"),
-                F.coalesce(F.col("o_orderpriority"), F.lit("NA")).alias("priority"),
-            ).alias("purchaseDetails"),
-            F.array(
-                F.struct(F.lit("QM001").alias("questionId"), seg.alias("answer")),
-                F.struct(F.lit("QM002").alias("questionId"), bucket.alias("answer")),
-            ).alias("interests"),
+            _administration(),
+            _customer_details(),
+            _purchase_details(),
+            _interests(),
         ).alias("doc"),
     )
 
@@ -205,51 +229,36 @@ def outbound_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("leadid"), F.lit(1).alias("_hit"))
     )
 
-    seg = F.coalesce(F.col("c_mktsegment"), F.lit("NA"))
-    bucket = (
-        F.when(F.col("o_totalprice") < 50000, "LOW")
-        .when(F.col("o_totalprice") < 150000, "MEDIUM")
-        .otherwise("HIGH")
-    )
+    # the four shared groups from _document, plus this pipeline's scoring
+    # extension — field order matters for to_json, so scoring is spliced
+    # between purchaseDetails and interests exactly as the oracle states
     doc = F.struct(
+        _administration(),
+        _customer_details(),
+        _purchase_details(),
         F.struct(
-            F.concat(
-                F.lit("PM"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")
-            ).alias("prospectId"),
-            F.date_format("o_orderdate", "dd/MM/yyyy").alias("createdDate"),
-            F.coalesce(F.col("o_orderstatus"), F.lit("NA")).alias("status"),
-        ).alias("administration"),
-        F.struct(
-            F.coalesce(F.col("c_name"), F.lit("NA")).alias("customerName"),
-            seg.alias("segment"),
-            F.coalesce(F.col("n_name"), F.lit("NA")).alias("nationName"),
-        ).alias("customerDetails"),
-        F.struct(
-            F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("totalPrice"),
-            F.coalesce(F.col("o_orderpriority"), F.lit("NA")).alias("priority"),
-        ).alias("purchaseDetails"),
-        F.struct(
-            bucket.alias("priceBucket"),
+            _bucket().alias("priceBucket"),
             F.year("o_orderdate").alias("orderYear"),
         ).alias("scoring"),
-        F.array(
-            F.struct(F.lit("QM001").alias("questionId"), seg.alias("answer")),
-            F.struct(F.lit("QM002").alias("questionId"), bucket.alias("answer")),
-        ).alias("interests"),
+        _interests(),
     )
     nullable_details = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
         F.struct(
             F.coalesce(F.col("c_name"), F.lit("NA")).alias("customerName"),
-            seg.alias("segment"),
+            _seg().alias("segment"),
         )
     )
+    # cache at the fan-out (reference C1, FULL.py:488): the stats
+    # broadcast below executes as its own broadcast-build job, and
+    # without the cache it would re-run the whole candidates lineage
+    # (top-1 window + enrichment joins) a second time
     candidates = base.join(store, base.o_orderkey == store.leadid, "left").select(
         F.col("o_orderkey").alias("leadid"),
         F.col("o_orderstatus").alias("status"),
         doc.alias("doc"),
         nullable_details.alias("details"),
         F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
-    )
+    ).cache()
     stats = candidates.agg(
         F.count("*").alias("n_candidates"),
         F.sum("hit").alias("n_suppressed"),

@@ -114,25 +114,10 @@ def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ..operators.scd import scd2_merge
-    from ..plans.etl_ops import _LOAD, _customer_updates
+    from ..plans.etl_ops import customer_history
 
     tune(spark)
-    cust = read_table(spark, sf_dir, "customer")
-    current = cust.select(
-        "c_custkey",
-        "c_name",
-        "c_acctbal",
-        F.lit("2024-01-01").cast("date").alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-    )
-    history = scd2_merge(
-        current,
-        _customer_updates(cust),
-        key="c_custkey",
-        compare_cols=["c_name", "c_acctbal"],
-        load_date=_LOAD,
-    ).where(F.col("c_custkey") <= 150)
+    history = customer_history(spark, sf_dir).where(F.col("c_custkey") <= 150)
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", (F.col("user_id") + 1).alias("key")
     )

@@ -104,16 +104,46 @@ def materialize_result(df: DataFrame, name: str) -> DataFrame:
     self-cleaning across re-invocations within a session (no per-run
     garbage), and the applicationId path segment keeps two sessions
     sharing a warehouse dir from clobbering each other's staged files
-    mid-scan when they run the same query concurrently."""
+    mid-scan when they run the same query concurrently. Per-appId dirs
+    would otherwise accumulate forever (overwrite only cleans within one
+    application), so each call sweeps sibling appId dirs whose last
+    modification is older than ``_STAGED_TTL_S`` — dead sessions' staging
+    is reclaimed without ever touching a live concurrent session's."""
     spark = df.sparkSession
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    path = os.path.join(
-        warehouse, "_staged_results", spark.sparkContext.applicationId, name
-    )
+    staged_root = os.path.join(warehouse, "_staged_results")
+    app_id = spark.sparkContext.applicationId
+    _sweep_stale_staging(staged_root, keep=app_id)
+    path = os.path.join(staged_root, app_id, name)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+_STAGED_TTL_S = 24 * 3600  # staging from an appId idle this long is dead
+
+
+def _sweep_stale_staging(staged_root: str, keep: str) -> None:
+    """Delete sibling appId staging dirs idle past the TTL. Local-fs only
+    (the sandbox case); on an object store, lifecycle rules on the
+    staging prefix do this job. Best-effort: races with a concurrent
+    sweeper just mean the loser's rmtree finds nothing."""
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(staged_root)
+    except OSError:
+        return
+    cutoff = time.time() - _STAGED_TTL_S
+    for entry in entries:
+        p = os.path.join(staged_root, entry)
+        try:
+            if entry != keep and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def load_tables(
