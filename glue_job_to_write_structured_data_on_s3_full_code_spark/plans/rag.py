@@ -278,8 +278,262 @@ JOIN documents dc ON dc.doc_id = r.doc_id
 GROUP BY r.query_id
 """
 
+QUERY_TERMS = ("vector", "stream", "window")  # the fixed lexical query
+_K1, _B = 1.2, 0.75  # standard BM25 constants
+_BM25_TOPK = 10
+_RRF_K = 60  # reciprocal-rank-fusion damping (Cormack et al. 2009)
+_FUSE_DEPTH = 20  # per-retriever candidate depth fused by RRF
+
+
+def _doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 inputs in ONE aggregation pass: doc length (tokens)
+    and the query-term frequencies. Cached (C1) because both the global
+    stats broadcast and the scoring pass consume it — without the cache
+    the tokenize lineage would execute twice."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.where(normalized_text("text") != "").select(
+        "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
+    )
+    aggs = [F.count("*").alias("dl")] + [
+        F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
+        for i, t in enumerate(QUERY_TERMS)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs).cache()
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Spärck Jones probabilistic
+    ranking, the Lucene ``+1`` idf variant) for a fixed query — the
+    lexical baseline every hybrid RAG stack runs beside dense retrieval.
+    Scores round to 6 dp BEFORE ranking, ties on doc_id (the repo's
+    round-before-rank taming; ln/division are the only float steps).
+
+    Scale: one tokenize + one per-doc aggregation; corpus stats (N, df_t,
+    avgdl) are a 1-row broadcast off the cached per-doc frame; scoring is
+    map-side; TakeOrderedAndProject for the top-k. At production scale
+    the per-term postings come from an inverted index, but the scoring
+    tail is identical."""
+    tune(spark)
+    stats = _doc_term_stats(spark, sf_dir)
+    glob_aggs = [
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ] + [
+        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+        for i in range(len(QUERY_TERMS))
+    ]
+    glob = stats.agg(*glob_aggs)
+    scored = stats.crossJoin(F.broadcast(glob))
+    score = None
+    for i in range(len(QUERY_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf{i}")
+        term = idf * (
+            tf * (_K1 + 1)
+            / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    return (
+        scored.withColumn("bm25", F.round(score, 6))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", "bm25", F.col("dl").cast("long").alias("dl"))
+    )
+
+
+def _bm25_oracle_cte(depth: int) -> str:
+    norm = _NORM.format(col="text")
+    toks = _TOKS.format(norm=norm)
+    tf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(QUERY_TERMS))
+    )
+    terms = " + ".join(
+        f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * ({_K1} + 1) / (tf{i} + {_K1} * (1 - {_B} + {_B} * dl / avgdl)))"
+        for i in range(len(QUERY_TERMS))
+    )
+    return f"""
+stats AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, {tf_cols}
+    FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents
+          WHERE {norm} <> '')
+    GROUP BY doc_id
+), cstats AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM stats
+), scored AS (
+    SELECT doc_id, dl, round({terms}, 6) AS bm25
+    FROM stats, cstats
+)
+, bm25_top AS (
+    SELECT doc_id, bm25, dl FROM scored WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT {depth}
+)"""
+
+
+BM25_ORACLE = f"""
+WITH {_bm25_oracle_cte(_BM25_TOPK)}
+SELECT doc_id, bm25, dl FROM bm25_top
+"""
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.
+    2009) of the BM25 lexical ranking and the dense hashed-embedding
+    cosine ranking for the same query — the standard way production RAG
+    merges sparse and dense retrievers without score calibration
+    (``sum 1/(k + rank)`` over the lists a doc appears in).
+
+    Both candidate lists are depth-20; fusion is a full-outer join on
+    doc_id over two 20-row frames — nothing data-sized happens after the
+    two retrievals. RRF scores round to 6 dp, ties on doc_id."""
+    tune(spark)
+    stats = _doc_term_stats(spark, sf_dir)
+    glob_aggs = [
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ] + [
+        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+        for i in range(len(QUERY_TERMS))
+    ]
+    glob = stats.agg(*glob_aggs)
+    scored = stats.crossJoin(F.broadcast(glob))
+    score = None
+    for i in range(len(QUERY_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf{i}")
+        term = idf * (
+            tf * (_K1 + 1)
+            / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    lex = (
+        scored.withColumn("bm25", F.round(score, 6))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_FUSE_DEPTH)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+        .select("doc_id", "lex_rank")
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    doc_tok = docs.where(normalized_text("text") != "").select(
+        "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
+    )
+    doc_emb = _embed(doc_tok, "doc_id")
+    qdf = spark.createDataFrame(
+        [(0, " ".join(QUERY_TERMS))], "qid int, text string"
+    )
+    q_tok = qdf.select("qid", F.explode(tokens(normalized_text("text"))).alias("tok"))
+    q_emb = _embed(q_tok, "qid").select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sem = (
+        doc_emb.where(F.col("nrm") > 0)
+        .crossJoin(F.broadcast(q_emb.where(F.col("q_nrm") > 0)))
+        .withColumn("dot", dot)
+        .where(F.col("dot") > 0)
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.sqrt("q_nrm") * F.sqrt("nrm")), 6)
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_FUSE_DEPTH)
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(Window.orderBy(F.col("cosine").desc(), "doc_id")),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn("rrf_score", rrf)
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select(
+            "doc_id",
+            "rrf_score",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+        )
+    )
+
+
+def _hybrid_oracle() -> str:
+    norm = _NORM.format(col="text")
+    return f"""
+WITH {_bm25_oracle_cte(_FUSE_DEPTH)}
+, lex AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+    FROM bm25_top
+), demb AS ({_embed_sql("documents", "doc_id", "text")}),
+dnrm AS (
+    SELECT doc_id, emb,
+           (SELECT CAST(sum(x.a * x.a) AS BIGINT)
+            FROM (SELECT unnest(emb) AS a) x) AS nrm
+    FROM demb
+), q AS (
+    SELECT emb AS q_emb,
+           (SELECT CAST(sum(x.a * x.a) AS BIGINT)
+            FROM (SELECT unnest(emb) AS a) x) AS q_nrm
+    FROM ({_embed_sql(
+        f"(SELECT 0 AS qid, '{' '.join(QUERY_TERMS)}' AS text)", "qid", "text"
+    )})
+), sem_scored AS (
+    SELECT d.doc_id,
+           round((SELECT sum(x.a * x.b)
+                  FROM (SELECT unnest(d.emb) AS a, unnest(q.q_emb) AS b) x)
+                 / (sqrt(q.q_nrm) * sqrt(d.nrm)), 6) AS cosine,
+           (SELECT sum(x.a * x.b)
+            FROM (SELECT unnest(d.emb) AS a, unnest(q.q_emb) AS b) x) AS dot
+    FROM dnrm d, q
+    WHERE d.nrm > 0 AND q.q_nrm > 0
+), sem AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS sem_rank
+    FROM (SELECT * FROM sem_scored WHERE dot > 0
+          ORDER BY cosine DESC, doc_id LIMIT {_FUSE_DEPTH})
+)
+SELECT doc_id,
+       round(coalesce(1.0 / ({_RRF_K} + lex_rank), 0)
+             + coalesce(1.0 / ({_RRF_K} + sem_rank), 0), 6) AS rrf_score,
+       lex_rank, sem_rank
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf_score DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+HYBRID_RRF_ORACLE = _hybrid_oracle()
+
+
 REGISTRY: list[tuple] = [
     ("text_hash_embeddings", text_hash_embeddings, TEXT_EMBED_ORACLE),
     ("rag_retrieval_pipeline", rag_retrieval_pipeline, RAG_RETRIEVAL_ORACLE),
     ("retrieval_eval_metrics", retrieval_eval_metrics, RETRIEVAL_EVAL_ORACLE),
+    ("bm25_retrieval", bm25_retrieval, BM25_ORACLE),
+    ("hybrid_retrieval_rrf", hybrid_retrieval_rrf, HYBRID_RRF_ORACLE),
 ]
