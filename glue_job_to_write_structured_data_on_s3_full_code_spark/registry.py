@@ -71,9 +71,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # and two round-2 rows worth keeping fresh (the flagship, and the
 # blocked-strategy near-dup whose scale fix landed in r3). Everything
 # rotated out remains verified locally by tests/test_oracle_parity.py
-# (all registered queries, every session). The 30 queries ADDED during
+# (all registered queries, every session). The 40 queries ADDED during
 # round 4 register after slot 50 and are the round-5 prefix's first
-# claim: outbound_document_pipeline, the llm_ops5 pack (embedding_kmeans,
+# claim (40 fit; the remaining ~10 slots go to the oldest gate-stale
+# round-2 names): outbound_document_pipeline, the llm_ops5 pack (embedding_kmeans,
 # semantic_dedup, quality_linear_classifier, bpe_merge_induction,
 # bpe_encode_corpus, chat_template_assembly, dataset_card_stats,
 # embedding_ivf_kmeans_topk, duplicated_ngram_spans, corpus_drift_l1,
