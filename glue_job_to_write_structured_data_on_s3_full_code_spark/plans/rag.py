@@ -301,19 +301,13 @@ def _doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(*aggs).cache()
 
 
-def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval (Robertson-Spärck Jones probabilistic
-    ranking, the Lucene ``+1`` idf variant) for a fixed query — the
-    lexical baseline every hybrid RAG stack runs beside dense retrieval.
-    Scores round to 6 dp BEFORE ranking, ties on doc_id (the repo's
-    round-before-rank taming; ln/division are the only float steps).
-
-    Scale: one tokenize + one per-doc aggregation; corpus stats (N, df_t,
-    avgdl) are a 1-row broadcast off the cached per-doc frame; scoring is
-    map-side; TakeOrderedAndProject for the top-k. At production scale
-    the per-term postings come from an inverted index, but the scoring
-    tail is identical."""
-    tune(spark)
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, bm25) for every doc with a positive BM25 score —
+    the shared scoring core of bm25_retrieval and the hybrid fusion.
+    Corpus stats (N, df_t, avgdl) are a 1-row broadcast off the cached
+    per-doc frame; scoring is map-side; scores round to 6 dp BEFORE any
+    ranking (the repo's round-before-rank taming; ln/division are the
+    only float steps)."""
     stats = _doc_term_stats(spark, sf_dir)
     glob_aggs = [
         F.count("*").alias("n_docs"),
@@ -336,9 +330,21 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
         )
         score = term if score is None else score + term
+    return scored.withColumn("bm25", F.round(score, 6)).where(F.col("bm25") > 0)
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Spärck Jones probabilistic
+    ranking, the Lucene ``+1`` idf variant) for a fixed query — the
+    lexical baseline every hybrid RAG stack runs beside dense retrieval.
+
+    Scale: one tokenize + one per-doc aggregation (see _bm25_scored);
+    TakeOrderedAndProject for the top-k. At production scale the
+    per-term postings come from an inverted index, but the scoring tail
+    is identical."""
+    tune(spark)
     return (
-        scored.withColumn("bm25", F.round(score, 6))
-        .where(F.col("bm25") > 0)
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
         .select("doc_id", "bm25", F.col("dl").cast("long").alias("dl"))
@@ -396,31 +402,8 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id over two 20-row frames — nothing data-sized happens after the
     two retrievals. RRF scores round to 6 dp, ties on doc_id."""
     tune(spark)
-    stats = _doc_term_stats(spark, sf_dir)
-    glob_aggs = [
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    ] + [
-        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-        for i in range(len(QUERY_TERMS))
-    ]
-    glob = stats.agg(*glob_aggs)
-    scored = stats.crossJoin(F.broadcast(glob))
-    score = None
-    for i in range(len(QUERY_TERMS)):
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
-            + 1.0
-        )
-        tf = F.col(f"tf{i}")
-        term = idf * (
-            tf * (_K1 + 1)
-            / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
-        )
-        score = term if score is None else score + term
     lex = (
-        scored.withColumn("bm25", F.round(score, 6))
-        .where(F.col("bm25") > 0)
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_FUSE_DEPTH)
         .withColumn(
