@@ -278,6 +278,86 @@ JOIN documents dc ON dc.doc_id = r.doc_id
 GROUP BY r.query_id
 """
 
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k for the retrieval pipeline — the graded companion to
+    precision@k (binary gains here: a chunk is relevant iff its document
+    shares the query's LANGUAGE — the coarser label the hashed embedder
+    actually recovers, so the metric is non-degenerate where the
+    source-match precision floor sits at zero). DCG discounts each hit
+    by log2(rank+1); IDCG is the ideal prefix
+    ``sum_{i<=min(k, R)} 1/log2(i+1)`` with R = the query's total
+    relevant-doc count in the corpus (own doc excluded), so a query
+    whose language has fewer than k foreign docs is not penalized for
+    physics. Rounded to 6 dp.
+
+    Scale: everything after the retrieval pipeline is broadcast joins
+    and per-query aggregation over top-k rows; R comes from a
+    sources-sized broadcast count."""
+    tune(spark)
+    res = rag_retrieval_pipeline(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q_lang = docs.select(
+        F.col("doc_id").alias("query_id"), F.col("lang").alias("q_lang")
+    )
+    c_lang = docs.select("doc_id", F.col("lang").alias("c_lang"))
+    lang_sizes = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    rel = (
+        res.join(F.broadcast(q_lang), "query_id")
+        .join(F.broadcast(c_lang), "doc_id")
+        .join(
+            F.broadcast(lang_sizes),
+            F.col("q_lang") == F.col("lang"),
+        )
+        .withColumn(
+            "gain",
+            F.when(F.col("q_lang") == F.col("c_lang"), 1.0).otherwise(0.0),
+        )
+    )
+    per_q = rel.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.sum(F.col("gain") / F.log2(F.col("rank") + 1)).alias("dcg"),
+        # R = same-source docs minus the query itself
+        (F.first("n_lang") - 1).alias("n_relevant"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least("k", "n_relevant")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+    )
+    return per_q.select(
+        "query_id",
+        F.col("k").cast("int").alias("k"),
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
+    )
+
+
+RETRIEVAL_NDCG_ORACLE = f"""
+WITH rag AS (
+    SELECT * FROM ({{rag}})
+), rel AS (
+    SELECT r.query_id, r.rank,
+           CASE WHEN dq.lang = dc.lang THEN 1.0 ELSE 0.0 END AS gain,
+           (SELECT count(*) FROM documents s WHERE s.lang = dq.lang) - 1
+               AS n_relevant
+    FROM rag r
+    JOIN documents dq ON dq.doc_id = r.query_id
+    JOIN documents dc ON dc.doc_id = r.doc_id
+), per_q AS (
+    SELECT query_id, count(*) AS k,
+           sum(gain / log2(rank + 1)) AS dcg,
+           min(n_relevant) AS n_relevant
+    FROM rel GROUP BY query_id
+)
+SELECT query_id, CAST(k AS INT) AS k,
+       CAST(n_relevant AS BIGINT) AS n_relevant,
+       round(dcg / (SELECT sum(1.0 / log2(i + 1))
+                    FROM unnest(generate_series(1, CAST(least(k, n_relevant) AS BIGINT))) AS t(i)),
+             6) AS ndcg
+FROM per_q
+""".replace("{rag}", RAG_RETRIEVAL_ORACLE)
+
+
 QUERY_TERMS = ("vector", "stream", "window")  # the fixed lexical query
 _K1, _B = 1.2, 0.75  # standard BM25 constants
 _BM25_TOPK = 10
@@ -519,4 +599,5 @@ REGISTRY: list[tuple] = [
     ("retrieval_eval_metrics", retrieval_eval_metrics, RETRIEVAL_EVAL_ORACLE),
     ("bm25_retrieval", bm25_retrieval, BM25_ORACLE),
     ("hybrid_retrieval_rrf", hybrid_retrieval_rrf, HYBRID_RRF_ORACLE),
+    ("retrieval_ndcg", retrieval_ndcg, RETRIEVAL_NDCG_ORACLE),
 ]

@@ -83,7 +83,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # scd2_temporal_enrich, last_touch_attribution, the analytics pack
 # (event_transition_matrix, equi_depth_histogram, winsorized_stats), the rag pack (text_hash_embeddings,
 # rag_retrieval_pipeline, retrieval_eval_metrics, bm25_retrieval,
-# hybrid_retrieval_rrf), the formats pack (jsonl/csv/orc roundtrips,
+# hybrid_retrieval_rrf, retrieval_ndcg), the formats pack (jsonl/csv/orc roundtrips,
 # schema_evolution_merge), streaming_anomaly_alerts,
 # gdpr_erasure_rewrite, and the llm_ops6 last-mile pack
 # (training_shard_export, token_budget_mix, mmr_diverse_topk,

@@ -46,3 +46,26 @@ def test_rrf_score_decomposes_into_rank_reciprocals(spark, sf_dir):
     # fused doc must beat any single-list tail contribution
     top = rows[0].rrf_score
     assert top >= 1.0 / (m._RRF_K + m._FUSE_DEPTH)
+
+
+def test_ndcg_is_bounded_and_zero_iff_no_lang_hits(spark, sf_dir):
+    out = {r.query_id: r for r in m.retrieval_ndcg(spark, sf_dir).collect()}
+    assert len(out) > 0
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    res = m.rag_retrieval_pipeline(spark, sf_dir)
+    hits = (
+        res.join(docs.select(F.col("doc_id").alias("query_id"), F.col("lang").alias("ql")), "query_id")
+        .join(docs.select("doc_id", F.col("lang").alias("cl")), "doc_id")
+        .where(F.col("ql") == F.col("cl"))
+        .groupBy("query_id")
+        .count()
+    )
+    n_hits = {r.query_id: r["count"] for r in hits.collect()}
+    for qid, r in out.items():
+        assert 0.0 <= r.ndcg <= 1.0
+        assert (r.ndcg > 0) == (n_hits.get(qid, 0) > 0)
+        # perfect prefix => ndcg == 1: if every retrieved item is a hit
+        if n_hits.get(qid, 0) == r.k:
+            assert r.ndcg == 1.0
