@@ -669,6 +669,58 @@ GROUP BY 1, 2
 PACKING_EFFICIENCY_ORACLE = _packing_efficiency_oracle()
 
 
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the language-ID
+    heuristic against the fixture's ground-truth ``lang`` labels — the
+    audit a pipeline runs before trusting a filter model's decisions
+    downstream (per true-class recall exposes WHICH languages a
+    stopword-voting en/und detector will silently misroute).
+
+    One broadcast join of predictions to labels + one hash aggregation;
+    the matrix frame is |langs| x |predictions| regardless of corpus
+    size, and per-true-class shares are window sums over that tiny
+    frame."""
+    from .llm_ops import language_id_heuristic
+
+    preds = language_id_heuristic(spark, sf_dir).select(
+        "doc_id", "predicted_lang"
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    cells = (
+        docs.join(preds, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    wtrue = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wtrue), 6).alias("share_of_true"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from .llm_ops import LANGUAGE_ID_ORACLE
+
+    return f"""
+WITH preds AS ({LANGUAGE_ID_ORACLE}),
+cells AS (
+    SELECT d.lang AS true_lang, p.predicted_lang, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN preds p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+)
+SELECT true_lang, predicted_lang, n,
+       round(n / sum(n) OVER (PARTITION BY true_lang), 6) AS share_of_true
+FROM cells
+"""
+
+
+LANGID_CONFUSION_ORACLE = _langid_confusion_oracle()
+
+
 REGISTRY: list[tuple] = [
     ("training_shard_export", training_shard_export, TRAINING_SHARD_ORACLE),
     ("token_budget_mix", token_budget_mix, TOKEN_BUDGET_ORACLE),
@@ -686,4 +738,5 @@ REGISTRY: list[tuple] = [
         packing_efficiency_report,
         PACKING_EFFICIENCY_ORACLE,
     ),
+    ("langid_confusion_matrix", langid_confusion_matrix, LANGID_CONFUSION_ORACLE),
 ]

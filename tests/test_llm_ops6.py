@@ -205,3 +205,14 @@ def test_packing_efficiency_conserves_tokens(spark, sf_dir):
         | (F.col("overflow") & (F.col("padding_tokens") != 0))
     )
     assert bad.count() == 0
+
+
+def test_langid_confusion_partitions_the_corpus(spark, sf_dir):
+    out = m.langid_confusion_matrix(spark, sf_dir).cache()
+    docs = read_table(spark, sf_dir, "documents")
+    # cell counts partition the corpus; per-true-class shares sum to 1
+    assert out.agg(F.sum("n")).first()[0] == docs.count()
+    per_true = out.groupBy("true_lang").agg(F.sum("share_of_true").alias("s"))
+    assert per_true.where(F.abs(F.col("s") - 1.0) > 1e-4).count() == 0
+    # predictions only come from the heuristic's label set
+    assert {r.predicted_lang for r in out.collect()} <= {"en", "und"}
