@@ -721,6 +721,69 @@ FROM cells
 LANGID_CONFUSION_ORACLE = _langid_confusion_oracle()
 
 
+_PRECISION_THRESHOLD = 0.5  # the dedup pass's true-positive bar
+
+
+def minhash_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit of the MinHash-LSH band index: every candidate
+    pair the bands surface (NO verify threshold), bucketed by its exact
+    Jaccard decile, with each bucket's share of the candidate stream and
+    whether it clears the dedup pass's 0.5 bar. The per-decile precision
+    profile is what an index owner reads to retune bands/rows — a fat
+    low-decile tail means the bands are wasting verification compute, an
+    empty high tail means recall risk (tests pin recall separately).
+
+    Scale: identical plan to minhash_lsh_dedup (the threshold filter is
+    the only difference) plus one decile aggregation over the candidate
+    stream — the profile frame is at most 11 rows."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        docs, "text", "doc_id", verify_threshold=0.0
+    )
+    wall = Window.partitionBy()
+    return (
+        cands.withColumn(
+            "jaccard_decile",
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int"),
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "jaccard_decile",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("n_pairs") / F.sum("n_pairs").over(wall), 6).alias(
+                "share"
+            ),
+            (F.col("jaccard_decile") >= int(_PRECISION_THRESHOLD * 10)).alias(
+                "passes_verify"
+            ),
+        )
+    )
+
+
+def _minhash_precision_oracle() -> str:
+    from .llm_ops import _minhash_oracle
+
+    return f"""
+WITH cands AS ({_minhash_oracle(verify_threshold=0.0)}),
+buckets AS (
+    SELECT CAST(least(floor(jaccard * 10), 9) AS INT) AS jaccard_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cands GROUP BY 1
+)
+SELECT jaccard_decile, n_pairs,
+       round(n_pairs / sum(n_pairs) OVER (), 6) AS share,
+       (jaccard_decile >= {int(_PRECISION_THRESHOLD * 10)}) AS passes_verify
+FROM buckets
+"""
+
+
+MINHASH_PRECISION_ORACLE = _minhash_precision_oracle()
+
+
 REGISTRY: list[tuple] = [
     ("training_shard_export", training_shard_export, TRAINING_SHARD_ORACLE),
     ("token_budget_mix", token_budget_mix, TOKEN_BUDGET_ORACLE),
@@ -739,4 +802,9 @@ REGISTRY: list[tuple] = [
         PACKING_EFFICIENCY_ORACLE,
     ),
     ("langid_confusion_matrix", langid_confusion_matrix, LANGID_CONFUSION_ORACLE),
+    (
+        "minhash_candidate_precision",
+        minhash_candidate_precision,
+        MINHASH_PRECISION_ORACLE,
+    ),
 ]

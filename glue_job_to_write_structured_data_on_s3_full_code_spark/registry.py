@@ -89,7 +89,8 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # (training_shard_export, token_budget_mix, mmr_diverse_topk,
 # kmeans_label_purity, incremental_corpus_dedup,
 # proportional_quota_sample, source_overlap_matrix,
-# packing_efficiency_report, langid_confusion_matrix), and
+# packing_efficiency_report, langid_confusion_matrix,
+# minhash_candidate_precision), and
 # k_anonymity_audit — plus the round-2-verified names that will then
 # be three rounds stale.
 _VERIFIED_PREFIX = (

@@ -216,3 +216,22 @@ def test_langid_confusion_partitions_the_corpus(spark, sf_dir):
     assert per_true.where(F.abs(F.col("s") - 1.0) > 1e-4).count() == 0
     # predictions only come from the heuristic's label set
     assert {r.predicted_lang for r in out.collect()} <= {"en", "und"}
+
+
+def test_minhash_precision_profile_covers_all_candidates(spark, sf_dir):
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    out = m.minhash_candidate_precision(spark, sf_dir).cache()
+    docs = read_table(spark, sf_dir, "documents")
+    all_cands = minhash_lsh_candidates(docs, "text", "doc_id", verify_threshold=0.0)
+    # buckets partition the unfiltered candidate stream
+    assert out.agg(F.sum("n_pairs")).first()[0] == all_cands.count()
+    # shares sum to 1; passes_verify is exactly decile >= 5
+    assert abs(out.agg(F.sum("share")).first()[0] - 1.0) < 1e-4
+    assert out.where(F.col("passes_verify") != (F.col("jaccard_decile") >= 5)).count() == 0
+    # the pairs that pass equal the registered dedup query's output count
+    n_verified = minhash_lsh_candidates(docs, "text", "doc_id").count()
+    n_pass = out.where("passes_verify").agg(F.sum("n_pairs")).first()[0]
+    assert n_pass == n_verified
