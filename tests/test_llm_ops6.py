@@ -235,3 +235,33 @@ def test_minhash_precision_profile_covers_all_candidates(spark, sf_dir):
     n_verified = minhash_lsh_candidates(docs, "text", "doc_id").count()
     n_pass = out.where("passes_verify").agg(F.sum("n_pairs")).first()[0]
     assert n_pass == n_verified
+
+
+def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
+    """Determinism under re-partitioning: the draw/ranking queries must
+    return the SAME rows at any parallelism (a global-window or
+    unordered-limit bug would surface here as a partition-count-sensitive
+    result). Runs the order-sensitive names at 3 shuffle partitions and
+    compares canonical rows against the suite's default (32)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parity import canon_rows
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans import rag
+
+    names = [
+        ("training_shard_export", m.training_shard_export),
+        ("proportional_quota_sample", m.proportional_quota_sample),
+        ("mmr_diverse_topk", m.mmr_diverse_topk),
+        ("bm25_retrieval", rag.bm25_retrieval),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {n: canon_rows(fn(spark, sf_dir).toPandas()) for n, fn in names}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n, fn in names:
+            got = canon_rows(fn(spark, sf_dir).toPandas())
+            assert got == baseline[n], f"{n} changed under 3 shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
