@@ -105,6 +105,7 @@ def cosine_neardup(
     threshold: float = 0.35,
     strategy: str = "expr",
     num_blocks: int = 8,
+    matmul_max_rows: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup dedup (task brief: dedup family).
 
@@ -118,6 +119,13 @@ def cosine_neardup(
     buckets of :func:`lsh_bucketed_topk` (or IVF cells) instead of the
     self cross-join — same scoring, same keep rule.
 
+    The threshold compare is on ``round(cosine, 6)`` in EVERY strategy
+    (and in the DuckDB oracle): float64 summation order differs between
+    BLAS, Spark expressions, and DuckDB, so a raw compare can flip for a
+    pair within a few ulps of the threshold — rounding first makes the
+    decision order-independent (the same round-before-rank taming the
+    ADC path uses).
+
     ``strategy``:
 
     - ``'expr'`` — broadcast nested-loop join scored with JVM
@@ -130,7 +138,9 @@ def cosine_neardup(
       corpus partition scores all its rows against it in one numpy
       matmul (BLAS). ~50× faster at 2k×64 — but for self-comparison the
       "reference side" IS the corpus, so this strategy collects the
-      whole input to the driver: use it only for a bounded corpus.
+      whole input to the driver: it is hard-capped at
+      ``matmul_max_rows`` (default 100k) and raises ``ValueError``
+      above that instead of OOMing the driver.
     - ``'blocked'`` — the distributed exact form (default for the
       registered query): vectors are hashed into ``num_blocks`` id
       blocks, every unordered block PAIR becomes one task, and each task
@@ -141,7 +151,15 @@ def cosine_neardup(
       route remains LSH/IVF candidate generation.
     """
     if strategy == "matmul":
-        return _cosine_neardup_matmul(corpus, vec_col, id_col, threshold)
+        return _cosine_neardup_matmul(
+            corpus,
+            vec_col,
+            id_col,
+            threshold,
+            max_rows=(
+                _MATMUL_MAX_ROWS if matmul_max_rows is None else matmul_max_rows
+            ),
+        )
     if strategy == "blocked":
         return _cosine_neardup_blocked(
             corpus, vec_col, id_col, threshold, num_blocks=num_blocks
@@ -165,9 +183,10 @@ def cosine_neardup(
         hi.join(F.broadcast(lo), F.col("id_hi") > F.col("id_lo"))
         .select(
             "id_hi",
-            (
+            F.round(
                 _dot(F.col("v_hi"), F.col("v_lo"))
-                / (F.col("n_hi") * F.col("n_lo"))
+                / (F.col("n_hi") * F.col("n_lo")),
+                6,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -183,11 +202,15 @@ def cosine_neardup(
     )
 
 
+_MATMUL_MAX_ROWS = 100_000  # driver-collect guard for the matmul strategy
+
+
 def _cosine_neardup_matmul(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float,
+    max_rows: int = _MATMUL_MAX_ROWS,
 ) -> DataFrame:
     """Vectorized twin of :func:`cosine_neardup` (see its docstring).
 
@@ -196,10 +219,23 @@ def _cosine_neardup_matmul(
     product happens per pair (NOT by pre-normalizing rows) so the float
     operation order matches the expression strategy and the DuckDB oracle
     as closely as float64 allows.
+
+    This strategy collects the corpus to the driver to build the
+    broadcast reference matrix, so it REFUSES inputs above ``max_rows``
+    (raising ``ValueError``) rather than OOMing the driver — the guard
+    count probes ``limit(max_rows + 1)`` so it never scans past the cap.
+    Above the cap, use strategy='blocked'.
     """
     import numpy as np
 
     spark = corpus.sparkSession
+    n_probe = corpus.limit(max_rows + 1).count()
+    if n_probe > max_rows:
+        raise ValueError(
+            f"cosine_neardup strategy='matmul' collects the corpus to the "
+            f"driver and is capped at {max_rows} rows (input has more); "
+            f"use strategy='blocked' for unbounded corpora"
+        )
     ref_rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
     if not ref_rows:
         return corpus.select(
@@ -219,8 +255,10 @@ def _cosine_neardup_matmul(
         for pdf in batches:
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             x_ids = pdf[id_col].to_numpy()
-            sims = (x @ r_mat.T) / (
-                np.sqrt((x * x).sum(axis=1))[:, None] * r_norm[None, :]
+            sims = np.round(
+                (x @ r_mat.T)
+                / (np.sqrt((x * x).sum(axis=1))[:, None] * r_norm[None, :]),
+                6,
             )
             cnt = ((sims >= threshold) & (r_ids[None, :] < x_ids[:, None])).sum(
                 axis=1
@@ -261,11 +299,10 @@ def _cosine_neardup_blocked(
     per-vector partial counts of smaller-id near-dups; a final sum-groupBy
     (every vector emits a row in each of its ``num_blocks`` groups, so no
     re-join against the corpus is needed for the zero rows) yields the
-    same keep-min-id output as the other strategies — identical away from
-    threshold boundaries: the kept/count decision compares BLAS-summed
-    cosines to the threshold, and a similarity within a few ulps of it can
-    flip vs the expression strategy / DuckDB oracle, whose summation order
-    differs (the fixture corpus has no such boundary pair).
+    same keep-min-id output as the other strategies — bit-identical even
+    at threshold boundaries, because every strategy (and the oracle)
+    compares ``round(cosine, 6)`` to the threshold, making the decision
+    independent of float summation order.
 
     Scale shape: shuffle volume is num_blocks·N rows (the replication),
     task memory is two blocks of vectors, and there are
@@ -300,12 +337,14 @@ def _cosine_neardup_blocked(
         g1 = int(pdf["g1"].iloc[0])
         g2 = int(pdf["g2"].iloc[0])
         if g1 == g2:
-            sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+            sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 6)
             cnt = ((sims >= threshold) & (ids[None, :] < ids[:, None])).sum(axis=1)
             return pd.DataFrame({"vid": ids, "n": cnt.astype(np.int64)})
         a = pdf["blk"].to_numpy() == g1
         b = ~a
-        sims = (mat[a] @ mat[b].T) / (norms[a][:, None] * norms[b][None, :])
+        sims = np.round(
+            (mat[a] @ mat[b].T) / (norms[a][:, None] * norms[b][None, :]), 6
+        )
         hit = sims >= threshold
         cnt_a = (hit & (ids[b][None, :] < ids[a][:, None])).sum(axis=1)
         cnt_b = (hit.T & (ids[a][None, :] < ids[b][:, None])).sum(axis=1)

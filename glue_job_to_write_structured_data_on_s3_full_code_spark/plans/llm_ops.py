@@ -458,7 +458,7 @@ pairs AS (
 ),
 cnt AS (
     SELECT id_hi AS vec_id, count(*) AS n
-    FROM pairs WHERE cosine >= 0.35 GROUP BY 1
+    FROM pairs WHERE round(cosine, 6) >= 0.35 GROUP BY 1
 )
 SELECT v.vec_id,
        coalesce(cnt.n, 0) AS n_smaller_neardups,

@@ -34,6 +34,14 @@ N_SHARDS = 8
 TOKEN_BUDGET = 5000  # per-source token cap for the budgeted mix
 _SHORTLIST = 10  # ANN shortlist MMR reranks
 _MMR_K = 3  # diversified picks
+# Exact greedy MMR unrolls as k sequential 1-row picks, each cross-joined
+# (broadcast) into the next round's candidates — and each pick's plan
+# EMBEDS every prior pick's plan, so total plan size is EXPONENTIAL in k
+# (measured ~2× analysis time per extra pick: 1.8s at k=6, 6.8s at k=8 on
+# local[32]). Catalyst ANALYSIS, not execution, is the bottleneck. Cap
+# the unroll; above the cap, rerank driver-side over the collected
+# (shortlist-sized) rows instead — the shortlist is tiny by construction.
+_MMR_MAX_K = 8
 _LAMBDA = 0.7  # MMR relevance weight
 # penalty weight as the EXACT double both engines multiply by: 1 - 0.7 is
 # the double 0.30000000000000004, round(.., 10) is 0.3 — the oracle bakes
@@ -166,7 +174,9 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a constant-depth plan over a k-row frame. At scale the shortlist
     per query comes from the ANN family (IVF/PQ) and MMR cost is
     O(shortlist * k) per query — independent of corpus size. All scores
-    in the quantized integer space, rounded before ranking.
+    in the quantized integer space, rounded before ranking. The unroll is
+    hard-capped at ``_MMR_MAX_K`` picks (plan size is exponential in k;
+    see :func:`_mmr_picks`).
     """
     tune(spark)
     vecs = _qvecs(spark, sf_dir)
@@ -196,12 +206,35 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    picks = _mmr_picks(shortlist, _MMR_K)
+
+    out = None
+    for rank, p in enumerate(picks, start=1):
+        row = p.select(
+            F.lit(rank).cast("int").alias("rank"), "vec_id", F.col("rel").alias("relevance")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _mmr_picks(shortlist: DataFrame, k: int) -> list[DataFrame]:
+    """The greedy MMR unroll over a (vec_id, qv, nrm, rel) shortlist.
+    Refuses k above ``_MMR_MAX_K``: each pick cross-joins every prior
+    pick AND embeds every prior pick's plan, so plan size (and Catalyst
+    analysis time) is exponential in k — it blows up long before
+    execution does."""
+    if k > _MMR_MAX_K:
+        raise ValueError(
+            f"exact MMR plan unroll is capped at k={_MMR_MAX_K} (plan size "
+            f"is exponential in k; analysis time explodes beyond the cap); "
+            f"got k={k} — rerank the collected shortlist driver-side instead"
+        )
     picks: list[DataFrame] = []
     # pick 1: pure relevance
     s1 = shortlist.orderBy(F.col("rel").desc(), "vec_id").limit(1)
     picks.append(s1)
     remaining = shortlist
-    for step in range(2, _MMR_K + 1):
+    for step in range(2, k + 1):
         remaining = remaining.join(
             F.broadcast(picks[-1].select(F.col("vec_id").alias("p_id"))),
             F.col("vec_id") == F.col("p_id"),
@@ -228,14 +261,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "qv", "nrm", "rel")
         )
         picks.append(nxt)
-
-    out = None
-    for rank, p in enumerate(picks, start=1):
-        row = p.select(
-            F.lit(rank).cast("int").alias("rank"), "vec_id", F.col("rel").alias("relevance")
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return picks
 
 
 def _mmr_oracle() -> str:
@@ -379,10 +405,14 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id % 50 == 7`` arriving again under fresh ids) so both flag
     paths are exercised: re-crawls hit ``exact_dup``, src5's shared
     boilerplate heads hit ``head_dup``. Scale: the incoming batch is
-    daily-sized (≪ corpus); the corpus side reduces to two digest
-    columns before shuffling, and each probe is one equality join on a
-    128-bit key — at 100 TB the corpus digests live as a bucketed table
-    so the probe is shuffle-free on the corpus side.
+    daily-sized (≪ corpus), so the BATCH digests are what gets
+    broadcast — each corpus digest column is map-side semi-filtered
+    against the broadcast batch set (one streaming scan, no corpus-wide
+    shuffle; the only exchange is the distinct over the ≤|batch|
+    matches), and the surviving corpus digests (also ≤|batch|) broadcast
+    back into the verdict join. Nothing corpus-sized ever crosses the
+    wire or lands on the driver; at 100 TB the corpus digests live as a
+    bucketed table and the probes stay shuffle-free on the corpus side.
     """
     tune(spark)
     docs = read_table(spark, sf_dir, "documents")
@@ -402,9 +432,23 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head_fp",
     )
     incoming = keyed.where(F.col("source") == _INCOMING_SOURCE).unionByName(recrawl)
-    corpus_fp = corpus.select("fp").distinct().withColumn("is_exact", F.lit(True))
+    # Broadcast the SMALL (incoming) side: semi-filter each corpus digest
+    # column against the broadcast batch digests (map-side, corpus never
+    # shuffles wholesale), distinct only the ≤|batch| survivors, and
+    # broadcast those back for the verdict join.
+    inc_fp = incoming.select("fp").distinct()
+    inc_head = incoming.select("head_fp").distinct()
+    corpus_fp = (
+        corpus.select("fp")
+        .join(F.broadcast(inc_fp), "fp", "semi")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
     corpus_head = (
-        corpus.select("head_fp").distinct().withColumn("is_head", F.lit(True))
+        corpus.select("head_fp")
+        .join(F.broadcast(inc_head), "head_fp", "semi")
+        .distinct()
+        .withColumn("is_head", F.lit(True))
     )
     return (
         incoming.join(F.broadcast(corpus_fp), "fp", "left")

@@ -248,17 +248,20 @@ def outbound_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             _seg().alias("segment"),
         )
     )
-    # cache at the fan-out (reference C1, FULL.py:488): the stats
+    # materialize at the fan-out (reference C1, FULL.py:488): the stats
     # broadcast below executes as its own broadcast-build job, and
-    # without the cache it would re-run the whole candidates lineage
-    # (top-1 window + enrichment joins) a second time
+    # without this the whole candidates lineage (top-1 window +
+    # enrichment joins) would re-run a second time. localCheckpoint
+    # rather than cache() so a long-lived embedding session doesn't leak
+    # an InMemoryRelation per invocation — checkpoint blocks are freed
+    # by the ContextCleaner once the returned frame is GC'd.
     candidates = base.join(store, base.o_orderkey == store.leadid, "left").select(
         F.col("o_orderkey").alias("leadid"),
         F.col("o_orderstatus").alias("status"),
         doc.alias("doc"),
         nullable_details.alias("details"),
         F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     stats = candidates.agg(
         F.count("*").alias("n_candidates"),
         F.sum("hit").alias("n_suppressed"),

@@ -288,7 +288,12 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sum_{i<=min(k, R)} 1/log2(i+1)`` with R = the query's total
     relevant-doc count in the corpus (own doc excluded), so a query
     whose language has fewer than k foreign docs is not penalized for
-    physics. Rounded to 6 dp.
+    physics. A query with ZERO relevant docs (singleton language) has an
+    undefined ideal ranking, so its ndcg is NULL — guarded explicitly,
+    because under ANSI mode an unguarded ``1/log2(0+1)`` in the IDCG
+    fold throws DIVIDE_BY_ZERO (and DuckDB's empty ``generate_series``
+    would yield NULL anyway, so NULL is also the parity answer).
+    Rounded to 6 dp.
 
     Scale: everything after the retrieval pipeline is broadcast joins
     and per-query aggregation over top-k rows; R comes from a
@@ -319,8 +324,13 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # R = same-source docs minus the query itself
         (F.first("n_lang") - 1).alias("n_relevant"),
     )
+    ideal_len = F.least("k", "n_relevant")
+    # Clamp the sequence bound to >= 1: F.sequence(1, 0) is DESCENDING
+    # [1, 0] in Spark and the fold would hit log2(1) = 0. The clamped
+    # branch is only read when ideal_len >= 1 (If evaluates lazily), but
+    # never building a descending sequence keeps the expression total.
     idcg = F.aggregate(
-        F.sequence(F.lit(1), F.least("k", "n_relevant")),
+        F.sequence(F.lit(1), F.greatest(ideal_len, F.lit(1))),
         F.lit(0.0),
         lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
     )
@@ -328,7 +338,7 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("k").cast("int").alias("k"),
         F.col("n_relevant").cast("long").alias("n_relevant"),
-        F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
+        F.when(ideal_len >= 1, F.round(F.col("dcg") / idcg, 6)).alias("ndcg"),
     )
 
 
@@ -351,9 +361,11 @@ WITH rag AS (
 )
 SELECT query_id, CAST(k AS INT) AS k,
        CAST(n_relevant AS BIGINT) AS n_relevant,
-       round(dcg / (SELECT sum(1.0 / log2(i + 1))
-                    FROM unnest(generate_series(1, CAST(least(k, n_relevant) AS BIGINT))) AS t(i)),
-             6) AS ndcg
+       CASE WHEN least(k, n_relevant) >= 1 THEN
+           round(dcg / (SELECT sum(1.0 / log2(i + 1))
+                        FROM unnest(generate_series(1, CAST(least(k, n_relevant) AS BIGINT))) AS t(i)),
+                 6)
+       END AS ndcg
 FROM per_q
 """.replace("{rag}", RAG_RETRIEVAL_ORACLE)
 
@@ -367,9 +379,13 @@ _FUSE_DEPTH = 20  # per-retriever candidate depth fused by RRF
 
 def _doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 inputs in ONE aggregation pass: doc length (tokens)
-    and the query-term frequencies. Cached (C1) because both the global
-    stats broadcast and the scoring pass consume it — without the cache
-    the tokenize lineage would execute twice."""
+    and the query-term frequencies. Materialized (C1) because both the
+    global stats broadcast and the scoring pass consume it — without it
+    the tokenize lineage would execute twice. localCheckpoint rather
+    than cache() so repeated bm25/hybrid invocations in a long-lived
+    session don't each leak an InMemoryRelation (checkpoint blocks are
+    freed by the ContextCleaner when the frame is GC'd; this is the same
+    deliberate choice mmr_diverse_topk makes)."""
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.where(normalized_text("text") != "").select(
         "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
@@ -378,7 +394,7 @@ def _doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
         for i, t in enumerate(QUERY_TERMS)
     ]
-    return tok.groupBy("doc_id").agg(*aggs).cache()
+    return tok.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:

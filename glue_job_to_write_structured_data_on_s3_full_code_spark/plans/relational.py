@@ -885,11 +885,10 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
-def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates — the only viable distinct/quantile path at
-    100 TB (exact countDistinct shuffles every key; HLL/KLL merge in fixed
-    memory). Driver check is rows-only (sketches are engine-specific);
-    tests/test_approx_aggs.py bounds the error vs the exact answers."""
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch outputs (HLL distinct counts, KLL percentiles) — the
+    estimator values themselves, engine-specific by definition. Used by
+    tests/test_approx_aggs.py, which bounds them against exact answers."""
     tune(spark)
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -898,6 +897,63 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
         F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price"),
     )
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the only viable distinct/quantile path at
+    100 TB (exact countDistinct shuffles every key; HLL/KLL merge in fixed
+    memory) — made ORACLE-CHECKABLE: raw sketch values are engine-specific,
+    so the gate output carries the exact distinct counts (cross-engine
+    comparable) plus booleans asserting each sketch landed inside its
+    published error bound, computed IN the query. HLL at the default
+    rsd=0.05 is allowed 3σ ≈ 15% relative error; percentile_approx at
+    accuracy=1000 has rank error ≤ 1/1000, asserted with slack as
+    value-between-exact-percentiles(±1%). The DuckDB oracle recomputes the
+    exact counts and pins every bound column TRUE — a Spark sketch outside
+    its bound now FAILS the hash compare instead of hiding behind a
+    rows-only check."""
+    tune(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    raw = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("p49_exact"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("p51_exact"),
+        F.expr("percentile(l_extendedprice, 0.98)").alias("p98_exact"),
+        F.expr("percentile(l_extendedprice, 0.995)").alias("p995_exact"),
+    )
+    within = lambda a, e: (  # noqa: E731 — local bound predicate
+        F.abs(F.col(a) - F.col(e)) <= 0.15 * F.col(e)
+    )
+    return raw.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_suppliers",
+        within("approx_orders", "exact_orders").alias("orders_in_bound"),
+        within("approx_suppliers", "exact_suppliers").alias("suppliers_in_bound"),
+        F.col("p50_price").between(F.col("p49_exact"), F.col("p51_exact")).alias(
+            "p50_in_band"
+        ),
+        F.col("p99_price").between(F.col("p98_exact"), F.col("p995_exact")).alias(
+            "p99_in_band"
+        ),
+    )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       count(DISTINCT l_suppkey) AS exact_suppliers,
+       TRUE AS orders_in_bound,
+       TRUE AS suppliers_in_bound,
+       TRUE AS p50_in_band,
+       TRUE AS p99_in_band
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 REGISTRY: list[tuple] = [
@@ -924,7 +980,7 @@ REGISTRY: list[tuple] = [
     ("stats_agg_suite", stats_agg_suite, STATS_AGG_ORACLE),
     ("pivot_priority_counts", pivot_priority_counts, PIVOT_ORACLE),
     ("unpivot_quantity_metrics", unpivot_quantity_metrics, UNPIVOT_ORACLE),
-    ("approx_distinct_stats", approx_distinct_stats, None),
+    ("approx_distinct_stats", approx_distinct_stats, APPROX_DISTINCT_ORACLE),
     ("posexplode_tokens", posexplode_tokens, POSEXPLODE_ORACLE),
     ("array_function_suite", array_function_suite, ARRAY_SUITE_ORACLE),
     ("string_function_suite", string_function_suite, STRING_SUITE_ORACLE),

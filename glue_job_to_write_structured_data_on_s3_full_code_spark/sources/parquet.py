@@ -106,29 +106,46 @@ def materialize_result(df: DataFrame, name: str) -> DataFrame:
     sharing a warehouse dir from clobbering each other's staged files
     mid-scan when they run the same query concurrently. Per-appId dirs
     would otherwise accumulate forever (overwrite only cleans within one
-    application), so each call sweeps sibling appId dirs whose last
-    modification is older than ``_STAGED_TTL_S`` — dead sessions' staging
-    is reclaimed without ever touching a live concurrent session's."""
+    application), so each call sweeps sibling appId dirs whose HEARTBEAT
+    file is older than ``_STAGED_TTL_S``. The heartbeat (touched on every
+    materialize in the session, not just writes to a given subdir)
+    distinguishes write-idle-but-live sessions from dead ones far better
+    than directory mtime; a session that makes NO materialize call for a
+    full TTL while still holding lazily re-scanned staged frames is
+    outside the contract — such callers should copy results out of the
+    staging area (or checkpoint_stage to their own path)."""
     spark = df.sparkSession
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     staged_root = os.path.join(warehouse, "_staged_results")
     app_id = spark.sparkContext.applicationId
+    _touch_heartbeat(os.path.join(staged_root, app_id))
     _sweep_stale_staging(staged_root, keep=app_id)
     path = os.path.join(staged_root, app_id, name)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
-_STAGED_TTL_S = 24 * 3600  # staging from an appId idle this long is dead
+_STAGED_TTL_S = 24 * 3600  # staging whose heartbeat is this stale is dead
+_HEARTBEAT = "_heartbeat"
+
+
+def _touch_heartbeat(app_dir: str) -> None:
+    """Stamp liveness for this appId's staging dir. Touched on EVERY
+    materialize call, so any session activity (not just a write landing
+    in one particular subdir) renews the whole dir's lease."""
+    os.makedirs(app_dir, exist_ok=True)
+    with open(os.path.join(app_dir, _HEARTBEAT), "w") as fh:
+        fh.write("")
 
 
 def _sweep_stale_staging(staged_root: str, keep: str) -> None:
-    """Delete sibling appId staging dirs idle past the TTL. Local-fs only
-    (the sandbox case); on an object store, lifecycle rules on the
-    staging prefix do this job. Best-effort: races with a concurrent
-    sweeper just mean the loser's rmtree finds nothing."""
+    """Delete sibling appId staging dirs whose heartbeat is past the TTL.
+    Dirs from builds that predate the heartbeat fall back to dir mtime.
+    Local-fs only (the sandbox case); on an object store, lifecycle rules
+    on the staging prefix do this job. Best-effort: races with a
+    concurrent sweeper just mean the loser's rmtree finds nothing."""
     import shutil
     import time
 
@@ -140,7 +157,11 @@ def _sweep_stale_staging(staged_root: str, keep: str) -> None:
     for entry in entries:
         p = os.path.join(staged_root, entry)
         try:
-            if entry != keep and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+            if entry == keep or not os.path.isdir(p):
+                continue
+            beat = os.path.join(p, _HEARTBEAT)
+            stamp = os.path.getmtime(beat if os.path.exists(beat) else p)
+            if stamp < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             continue

@@ -265,3 +265,28 @@ def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.catalog.clearCache()
+
+
+def test_mmr_unroll_capped_and_analyzable_at_cap(spark):
+    """_mmr_picks refuses k beyond the documented cap (each pick embeds
+    every prior pick's plan, so plan size is EXPONENTIAL in k — a
+    Catalyst-analysis time bomb), and at the cap itself the FULL unrolled
+    plan still analyzes in bounded time."""
+    import time
+
+    import pytest as _pytest
+
+    rows = [(i, [i + j for j in range(4)], 30 + i, 1.0 - i * 0.01) for i in range(20)]
+    shortlist = spark.createDataFrame(
+        rows, "vec_id long, qv array<long>, nrm long, rel double"
+    ).localCheckpoint(eager=True)
+
+    with _pytest.raises(ValueError, match="capped"):
+        m._mmr_picks(shortlist, m._MMR_MAX_K + 1)
+
+    t0 = time.monotonic()
+    picks = m._mmr_picks(shortlist, m._MMR_MAX_K)
+    # force full analysis + optimization of the deepest (last) pick
+    picks[-1]._jdf.queryExecution().optimizedPlan()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60.0, f"analysis at k={m._MMR_MAX_K} took {elapsed:.1f}s"

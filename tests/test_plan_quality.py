@@ -402,9 +402,13 @@ def test_mmr_broadcasts_every_pick(spark, sf_dir, queries):
 
 
 def test_incremental_dedup_broadcasts_digest_sets(spark, sf_dir, queries):
-    # both corpus digest probes must be broadcast joins on md5 keys; the
-    # incoming side never sort-merge-joins or shuffles for the probe
+    # scalable direction: the SMALL (incoming-batch) digest sets are
+    # broadcast into LeftSemi probes that filter the corpus map-side,
+    # and the ≤|batch| surviving corpus digests broadcast back into the
+    # two verdict left joins — 4 broadcast joins total, never a
+    # sort-merge (which would shuffle the corpus wholesale)
     df = queries["incremental_corpus_dedup"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("LeftSemi") >= 2, plan
     assert "SortMergeJoin" not in plan

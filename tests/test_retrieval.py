@@ -69,3 +69,64 @@ def test_ndcg_is_bounded_and_zero_iff_no_lang_hits(spark, sf_dir):
         # perfect prefix => ndcg == 1: if every retrieved item is a hit
         if n_hits.get(qid, 0) == r.k:
             assert r.ndcg == 1.0
+
+
+def test_ndcg_null_for_zero_relevant_query(spark, tmp_path):
+    """A query doc whose language is a SINGLETON has n_relevant = 0: the
+    ideal ranking is undefined, so ndcg must be NULL — and the query must
+    not throw (unguarded, the IDCG fold hits 1/log2(1) = DIVIDE_BY_ZERO
+    under this repo's ANSI-enabled session; ADVICE r4 medium)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = (
+        "vector stream window table filter join group sort merge scan "
+        "query row data index hash page block cache disk spill"
+    )
+    texts = [
+        base + " alpha beta gamma delta epsilon zeta",
+        base + " alpha beta gamma delta theta kappa",
+        base + " sigma tau upsilon phi chi psi omega",
+        base + " alpha sigma tau mix of both clusters",
+        base + " beta tau upsilon another corpus doc",
+        base + " gamma phi chi yet another corpus doc",
+    ]
+    # doc 2 is the ONLY 'xx' doc → its query row has n_relevant = 0
+    langs = ["en", "en", "xx", "en", "en", "en"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array([f"src{i % 2}" for i in range(6)]),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = {r.query_id: r for r in m.retrieval_ndcg(spark, str(tmp_path)).collect()}
+    assert 2 in rows, "singleton-language query missing from the output"
+    assert rows[2].n_relevant == 0
+    assert rows[2].ndcg is None
+    assert all(
+        r.ndcg is not None and 0.0 <= r.ndcg <= 1.0
+        for q, r in rows.items()
+        if q != 2
+    )
+
+    # the oracle agrees row-for-row (NULL included)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = {
+        int(q): (int(k), int(n), x)
+        for q, k, n, x in con.execute(m.RETRIEVAL_NDCG_ORACLE).fetchall()
+    }
+    got = {
+        q: (r.k, r.n_relevant, None if r.ndcg is None else round(r.ndcg, 6))
+        for q, r in rows.items()
+    }
+    assert got == want

@@ -166,3 +166,84 @@ def test_ivfpq_rejects_indivisible_dim(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError, match="not divisible"):
         ivfpq_topk(emb, emb.limit(1), num_subspaces=7, dim=64)
+
+
+def test_neardup_matmul_refuses_unbounded_corpus(spark, sf_dir):
+    """The matmul strategy collects the corpus to the driver; above its
+    row cap it must raise, not OOM (VERDICT r4 item: a loaded footgun
+    without the guard)."""
+    import pytest as _pytest
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="capped"):
+        cosine_neardup(
+            emb, threshold=0.35, strategy="matmul", matmul_max_rows=100
+        ).collect()
+    # at-or-under the cap still works
+    out = cosine_neardup(
+        emb.limit(50), threshold=0.35, strategy="matmul", matmul_max_rows=50
+    )
+    assert out.count() == 50
+
+
+def test_neardup_boundary_pairs_match_oracle(spark, tmp_path):
+    """Threshold-boundary parity: vectors engineered so pair cosines land
+    within ~1e-7..1e-9 of the 0.35 threshold. Every strategy compares
+    round(cosine, 6) — as does the DuckDB oracle — so the keep decision
+    must be identical across engines regardless of float summation order."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops import (
+        EMBEDDING_NEARDUP_ORACLE,
+        embedding_neardup_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    base = rng.normal(size=dim)
+    u = base / np.linalg.norm(base)
+    w = rng.normal(size=dim)
+    w -= (w @ u) * u
+    w /= np.linalg.norm(w)
+    vecs = [(base * 3).astype(np.float32)]
+    # targets straddle the threshold at ±1e-9 .. ±3e-7; float32 storage
+    # perturbs each by ~1e-7, well inside the ±4.9e-7 band that rounds
+    # to exactly 0.35 at 6 dp — so the decision stays deterministic and
+    # engine-independent (avoid ±5e-7: that's a 6-dp rounding half-point)
+    for eps in (1e-9, -1e-9, 1e-7, -1e-7, 3e-7, -3e-7):
+        c = 0.35 + eps
+        v = c * u + np.sqrt(1.0 - c * c) * w
+        vecs.append((v * 5).astype(np.float32))
+    for _ in range(5):
+        vecs.append(rng.normal(size=dim).astype(np.float32))
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(
+        map(tuple, embedding_neardup_dedup(spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), bool(c))
+        for a, b, c in con.execute(EMBEDDING_NEARDUP_ORACLE).fetchall()
+    )
+    assert got == want
+    # the boundary really is exercised: some engineered vector must be a
+    # near-dup of the base vector (cosine rounds to exactly 0.35 >= 0.35)
+    assert any(not kept for _, _, kept in got)
