@@ -5,16 +5,26 @@ Every implemented operator from SURVEY.md §2 registers here as
 ``__spark_entry__.queries()`` / ``oracle_sql()`` read from this module.
 
 Registration ORDER is deliberate: the driver's correctness gate verifies a
-bounded prefix of the registry (round 1 recorded exactly the first 50
-entries), so the flagship, the LLM-data-pipeline operators (first-class per
-the north star), events/temporal/streaming, and the core reference-parity
-relational operators register first; wide function-suite breadth queries
-(all still verified locally by tests/test_oracle_parity.py) come last.
+bounded prefix of the registry (each round records exactly the first
+``GATE_SLOTS`` entries), so the prefix must ROTATE per round for every
+registered query to get driver-verified recently.  Rotation is COMPUTED,
+not narrated: ``LAST_VERIFIED`` is derived at import time from the
+``CORRECTNESS_r*.json`` gate files the driver writes at the repo root, and
+the prefix is simply the ``GATE_SLOTS`` stalest registered names
+(never-gated first, then oldest gate round, name as the deterministic
+tie-break).  Adding a query automatically queues it for the next gate;
+a completed gate round automatically rotates it out.  Everything outside
+the prefix stays verified locally by tests/test_oracle_parity.py every
+session, and tests/test_registry_rotation.py fails the build if any
+registered query would exceed the staleness bound.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,102 +68,63 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
         ORACLES[name] = oracle
 
 
-# The driver's correctness gate verifies a bounded prefix of this registry
-# (each round records exactly the first 50 entries), so the prefix ROTATES
-# per round to keep every registered query driver-verified recently:
-# round 1 covered the flagship + relational/function breadth, round 2 the
-# LLM/events/streaming families, round 3 the 43 queries neither saw plus
-# the three repaired rows. Round 4's prefix clears the whole verification
-# backlog at once: the 13 queries ADDED during round 3 (registered after
-# slot 50 then, never driver-verified), the 34 round-1 names that have been
-# gate-stale for two rounds, `embedding_lsh_topk` (newly oracled this round
-# via integer-quantized projections — the gate should prove the oracle),
-# and two round-2 rows worth keeping fresh (the flagship, and the
-# blocked-strategy near-dup whose scale fix landed in r3). Everything
-# rotated out remains verified locally by tests/test_oracle_parity.py
-# (all registered queries, every session). The 40 queries ADDED during
-# round 4 register after slot 50 and are the round-5 prefix's first
-# claim (40 fit; the remaining ~10 slots go to the oldest gate-stale
-# round-2 names): outbound_document_pipeline, the llm_ops5 pack (embedding_kmeans,
-# semantic_dedup, quality_linear_classifier, bpe_merge_induction,
-# bpe_encode_corpus, chat_template_assembly, dataset_card_stats,
-# embedding_ivf_kmeans_topk, duplicated_ngram_spans, corpus_drift_l1,
-# multimodal_dedup_pipeline, contrastive_pair_mining),
-# entity_resolution_pipeline, scd2_pointintime_read,
-# scd2_temporal_enrich, last_touch_attribution, the analytics pack
-# (event_transition_matrix, equi_depth_histogram, winsorized_stats), the rag pack (text_hash_embeddings,
-# rag_retrieval_pipeline, retrieval_eval_metrics, bm25_retrieval,
-# hybrid_retrieval_rrf, retrieval_ndcg), the formats pack (jsonl/csv/orc roundtrips,
-# schema_evolution_merge), streaming_anomaly_alerts,
-# gdpr_erasure_rewrite, and the llm_ops6 last-mile pack
-# (training_shard_export, token_budget_mix, mmr_diverse_topk,
-# kmeans_label_purity, incremental_corpus_dedup,
-# proportional_quota_sample, source_overlap_matrix,
-# packing_efficiency_report, langid_confusion_matrix,
-# minhash_candidate_precision), and
-# k_anonymity_audit — plus the round-2-verified names that will then
-# be three rounds stale.
-_VERIFIED_PREFIX = (
-    # round-3 additions, never driver-verified — composed pipelines + ANN
-    "pretraining_data_pipeline",
-    "embedding_ivfpq_topk",
-    "bigram_perplexity_filter",
-    "split_leakage_check",
-    "cms_heavy_hitters",
-    "temperature_mix_weights",
-    "multimodal_audio_energy",
-    "ts_anomaly_mad",
-    "skew_salted_join",
-    # round-3 additions — streaming (batch-oracled foreachBatch paths)
-    "streaming_exact_dedup",
-    "streaming_interval_join",
-    "streaming_scd2_merge",
-    "streaming_static_enrich",
-    # newly oracled this round: integer-quantized hyperplane LSH
-    "embedding_lsh_topk",
-    # round-1 names, gate-stale for two rounds — function suites
-    "scalar_function_suite",
-    "string_function_suite",
-    "datetime_function_suite",
-    "array_function_suite",
-    "map_function_suite",
-    "null_handling_suite",
-    "case_when_remap",
-    "timezone_shift_format",
-    "posexplode_tokens",
-    # round-1 — grouping breadth
-    "pivot_priority_counts",
-    "unpivot_quantity_metrics",
-    "rollup_subtotals",
-    "cube_subtotals",
-    "grouping_sets_subtotals",
-    "grouped_string_agg",
-    "groupby_having_dups",
-    "distinct_option_lookup",
-    # round-1 — joins/sets
-    "semi_join_exists",
-    "order_priority_semi_count",
-    "full_outer_align",
-    "intersect_common_customers",
-    "self_join_dup_suffix",
-    "min_price_part_per_type",
-    # round-1 — windows/stats/profiling
-    "ranking_window_suite",
-    "lag_lead_running",
-    "exact_percentiles",
-    "correlation_stats",
-    "approx_distinct_stats",
-    "market_share_by_year",
-    "key_skew_profile",
-    "table_profile",
-    "data_quality_checks",
-    "embedding_norms",
-    "scalable_surrogate_key",
-    # round-2 rows kept fresh: the flagship, and the r3-fixed blocked
-    # near-dup path
-    "flagship_prospect_pipeline",
-    "embedding_neardup_dedup",
-)
+# ---------------------------------------------------------------------------
+# Computed gate rotation.
+#
+# The driver verifies the first GATE_SLOTS entries of queries() each round and
+# records the outcome in CORRECTNESS_r{N}.json at the repo root.  We read those
+# files back to learn, per query, the most recent round with a green row
+# ("green" = rows+schema+hash matched with no error, or — for the few
+# non-SQL-expressible ops the driver checks rows-only — a populated spark_rows
+# with err == "no_oracle").  The verified prefix is then DERIVED as the
+# GATE_SLOTS stalest names, so rotation happens automatically: no hand-edited
+# list, no per-round chore to forget.
+# ---------------------------------------------------------------------------
+
+GATE_SLOTS = 50
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_GATE_FILE_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+
+
+def _gate_green(row: dict) -> bool:
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None  # weaker rows-only check
+    return bool(row.get("rows_match")) and row.get("err") is None
+
+
+def _load_last_verified() -> tuple[dict[str, int], int]:
+    """(name -> last gate-green round, upcoming round number)."""
+    last: dict[str, int] = {}
+    max_round = 0
+    for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        m = _GATE_FILE_RE.search(path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _gate_green(row):
+                last[name] = max(last.get(name, 0), rnd)
+    return last, max_round + 1
+
+
+#: name -> most recent round with a green driver-gate row (0 = never gated).
+LAST_VERIFIED, CURRENT_ROUND = _load_last_verified()
+
+#: Any registered query must have been gate-green within this many rounds
+#: (never-gated queries must be in the upcoming prefix).  With ~190 queries
+#: and 50 slots/round, full rotation takes 4 rounds — the bound is exactly
+#: the steady-state maximum, so a single skipped rotation fails the test.
+MAX_STALENESS_ROUNDS = 4
+
+
+def _staleness_key(name: str) -> tuple[int, str]:
+    return (LAST_VERIFIED.get(name, 0), name)
 
 _ALL_MODULES = (
     deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, llm_ops6,
@@ -170,8 +141,12 @@ for _module in _ALL_MODULES:
     for _entry in _module.REGISTRY:
         _by_name[_entry[0]] = _entry
 
-assert len(_VERIFIED_PREFIX) == 50 and len(set(_VERIFIED_PREFIX)) == 50
-for _name in _VERIFIED_PREFIX:
+#: The upcoming round's driver-gate prefix: the GATE_SLOTS stalest names.
+VERIFIED_PREFIX: tuple[str, ...] = tuple(
+    sorted(_by_name, key=_staleness_key)[:GATE_SLOTS]
+)
+
+for _name in VERIFIED_PREFIX:
     register(*_by_name[_name])
 # flagship lives outside the module REGISTRYs, so sweep _by_name (which
 # includes it), not just the modules — a prefix without it must not drop it.

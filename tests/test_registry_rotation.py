@@ -1,0 +1,61 @@
+"""Mechanical staleness guard for the driver-gate prefix rotation.
+
+The driver verifies only the first ``GATE_SLOTS`` entries of ``queries()``
+per round, so registry.py derives that prefix from the CORRECTNESS_r*.json
+gate files as the stalest registered names.  These tests fail the build if
+the derivation drifts from the data (someone hardcodes a prefix again) or
+if any registered query would exceed the staleness bound — converting the
+per-round rotation from a chore into a mechanism.
+"""
+
+from __future__ import annotations
+
+from glue_job_to_write_structured_data_on_s3_full_code_spark import registry
+
+
+def test_prefix_is_the_stalest_slice() -> None:
+    """queries() must lead with exactly the GATE_SLOTS stalest names."""
+    names = list(registry.QUERIES)
+    prefix = names[: registry.GATE_SLOTS]
+    assert tuple(prefix) == registry.VERIFIED_PREFIX
+    expected = sorted(
+        names, key=lambda n: (registry.LAST_VERIFIED.get(n, 0), n)
+    )[: registry.GATE_SLOTS]
+    assert prefix == expected
+    assert len(set(prefix)) == registry.GATE_SLOTS
+
+
+def test_no_registered_query_exceeds_staleness_bound() -> None:
+    """Every query is either in the upcoming gate prefix or was gate-green
+    within MAX_STALENESS_ROUNDS of the upcoming round.  A skipped rotation
+    (or a never-gated query crowded out of the prefix) fails here."""
+    prefix = set(registry.VERIFIED_PREFIX)
+    stale = {}
+    for name in registry.QUERIES:
+        if name in prefix:
+            continue  # about to be gated this round
+        last = registry.LAST_VERIFIED.get(name, 0)
+        behind = registry.CURRENT_ROUND - last
+        if last == 0 or behind > registry.MAX_STALENESS_ROUNDS:
+            stale[name] = last
+    assert not stale, (
+        f"queries gate-stale beyond {registry.MAX_STALENESS_ROUNDS} rounds "
+        f"(upcoming round {registry.CURRENT_ROUND}): {stale} — grow the "
+        "prefix coverage or check the CORRECTNESS_r*.json derivation"
+    )
+
+
+def test_gate_history_was_loaded() -> None:
+    """The derivation actually found the driver's gate files (a path bug
+    would silently mark everything never-gated and rotate arbitrarily)."""
+    assert registry.CURRENT_ROUND >= 6
+    assert len(registry.LAST_VERIFIED) >= 100
+
+
+def test_prefix_names_are_registered_and_oracled() -> None:
+    for name in registry.VERIFIED_PREFIX:
+        assert name in registry.QUERIES
+    # every prefix row should be strongly checkable except the documented
+    # rows-only ops (non-SQL-expressible streaming / stateful paths)
+    rows_only = {n for n in registry.VERIFIED_PREFIX if n not in registry.ORACLES}
+    assert rows_only <= {"streaming_anomaly_alerts"}, rows_only
