@@ -52,6 +52,15 @@ BENCH_QUERIES = [
     "jaro_winkler_linkage",
     "incremental_corpus_dedup",
     "training_shard_export",
+    # round-6 additions: the most expensive-shaped LLM last-mile queries,
+    # so the 2× contract covers that surface too
+    "outbound_document_pipeline",
+    "entity_resolution_pipeline",
+    "semantic_dedup",
+    "embedding_kmeans",
+    "bm25_retrieval",
+    "hybrid_retrieval_rrf",
+    "corpus_to_shards_capstone",
 ]
 
 
@@ -117,6 +126,13 @@ def main() -> None:
         "jaro_winkler_linkage",
         "incremental_corpus_dedup",
         "training_shard_export",
+        "outbound_document_pipeline",
+        "entity_resolution_pipeline",
+        "semantic_dedup",
+        "embedding_kmeans",
+        "bm25_retrieval",
+        "hybrid_retrieval_rrf",
+        "corpus_to_shards_capstone",
     }
     print(
         json.dumps(

@@ -48,6 +48,26 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+#: Shared rounding precision for every near-dup threshold compare — one
+#: constant so a future precision change cannot drift one strategy.
+_COSINE_DP = 6
+
+
+def _round_cosine(cosine: Column) -> Column:
+    """Spark-side half of the round-before-compare contract."""
+    return F.round(cosine, _COSINE_DP)
+
+
+def _np_neardup_hits(sims, threshold: float):
+    """numpy-side half of the round-before-compare contract: boolean hit
+    matrix for a similarity matrix, rounded to ``_COSINE_DP`` first so the
+    decision matches the expression strategy and the DuckDB oracle
+    regardless of float summation order."""
+    import numpy as np
+
+    return np.round(sims, _COSINE_DP) >= threshold
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -183,10 +203,9 @@ def cosine_neardup(
         hi.join(F.broadcast(lo), F.col("id_hi") > F.col("id_lo"))
         .select(
             "id_hi",
-            F.round(
+            _round_cosine(
                 _dot(F.col("v_hi"), F.col("v_lo"))
-                / (F.col("n_hi") * F.col("n_lo")),
-                6,
+                / (F.col("n_hi") * F.col("n_lo"))
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -222,21 +241,24 @@ def _cosine_neardup_matmul(
 
     This strategy collects the corpus to the driver to build the
     broadcast reference matrix, so it REFUSES inputs above ``max_rows``
-    (raising ``ValueError``) rather than OOMing the driver — the guard
-    count probes ``limit(max_rows + 1)`` so it never scans past the cap.
-    Above the cap, use strategy='blocked'.
+    (raising ``ValueError``) rather than OOMing the driver.  The guard and
+    the collect are ONE Spark action — ``limit(max_rows + 1).collect()``,
+    then a length check — so a source that grows between a separate probe
+    and the collect can never slip past the cap, and the well-under-cap
+    case pays no extra job.  Above the cap, use strategy='blocked'.
     """
     import numpy as np
 
     spark = corpus.sparkSession
-    n_probe = corpus.limit(max_rows + 1).count()
-    if n_probe > max_rows:
+    ref_rows = corpus.select(F.col(id_col), F.col(vec_col)).limit(
+        max_rows + 1
+    ).collect()
+    if len(ref_rows) > max_rows:
         raise ValueError(
             f"cosine_neardup strategy='matmul' collects the corpus to the "
             f"driver and is capped at {max_rows} rows (input has more); "
             f"use strategy='blocked' for unbounded corpora"
         )
-    ref_rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
     if not ref_rows:
         return corpus.select(
             F.col(id_col),
@@ -255,14 +277,12 @@ def _cosine_neardup_matmul(
         for pdf in batches:
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             x_ids = pdf[id_col].to_numpy()
-            sims = np.round(
+            hit = _np_neardup_hits(
                 (x @ r_mat.T)
                 / (np.sqrt((x * x).sum(axis=1))[:, None] * r_norm[None, :]),
-                6,
+                threshold,
             )
-            cnt = ((sims >= threshold) & (r_ids[None, :] < x_ids[:, None])).sum(
-                axis=1
-            )
+            cnt = (hit & (r_ids[None, :] < x_ids[:, None])).sum(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: x_ids,
@@ -299,10 +319,13 @@ def _cosine_neardup_blocked(
     per-vector partial counts of smaller-id near-dups; a final sum-groupBy
     (every vector emits a row in each of its ``num_blocks`` groups, so no
     re-join against the corpus is needed for the zero rows) yields the
-    same keep-min-id output as the other strategies — bit-identical even
-    at threshold boundaries, because every strategy (and the oracle)
-    compares ``round(cosine, 6)`` to the threshold, making the decision
-    independent of float summation order.
+    same keep-min-id output as the other strategies.  Every strategy (and
+    the oracle) compares ``round(cosine, 6)`` to the threshold, so the
+    decision is independent of float summation order — identical across
+    strategies except at exact 6-dp rounding half-points, where the
+    engines' rounding modes differ (numpy half-to-even vs Spark/DuckDB
+    half-away variants); computed cosines land there with measure-zero
+    probability, and the boundary tests deliberately stay ±5e-7 away.
 
     Scale shape: shuffle volume is num_blocks·N rows (the replication),
     task memory is two blocks of vectors, and there are
@@ -337,15 +360,17 @@ def _cosine_neardup_blocked(
         g1 = int(pdf["g1"].iloc[0])
         g2 = int(pdf["g2"].iloc[0])
         if g1 == g2:
-            sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 6)
-            cnt = ((sims >= threshold) & (ids[None, :] < ids[:, None])).sum(axis=1)
+            hit = _np_neardup_hits(
+                (mat @ mat.T) / (norms[:, None] * norms[None, :]), threshold
+            )
+            cnt = (hit & (ids[None, :] < ids[:, None])).sum(axis=1)
             return pd.DataFrame({"vid": ids, "n": cnt.astype(np.int64)})
         a = pdf["blk"].to_numpy() == g1
         b = ~a
-        sims = np.round(
-            (mat[a] @ mat[b].T) / (norms[a][:, None] * norms[b][None, :]), 6
+        hit = _np_neardup_hits(
+            (mat[a] @ mat[b].T) / (norms[a][:, None] * norms[b][None, :]),
+            threshold,
         )
-        hit = sims >= threshold
         cnt_a = (hit & (ids[b][None, :] < ids[a][:, None])).sum(axis=1)
         cnt_b = (hit.T & (ids[a][None, :] < ids[b][:, None])).sum(axis=1)
         return pd.DataFrame(

@@ -39,8 +39,9 @@ _MMR_K = 3  # diversified picks
 # EMBEDS every prior pick's plan, so total plan size is EXPONENTIAL in k
 # (measured ~2× analysis time per extra pick: 1.8s at k=6, 6.8s at k=8 on
 # local[32]). Catalyst ANALYSIS, not execution, is the bottleneck. Cap
-# the unroll; above the cap, rerank driver-side over the collected
-# (shortlist-sized) rows instead — the shortlist is tiny by construction.
+# the unroll; above the cap, :func:`mmr_rerank_collected` collects the
+# (shortlist-sized, bounded by construction) rows and runs the same
+# greedy loop driver-side — :func:`mmr_topk_from_shortlist` dispatches.
 _MMR_MAX_K = 8
 _LAMBDA = 0.7  # MMR relevance weight
 # penalty weight as the EXACT double both engines multiply by: 1 - 0.7 is
@@ -176,9 +177,18 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(shortlist * k) per query — independent of corpus size. All scores
     in the quantized integer space, rounded before ranking. The unroll is
     hard-capped at ``_MMR_MAX_K`` picks (plan size is exponential in k;
-    see :func:`_mmr_picks`).
+    see :func:`_mmr_picks`); above the cap
+    :func:`mmr_topk_from_shortlist` switches to the driver-side exact
+    rerank over the collected (bounded) shortlist.
     """
     tune(spark)
+    shortlist = _mmr_shortlist(spark, sf_dir)
+    return mmr_topk_from_shortlist(shortlist, _MMR_K)
+
+
+def _mmr_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-stand-in shortlist MMR reranks: query = vec 0, its top
+    ``_SHORTLIST`` exact-cosine neighbors as (vec_id, qv, nrm, rel)."""
     vecs = _qvecs(spark, sf_dir)
     nrm = F.aggregate(
         F.transform("qv", lambda x: x * x),
@@ -200,21 +210,70 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InMemoryRelation in the session catalog — a cache here outlives the
     # query and pollutes later plan inspections of identical subtrees
     # (ContextCleaner reclaims checkpointed blocks when the frame is GC'd)
-    shortlist = (
+    return (
         scored.orderBy(F.col("rel").desc(), "vec_id")
         .limit(_SHORTLIST)
         .localCheckpoint(eager=True)
     )
 
-    picks = _mmr_picks(shortlist, _MMR_K)
 
-    out = None
-    for rank, p in enumerate(picks, start=1):
-        row = p.select(
-            F.lit(rank).cast("int").alias("rank"), "vec_id", F.col("rel").alias("relevance")
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+def mmr_topk_from_shortlist(shortlist: DataFrame, k: int) -> DataFrame:
+    """Greedy MMR over a (vec_id, qv, nrm, rel) shortlist → one row per
+    pick (rank, vec_id, relevance).  Dispatches on k: the constant-depth
+    plan unroll while the plan stays small (k ≤ ``_MMR_MAX_K``), the
+    driver-side exact rerank above it — same picks either way (the
+    shortlist is bounded by construction, so collecting it is O(k), not
+    O(corpus))."""
+    if k <= _MMR_MAX_K:
+        picks = _mmr_picks(shortlist, k)
+        out = None
+        for rank, p in enumerate(picks, start=1):
+            row = p.select(
+                F.lit(rank).cast("int").alias("rank"),
+                "vec_id",
+                F.col("rel").alias("relevance"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+    return mmr_rerank_collected(shortlist, k)
+
+
+def mmr_rerank_collected(shortlist: DataFrame, k: int) -> DataFrame:
+    """Driver-side exact greedy MMR — the supported path for k above
+    ``_MMR_MAX_K``, where the plan unroll's Catalyst analysis time
+    explodes.  Collects the shortlist (bounded at ``_SHORTLIST`` rows per
+    query by construction — this is O(shortlist), never O(corpus)) and
+    runs the identical greedy argmax loop in Python: integer dot products
+    are exact, the cosine and the MMR score round to 6 dp before every
+    compare, and ties break on vec_id ascending — the same contract as
+    :func:`_cosine` / :func:`_mmr_picks` / the DuckDB oracle, so the
+    picks match the unrolled plan for overlapping k (asserted in
+    tests/test_llm_ops6.py)."""
+    import math
+
+    spark = shortlist.sparkSession
+    rows = shortlist.select("vec_id", "qv", "nrm", "rel").collect()
+    cands = [(r["vec_id"], list(r["qv"]), r["nrm"], float(r["rel"])) for r in rows]
+
+    def cos(u: tuple, v: tuple) -> float:
+        dot = sum(a * b for a, b in zip(u[1], v[1]))  # exact int arithmetic
+        return round(dot / (math.sqrt(u[2]) * math.sqrt(v[2])), 6)
+
+    picks: list[tuple] = []
+    remaining = sorted(cands, key=lambda c: (-c[3], c[0]))  # pure relevance
+    if remaining:
+        picks.append(remaining.pop(0))
+    while remaining and len(picks) < k:
+        def mmr_score(c: tuple) -> float:
+            div = max(cos(p, c) for p in picks)
+            return round(_LAMBDA * c[3] - _MU * div, 6)
+
+        remaining.sort(key=lambda c: (-mmr_score(c), c[0]))
+        picks.append(remaining.pop(0))
+    return spark.createDataFrame(
+        [(i + 1, p[0], p[3]) for i, p in enumerate(picks)],
+        "rank int, vec_id bigint, relevance double",
+    )
 
 
 def _mmr_picks(shortlist: DataFrame, k: int) -> list[DataFrame]:
@@ -227,7 +286,9 @@ def _mmr_picks(shortlist: DataFrame, k: int) -> list[DataFrame]:
         raise ValueError(
             f"exact MMR plan unroll is capped at k={_MMR_MAX_K} (plan size "
             f"is exponential in k; analysis time explodes beyond the cap); "
-            f"got k={k} — rerank the collected shortlist driver-side instead"
+            f"got k={k} — use mmr_rerank_collected (or the "
+            f"mmr_topk_from_shortlist dispatcher, which switches "
+            f"automatically) for larger k"
         )
     picks: list[DataFrame] = []
     # pick 1: pure relevance

@@ -911,7 +911,14 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-between-exact-percentiles(±1%). The DuckDB oracle recomputes the
     exact counts and pins every bound column TRUE — a Spark sketch outside
     its bound now FAILS the hash compare instead of hiding behind a
-    rows-only check."""
+    rows-only check.
+
+    GATE-ONLY: the in-query error-bound booleans cost two exact
+    countDistincts plus four exact percentiles — at 100 TB that is
+    precisely the exact-key shuffle the sketches exist to avoid.  Never
+    benchmark or deploy this form; :func:`approx_distinct_raw` is the
+    production sketch path (fixed-memory HLL/KLL merge, no exact
+    aggregates)."""
     tune(spark)
     li = read_table(spark, sf_dir, "lineitem")
     raw = li.groupBy("l_returnflag").agg(

@@ -32,6 +32,7 @@ from .plans.flagship import FLAGSHIP_ORACLE, flagship
 from .plans import (
     analytics,
     breadth,
+    capstone,
     formats,
     breadth2,
     deep_pipeline,
@@ -46,6 +47,7 @@ from .plans import (
     llm_ops4,
     llm_ops5,
     llm_ops6,
+    llm_ops7,
     outbound,
     rag,
     relational,
@@ -127,7 +129,9 @@ def _staleness_key(name: str) -> tuple[int, str]:
     return (LAST_VERIFIED.get(name, 0), name)
 
 _ALL_MODULES = (
+    capstone,
     deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, llm_ops6,
+    llm_ops7,
     linkage,
     events_queries,
     temporal_queries, timeseries_queries, streaming_queries, graph_queries,

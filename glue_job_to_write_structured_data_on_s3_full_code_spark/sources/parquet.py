@@ -145,7 +145,12 @@ def _sweep_stale_staging(staged_root: str, keep: str) -> None:
     Dirs from builds that predate the heartbeat fall back to dir mtime.
     Local-fs only (the sandbox case); on an object store, lifecycle rules
     on the staging prefix do this job. Best-effort: races with a
-    concurrent sweeper just mean the loser's rmtree finds nothing."""
+    concurrent sweeper just mean the loser's rmtree finds nothing.
+    Every reclaim is logged with the dir name and heartbeat age so a
+    wrongly-reclaimed live session (one that held staged frames but made
+    no materialize call for a full TTL — outside the contract, but
+    possible) leaves a diagnosable trace next to its FileNotFound."""
+    import logging
     import shutil
     import time
 
@@ -153,7 +158,8 @@ def _sweep_stale_staging(staged_root: str, keep: str) -> None:
         entries = os.listdir(staged_root)
     except OSError:
         return
-    cutoff = time.time() - _STAGED_TTL_S
+    now = time.time()
+    cutoff = now - _STAGED_TTL_S
     for entry in entries:
         p = os.path.join(staged_root, entry)
         try:
@@ -162,6 +168,14 @@ def _sweep_stale_staging(staged_root: str, keep: str) -> None:
             beat = os.path.join(p, _HEARTBEAT)
             stamp = os.path.getmtime(beat if os.path.exists(beat) else p)
             if stamp < cutoff:
+                logging.getLogger(__name__).warning(
+                    "reclaiming stale staging dir %s (heartbeat %.0fs old, "
+                    "TTL %ds) — if that session is still live, its staged "
+                    "frames will now fail to re-scan",
+                    p,
+                    now - stamp,
+                    _STAGED_TTL_S,
+                )
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             continue

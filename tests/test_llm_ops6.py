@@ -290,3 +290,30 @@ def test_mmr_unroll_capped_and_analyzable_at_cap(spark):
     picks[-1]._jdf.queryExecution().optimizedPlan()
     elapsed = time.monotonic() - t0
     assert elapsed < 60.0, f"analysis at k={m._MMR_MAX_K} took {elapsed:.1f}s"
+
+
+def test_mmr_collected_rerank_matches_unrolled(spark, sf_dir):
+    """The driver-side exact rerank (the above-cap path) makes the same
+    picks as the plan unroll for every overlapping k, and the dispatcher
+    serves k beyond the cap without error — greedy MMR is prefix-stable,
+    so the above-cap result must extend the at-cap result."""
+    shortlist = m._mmr_shortlist(spark, sf_dir)
+
+    def picks_of(df):
+        return [
+            (r["rank"], r["vec_id"], round(r["relevance"], 6))
+            for r in df.orderBy("rank").collect()
+        ]
+
+    for k in (1, 3, 5):
+        assert picks_of(m.mmr_rerank_collected(shortlist, k)) == picks_of(
+            m.mmr_topk_from_shortlist(shortlist, k)
+        ), f"collected rerank diverged from the unrolled plan at k={k}"
+
+    n_short = shortlist.count()
+    k_big = m._MMR_MAX_K + 2
+    big = picks_of(m.mmr_topk_from_shortlist(shortlist, k_big))  # no raise
+    assert len(big) == min(k_big, n_short)
+    assert len({vec_id for _, vec_id, _ in big}) == len(big)
+    at_cap = picks_of(m.mmr_topk_from_shortlist(shortlist, m._MMR_MAX_K))
+    assert big[: len(at_cap)] == at_cap

@@ -412,3 +412,28 @@ def test_incremental_dedup_broadcasts_digest_sets(spark, sf_dir, queries):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert plan.count("LeftSemi") >= 2, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_capstone_joinless_chain_with_bounded_exchanges(spark, sf_dir, queries):
+    # the capstone chains 5 stages over ONE documents scan with no joins:
+    # exchanges are exactly the stage windows (fingerprint, head_fp,
+    # source, shard_id), the 8-group manifest agg pair, and the final
+    # 8-row single-partition token-share window — nothing quadratic,
+    # nothing driver-side, no second scan of the corpus
+    df = queries["corpus_to_shards_capstone"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 7, plan
+
+
+def test_quality_filters_are_map_only(spark, sf_dir, queries):
+    # the within-doc repetition/entropy filters claim ZERO shuffles —
+    # every metric is a higher-order array expression over the per-doc
+    # token array, so the plan is scan → project, nothing else
+    for name in ("gopher_repetition_filter", "token_entropy_filter"):
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name}: {plan}"
+        assert "Join" not in plan, f"{name}: {plan}"
