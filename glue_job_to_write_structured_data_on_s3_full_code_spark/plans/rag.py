@@ -404,7 +404,13 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc frame; scoring is map-side; scores round to 6 dp BEFORE any
     ranking (the repo's round-before-rank taming; ln/division are the
     only float steps)."""
-    stats = _doc_term_stats(spark, sf_dir)
+    return _bm25_from_stats(_doc_term_stats(spark, sf_dir))
+
+
+def _bm25_from_stats(stats: DataFrame) -> DataFrame:
+    """BM25 scoring tail over a per-doc (dl, tf0..tfk) stats frame;
+    extra columns (e.g. the hybrid's embedding dims) pass through
+    untouched and get pruned by the caller's select."""
     glob_aggs = [
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -496,10 +502,33 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both candidate lists are depth-20; fusion is a full-outer join on
     doc_id over two 20-row frames — nothing data-sized happens after the
-    two retrievals. RRF scores round to 6 dp, ties on doc_id."""
+    two retrievals. RRF scores round to 6 dp, ties on doc_id.
+
+    Physical shape: the lexical stats (dl, per-term tf) and the hashed
+    embedding dims come out of ONE tokenize → explode → per-doc hash
+    aggregation (a single corpus pass and a single shuffle), checkpointed
+    once; the BM25 branch and the cosine branch both read the per-doc
+    frame (one row per doc — reduction-sized, not corpus-sized). Values
+    are identical to computing the two branches from separate scans:
+    every shared column is an integer sum over the same exploded rows."""
     tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.where(normalized_text("text") != "").select(
+        "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
+    )
+    with_u = tok.withColumn("u", _u_col(F.col("tok")))
+    aggs = (
+        [F.count("*").alias("dl")]
+        + [
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(QUERY_TERMS)
+        ]
+        + [F.sum(_dim_weight(j)).alias(f"e{j}") for j in range(_DIM)]
+    )
+    per_doc = with_u.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
+
     lex = (
-        _bm25_scored(spark, sf_dir)
+        _bm25_from_stats(per_doc)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_FUSE_DEPTH)
         .withColumn(
@@ -509,11 +538,13 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lex_rank")
     )
 
-    docs = read_table(spark, sf_dir, "documents")
-    doc_tok = docs.where(normalized_text("text") != "").select(
-        "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
+    emb = F.array(*[F.col(f"e{j}") for j in range(_DIM)])
+    nrm = F.aggregate(
+        F.transform(emb, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    doc_emb = _embed(doc_tok, "doc_id")
+    doc_emb = per_doc.select("doc_id", emb.alias("emb"), nrm.alias("nrm"))
     qdf = spark.createDataFrame(
         [(0, " ".join(QUERY_TERMS))], "qid int, text string"
     )

@@ -351,11 +351,16 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_semantic_dedup_joins_on_cluster_key(spark, sf_dir, queries):
-    # the pairwise stage must be a cluster-key EQUALITY join (SemDeDup's
-    # sub-quadratic core), not a cartesian pair enumeration
-    plan = _plan(queries["semantic_dedup"](spark, sf_dir))
+def test_semantic_dedup_groups_by_cluster_key(spark, sf_dir, queries):
+    # SemDeDup's sub-quadratic core: the pair triangle is scored INSIDE a
+    # cluster-key groupBy (one Arrow applyInPandas per cluster) — no pair
+    # join materializes at all, let alone a cartesian one; the only join
+    # is the K-row broadcast centroid assignment
+    df = queries["semantic_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
 
 
 def test_rag_retrieval_broadcasts_queries(spark, sf_dir, queries):
