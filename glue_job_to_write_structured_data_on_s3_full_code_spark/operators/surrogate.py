@@ -44,20 +44,35 @@ def scalable_key(
 ) -> DataFrame:
     """Same ids, distributed: range-partition by the order columns, number
     rows within each partition, then add per-partition offsets computed from
-    partition counts (one tiny aggregate, no global single-task window)."""
+    partition counts (one tiny aggregate, no global single-task window).
+
+    The range-partitioned frame with its ``__pid`` column is CHECKPOINTED
+    before the numbering and the offset aggregate branch off it:
+    ``repartitionByRange`` picks its boundaries by sampling, and the two
+    consumers would otherwise each re-evaluate the lineage with an
+    independently-sampled range exchange — local row numbers from one
+    partitioning combined with offsets from a different one produce
+    corrupt ids (observed at sf0.1: a whole boundary chunk shifted by 36;
+    invisible at sf0.01 where the scan is a single split). Freezing the
+    partitioning also pins ``spark_partition_id``, which is evaluation-
+    dependent by definition. At 100 TB this materialization is the price
+    of a stable numbering — still no single-task window anywhere."""
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    with_pid = parted.withColumn("__pid", F.spark_partition_id()).withColumn(
+    keyed = parted.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    with_pid = keyed.withColumn(
         "__local_rn",
         F.row_number().over(
             Window.partitionBy("__pid").orderBy(*order_cols)
         ),
     )
     # Partition counts are num_partitions rows — a broadcast-size table.
-    offsets = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    offsets = keyed.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     offsets = offsets.withColumn(
         "__offset",
         F.coalesce(

@@ -25,15 +25,33 @@ from pyspark.sql import functions as F
 def hourly_buckets(
     df: DataFrame, ts_col: str, key_col: str, value_col: str
 ) -> DataFrame:
-    """Per (key, hour) rounded mean — the canonical bucketed series the
-    smoothing/anomaly operators consume. Rounding the mean *before* any
-    downstream recursion keeps every engine's sequential math identical."""
+    """Per (key, hour) 6-dp mean — the canonical bucketed series the
+    smoothing/anomaly operators consume.
+
+    The mean is computed in EXACT integer arithmetic, not as
+    ``round(avg(double), 6)``: the fixture values are 2-dp, so the true
+    bucket mean (sum_cents / (100·n)) can land EXACTLY on a 6-dp
+    half-point, where a float avg differs by ±1 ulp between engines
+    (summation order) and the round flips — 1-2 buckets per series at
+    sf0.1, invisible at sf0.01. Summing cents as BIGINT and doing the
+    half-up division in integer space ((2·s·10⁴ + n) DIV (2·n), values
+    non-negative) makes ``mean_value`` the bit-identical double in every
+    engine, which the downstream recursions then share."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
     return (
         df.groupBy(
             F.col(key_col).alias("series_key"),
             F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
         )
-        .agg(F.round(F.avg(value_col), 6).alias("mean_value"))
+        .agg(F.sum(cents).alias("__s"), F.count(value_col).alias("__n"))
+        .select(
+            "series_key",
+            "bucket_ts",
+            (
+                F.expr("(2 * __s * 10000 + __n) DIV (2 * __n)").cast("double")
+                / 1e6
+            ).alias("mean_value"),
+        )
     )
 
 

@@ -709,16 +709,23 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rich.c_custkey == orders.o_custkey,
         "left_anti",
     )
+    # sum in exact decimal, surface as double: a raw decimal output column
+    # canonicalizes as '7097.200000' in Spark but float '7097.2' out of
+    # DuckDB's fetchdf — invisible at sf0.01 (this query returns 0 rows
+    # there) and a hash mismatch the moment rows exist (caught by the
+    # round-6 sf0.1 parity sweep)
     return idle.groupBy("c_mktsegment").agg(
         F.count("*").alias("numcust"),
-        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).alias("totacctbal"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("totacctbal"),
     )
 
 
 IDLE_CUSTOMER_ORACLE = """
 SELECT c_mktsegment,
        count(*) AS numcust,
-       sum(CAST(c_acctbal AS DECIMAL(27,6))) AS totacctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE CAST(c_acctbal AS DECIMAL(27,6)) >
       (SELECT avg(CAST(c_acctbal AS DECIMAL(27,6))) FROM customer WHERE c_acctbal > 0)

@@ -28,11 +28,22 @@ _DELTA_FILTER = "o_custkey < 100"
 
 
 def _delta(orders: DataFrame) -> DataFrame:
+    # the 10% price bump runs in EXACT decimal, not double: the stored
+    # 2-dp prices hit exact .xx5 half-points after *1.1, where Spark
+    # (round on the double's shortest repr) and DuckDB (round on the
+    # double) disagree — 1 row in 151k at sf0.1, invisible at sf0.01
+    # (caught by the round-6 sf0.1 parity sweep); decimal*decimal is
+    # exact and both engines round decimal half-points identically
+    bumped = F.round(
+        F.col("o_totalprice").cast("decimal(27,6)")
+        * F.lit("1.1").cast("decimal(2,1)"),
+        2,
+    ).cast("double")
     changed = orders.where(_DELTA_FILTER).select(
         "o_orderkey",
         "o_custkey",
         F.lit("U").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        bumped.alias("o_totalprice"),
         "o_orderdate",
         "o_orderpriority",
     )
@@ -49,7 +60,9 @@ def _delta(orders: DataFrame) -> DataFrame:
 
 _DELTA_SQL = """
     SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-           round(o_totalprice * 1.1, 2) AS o_totalprice,
+           CAST(round(CAST(o_totalprice AS DECIMAL(27,6))
+                      * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+               AS o_totalprice,
            o_orderdate, o_orderpriority
     FROM orders WHERE o_custkey < 100
     UNION ALL

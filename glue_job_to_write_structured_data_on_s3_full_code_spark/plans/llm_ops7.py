@@ -33,12 +33,15 @@ from ..functions.text import normalized_text, tokens
 from ..session import tune
 from ..sources import read_table
 
-# Thresholds calibrated on the sf0.01 fixture so the verdict splits the
-# corpus non-trivially (keeps ~2/3): dup-bigram p75 ≈ 0.047, dup-trigram
-# p95 ≈ 0.011, top-bigram-share p90 ≈ 0.069, entropy p10 ≈ 3.82.
+# Dup-fraction thresholds calibrated on the sf0.01 fixture so the verdict
+# splits the corpus non-trivially (keeps ~2/3): dup-bigram p75 ≈ 0.047,
+# dup-trigram p95 ≈ 0.011, entropy p10 ≈ 3.82. The top-bigram-share cap is
+# the published-style 0.20 and only applies when the top bigram actually
+# REPEATS — a single-occurrence maximum is a length artifact (every
+# all-distinct short doc has share 1/n_bigrams), not a repetition signal.
 DUP_BIGRAM_MAX = 0.05
 DUP_TRIGRAM_MAX = 0.02
-TOP_BIGRAM_SHARE_MAX = 0.06
+TOP_BIGRAM_SHARE_MAX = 0.20
 ENTROPY_MIN = 3.8
 _MIN_TOKENS = 3  # metrics undefined below one trigram
 
@@ -75,19 +78,13 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_tri = F.when(
         long_enough, F.round((n_tri - F.size(F.array_distinct(tri))) / n_tri, 6)
     )
-    top_share = F.when(
-        long_enough,
-        F.round(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(bi),
-                    lambda d: F.size(F.filter(bi, lambda x: x == d)),
-                )
-            )
-            / n_bi,
-            6,
-        ),
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bi),
+            lambda d: F.size(F.filter(bi, lambda x: x == d)),
+        )
     )
+    top_share = F.when(long_enough, F.round(top_cnt / n_bi, 6))
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -98,7 +95,7 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             long_enough
             & (dup_bi <= DUP_BIGRAM_MAX)
             & (dup_tri <= DUP_TRIGRAM_MAX)
-            & (top_share <= TOP_BIGRAM_SHARE_MAX)
+            & ((top_cnt == 1) | (top_share <= TOP_BIGRAM_SHARE_MAX))
         ).alias("keep"),
     )
 
@@ -122,6 +119,8 @@ WITH base AS (
     FROM base
 ), m AS (
     SELECT doc_id, n,
+           list_max(list_transform(list_distinct(bi),
+                    d -> len(list_filter(bi, x -> x = d)))) AS top_cnt,
            CASE WHEN n >= {_MIN_TOKENS} THEN
                round((len(bi) - len(list_distinct(bi))) * 1.0 / len(bi), 6)
            END AS dup_bigram_frac,
@@ -140,7 +139,9 @@ SELECT doc_id, CAST(n AS INT) AS n_tokens,
        coalesce(n >= {_MIN_TOKENS}
                 AND dup_bigram_frac <= {DUP_BIGRAM_MAX}
                 AND dup_trigram_frac <= {DUP_TRIGRAM_MAX}
-                AND top_bigram_share <= {TOP_BIGRAM_SHARE_MAX}, false) AS keep
+                AND (top_cnt = 1
+                     OR top_bigram_share <= {TOP_BIGRAM_SHARE_MAX}),
+            false) AS keep
 FROM m
 """
 

@@ -23,10 +23,15 @@ from pyspark.sql import functions as F
 from ..session import tune
 from ..sources import read_table
 
+# Exact integer-micro mean (half-up), mirroring operators/timeseries.py
+# hourly_buckets — see its docstring for why a float avg+round is not
+# cross-engine stable on 2-dp inputs.
 _BUCKETS_SQL = """
     SELECT event_type AS series_key,
            date_trunc('hour', ts) AS bucket_ts,
-           round(avg(value), 6) AS mean_value
+           CAST((2 * sum(CAST(round(value * 100) AS BIGINT)) * 10000
+                 + count(value)) // (2 * count(value)) AS DOUBLE) / 1e6
+               AS mean_value
     FROM events
     GROUP BY 1, 2
 """

@@ -69,6 +69,20 @@ def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "query") -> N
         f"{name}: oracled query returns container-typed column(s) {bad}; the "
         "driver gate cannot hash these — project to scalar forms"
     )
+    # Raw DECIMAL outputs canonicalize as scale-padded strings from Spark
+    # ('7097.200000') but come out of DuckDB's fetchdf as float64
+    # ('7097.2') — a guaranteed hash mismatch as soon as rows exist (and
+    # invisible while a query returns 0 rows at the gate SF). The repo
+    # discipline is sum/avg in exact decimal, then surface as double.
+    dec = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() == "decimal"
+    ]
+    assert not dec, (
+        f"{name}: oracled query returns decimal-typed column(s) {dec}; "
+        "cast to double before returning"
+    )
     got = spark_df.toPandas()
     want = duck_con.execute(oracle_sql).fetchdf()
 
@@ -80,8 +94,12 @@ def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "query") -> N
     g, w = canon_rows(got), canon_rows(want)
     if g != w:
         diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
-        only_g = [r for r in g if r not in set(w)][:3]
-        only_w = [r for r in w if r not in set(g)][:3]
+        # hoisted sets: building set(w) INSIDE the comprehension re-hashed
+        # the full multiset once per row — O(n²), a 25-minute hang on a
+        # 151k-row mismatch (found by the round-6 sf0.1 sweep)
+        w_set, g_set = set(w), set(g)
+        only_g = [r for r in g if r not in w_set][:3]
+        only_w = [r for r in w if r not in g_set][:3]
         raise AssertionError(
             f"{name}: value mismatch (cols sorted: {sorted(got.columns)})\n"
             f"first pairwise diffs: {diffs}\n"
