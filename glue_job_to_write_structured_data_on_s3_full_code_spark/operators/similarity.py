@@ -392,6 +392,54 @@ def _cosine_neardup_blocked(
     )
 
 
+def _ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_mod: int,
+    max_centroids: int,
+) -> DataFrame:
+    """The deterministic mod-id centroid set shared by the in-memory IVF
+    and the partitioned stored index (and spelled identically by the
+    DuckDB oracle)."""
+    return corpus.where(
+        (F.col(id_col) % centroid_mod == 0)
+        & (F.col(id_col) < centroid_mod * max_centroids)
+    ).select(
+        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_v")
+    )
+
+
+def _ivf_assign(
+    df: DataFrame, cents: DataFrame, side_id: str, side_vec: str, keep: int
+) -> DataFrame:
+    """Max-cosine cell assignment against the broadcast centroid set —
+    ``keep`` best cells (1 for corpus rows, nprobe for queries); ties on
+    cent_id."""
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        side_id,
+        side_vec,
+        "cent_id",
+        (
+            _dot(F.col(side_vec), F.col("cent_v"))
+            / (
+                F.sqrt(_dot(F.col(side_vec), F.col(side_vec)))
+                * F.sqrt(_dot(F.col("cent_v"), F.col("cent_v")))
+            )
+        ).alias("cent_cos"),
+    )
+    w = Window.partitionBy(side_id).orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id")
+    )
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") <= keep)
+        .drop("crk", "cent_cos")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -415,48 +463,23 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cents = corpus.where(
-        (F.col(id_col) % centroid_mod == 0)
-        & (F.col(id_col) < centroid_mod * max_centroids)
-    ).select(
-        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_v")
-    )
-
-    def assign(df: DataFrame, side_id: str, side_vec: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            side_id,
-            side_vec,
-            "cent_id",
-            (
-                _dot(F.col(side_vec), F.col("cent_v"))
-                / (
-                    F.sqrt(_dot(F.col(side_vec), F.col(side_vec)))
-                    * F.sqrt(_dot(F.col("cent_v"), F.col("cent_v")))
-                )
-            ).alias("cent_cos"),
-        )
-        w = Window.partitionBy(side_id).orderBy(
-            F.col("cent_cos").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .where(F.col("crk") <= keep)
-            .drop("crk", "cent_cos")
-        )
+    cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
 
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = assign(
+    c = _ivf_assign(
         corpus.repartition(par).select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
         ),
+        cents,
         "neighbor_id",
         "cv",
         keep=1,
     )
-    q = assign(
+    q = _ivf_assign(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         ),
+        cents,
         "query_id",
         "qv",
         keep=nprobe,
@@ -464,6 +487,104 @@ def ivf_topk(
 
     scored = (
         c.join(F.broadcast(q), "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").alias("rank"),
+        )
+    )
+
+
+def ivf_partitioned_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+    max_centroids: int = 256,
+    index_name: str = "ivf_index",
+) -> DataFrame:
+    """:func:`ivf_topk` with the corpus side served from a STORED index —
+    the shape SCALE.md promises for 100 TB: the cell assignment is written
+    ONCE as parquet partitioned by ``cell_id``, and every probe reads only
+    the probed cells via partition pruning instead of re-assigning (and
+    re-scanning) the whole corpus per query batch.
+
+    Build: one assignment pass (broadcast centroids, max-cosine cell) →
+    ``partitionBy(cell_id)`` parquet under the session staging area (the
+    heartbeat-swept per-application dir of
+    sources/parquet.materialize_result). Probe: scan the index joined to
+    the broadcast (query → nprobe cells) frame on the PARTITION column,
+    which Catalyst turns into dynamic partition pruning — the scan's
+    PartitionFilters carry a dynamicpruning expression, so only nprobe·Q
+    cell directories are listed and read (plan-gated in
+    tests/test_plan_quality.py). Results are row-identical to
+    :func:`ivf_topk` (asserted in tests/test_similarity.py) and share its
+    DuckDB oracle.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from ..sources.parquet import _touch_heartbeat
+
+    spark = corpus.sparkSession
+    cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
+
+    par = spark.sparkContext.defaultParallelism
+    assigned = _ivf_assign(
+        corpus.repartition(par).select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        ),
+        cents,
+        "neighbor_id",
+        "cv",
+        keep=1,
+    ).withColumnRenamed("cent_id", "cell_id")
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    app_dir = os.path.join(warehouse, "_staged_results", spark.sparkContext.applicationId)
+    _touch_heartbeat(app_dir)
+    path = os.path.join(app_dir, index_name)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+    index = spark.read.parquet(path)
+    q = _ivf_assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        cents,
+        "query_id",
+        "qv",
+        keep=nprobe,
+    ).select(F.col("cent_id").cast("int").alias("cell_id"), "query_id", "qv")
+
+    scored = (
+        index.join(F.broadcast(q), "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -27,6 +27,7 @@ from ..operators.multimodal import extract_media_features, sample_frames
 from ..operators.similarity import (
     cosine_neardup,
     cosine_topk,
+    ivf_partitioned_topk,
     ivf_topk,
     ivfpq_topk,
     lsh_bucketed_topk,
@@ -479,6 +480,20 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from the STORED cell-partitioned index: the cell
+    assignment is written once as parquet ``partitionBy(cell_id)`` and the
+    probe reads only the probed cells via dynamic partition pruning — the
+    100 TB serving shape SCALE.md describes for every bucketed ANN family,
+    made real and plan-gated. Row-identical to :func:`embedding_ivf_topk`
+    (same centroids, same probe, same scoring), so it shares its oracle."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_partitioned_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, centroid_mod=50, nprobe=3
+    )
+
+
 def _ivf_oracle(
     k: int = 5, centroid_mod: int = 50, nprobe: int = 3, max_centroids: int = 256
 ) -> str:
@@ -874,6 +889,7 @@ REGISTRY = [
     ("embedding_lsh_topk", embedding_lsh_topk, EMBEDDING_LSH_ORACLE),
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
     ("embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_ORACLE),
+    ("embedding_ivf_indexed_topk", embedding_ivf_indexed_topk, EMBEDDING_IVF_ORACLE),
     ("embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_ORACLE),
     ("embedding_ivfpq_topk", embedding_ivfpq_topk, EMBEDDING_IVFPQ_ORACLE),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),

@@ -442,3 +442,13 @@ def test_quality_filters_are_map_only(spark, sf_dir, queries):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name}: {plan}"
         assert "Join" not in plan, f"{name}: {plan}"
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir, queries):
+    # the stored-index probe must reach the cell-partitioned parquet scan
+    # with a dynamic partition pruning filter on cell_id — reading only
+    # the probed cells, never the whole index (the 100 TB serving shape)
+    df = queries["embedding_ivf_indexed_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

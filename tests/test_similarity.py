@@ -247,3 +247,21 @@ def test_neardup_boundary_pairs_match_oracle(spark, tmp_path):
     # the boundary really is exercised: some engineered vector must be a
     # near-dup of the base vector (cosine rounds to exactly 0.35 >= 0.35)
     assert any(not kept for _, _, kept in got)
+
+
+def test_ivf_partitioned_index_matches_in_memory(spark, sf_dir):
+    """The stored cell-partitioned index must serve row-identical results
+    to the in-memory IVF (same centroids, probe set, and scoring)."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        ivf_partitioned_topk,
+        ivf_topk,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    mem = sorted(tuple(r) for r in ivf_topk(emb, q, k=5).collect())
+    idx = sorted(tuple(r) for r in ivf_partitioned_topk(emb, q, k=5).collect())
+    assert mem == idx and len(mem) > 0
