@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
     "corpus_to_shards_capstone",
+    "embedding_ivf_indexed_topk",
 ]
 
 
@@ -133,6 +134,7 @@ def main() -> None:
         "bm25_retrieval",
         "hybrid_retrieval_rrf",
         "corpus_to_shards_capstone",
+        "embedding_ivf_indexed_topk",
     }
     print(
         json.dumps(

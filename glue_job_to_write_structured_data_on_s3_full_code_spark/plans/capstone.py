@@ -107,14 +107,25 @@ def corpus_to_shards_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     positioned = sharded.withColumn("pos_in_shard", F.row_number().over(w_shard))
 
     # stage 5: per-shard manifest + balance eval (token share vs ideal 1/N)
-    manifest = positioned.groupBy("shard_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.countDistinct("source").alias("n_sources"),
-        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
-        F.max(F.when(F.col("pos_in_shard") == 1, F.col("doc_id"))).alias(
-            "first_doc_id"
-        ),
+    # avg_ttr as an exact integer-micro half-up mean: ttr is 6-dp by
+    # construction, so the true shard mean can land exactly on a 6-dp
+    # half-point where a float avg+round is one summation-order ulp from
+    # flipping (the pricing_summary_agg / hourly_buckets discipline)
+    manifest = (
+        positioned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(F.round(F.col("ttr") * 1e6).cast("long")).alias("__t"),
+            F.max(F.when(F.col("pos_in_shard") == 1, F.col("doc_id"))).alias(
+                "first_doc_id"
+            ),
+        )
+        .withColumn(
+            "avg_ttr",
+            F.expr("(2 * __t + n_docs) DIV (2 * n_docs)").cast("double") / 1e6,
+        )
     )
     w_all = Window.partitionBy()  # N_SHARDS rows — post-reduction, tiny
     return (
@@ -193,7 +204,8 @@ WITH base AS (
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            count(DISTINCT source) AS n_sources,
-           round(avg(ttr), 6) AS avg_ttr,
+           CAST((2 * sum(CAST(round(ttr * 1e6) AS BIGINT)) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1e6 AS avg_ttr,
            max(CASE WHEN pos_in_shard = 1 THEN doc_id END) AS first_doc_id
     FROM positioned
     GROUP BY shard_id

@@ -227,9 +227,22 @@ def deep_prospect_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned = sales.unionByName(tv)
 
     # 14. aggregate self-join with suffixed columns: per-nation average
-    # lead value from the SAME staged frame, joined back
-    nation_avg = staged.groupBy(F.col("cust_nk").alias("avg_nk")).agg(
-        F.round(F.avg("o_totalprice"), 2).alias("nation_avg_price")
+    # lead value from the SAME staged frame, joined back. The mean runs in
+    # EXACT integer cents (half-up division), not round(avg(double), 2):
+    # a nation's price sum lands exactly on .xx5 in this fixture, where
+    # the float avg is within one ulp of the half-point — Spark's own
+    # partial-agg order then flips the rounded value BETWEEN RUNS (the
+    # hourly_buckets lesson; this was a run-order-dependent parity flake)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    nation_avg = (
+        staged.groupBy(F.col("cust_nk").alias("avg_nk"))
+        .agg(F.sum(cents).alias("__s"), F.count("o_totalprice").alias("__n"))
+        .select(
+            "avg_nk",
+            (
+                F.expr("(2 * __s + __n) DIV (2 * __n)").cast("double") / 100
+            ).alias("nation_avg_price"),
+        )
     )
     enriched = unioned.join(
         F.broadcast(nation_avg), unioned.cust_nk == nation_avg.avg_nk, "left"
@@ -391,7 +404,12 @@ unioned AS (
     UNION ALL SELECT *, 'tv' FROM tv_def
 ),
 nation_avg AS (
-    SELECT cust_nk AS avg_nk, round(avg(o_totalprice), 2) AS nation_avg_price
+    -- exact integer-cents half-up mean; see the Spark side for why a
+    -- float avg+round is not even run-to-run stable here
+    SELECT cust_nk AS avg_nk,
+           CAST((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 + count(o_totalprice)) // (2 * count(o_totalprice))
+                AS DOUBLE) / 100 AS nation_avg_price
     FROM staged GROUP BY 1
 )
 SELECT concat('DP', lpad(CAST(row_number() OVER (ORDER BY u.o_orderkey)

@@ -32,7 +32,17 @@ def _dsum(col) -> F.Column:
 
 def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped groupBy/agg: map-side partial aggregation + one
-    shuffle on the (tiny-cardinality) group key — the scalable agg shape."""
+    shuffle on the (tiny-cardinality) group key — the scalable agg shape.
+
+    The three averages run as exact integer-micro half-up divisions, not
+    ``round(avg(double), 6)``: the inputs are fixed-precision (2-dp money,
+    integral quantities), so the true group mean is a rational that CAN
+    land exactly on a 6-dp half-point — where a float avg is one
+    summation-order ulp from flipping the round, between engines or even
+    between Spark's own runs (measured boundary distance at sf0.1 gets
+    within 2e-10; the deep-pipeline nation average actually flipped).
+    At larger scales the micro sums outgrow BIGINT around 1e13 rows per
+    group — switch the sum to DECIMAL then; the division stays exact."""
     tune(spark)
     li = read_table(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -43,6 +53,14 @@ def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1 - F.col("l_discount"))
         * (1 + F.col("l_tax"))
     ).cast("decimal(27,6)")
+
+    def micro(col: str):
+        return F.sum(F.round(F.col(col) * 1e6).cast("long"))
+
+    avg6 = lambda s: (  # noqa: E731 — half-up micro mean as exact double
+        F.expr(f"(2 * {s} + count_order) DIV (2 * count_order)").cast("double")
+        / 1e6
+    )
     return (
         li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
@@ -51,10 +69,22 @@ def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("l_extendedprice").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            micro("l_quantity").alias("__q"),
+            micro("l_extendedprice").alias("__p"),
+            micro("l_discount").alias("__d"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            avg6("__q").alias("avg_qty"),
+            avg6("__p").alias("avg_price"),
+            avg6("__d").alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -65,9 +95,12 @@ SELECT l_returnflag, l_linestatus,
        cast(sum(cast(l_extendedprice  AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
        cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
        cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
-       round(avg(l_quantity), 6)      AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6)      AS avg_disc,
+       CAST((2 * sum(CAST(round(l_quantity * 1e6) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1e6 AS avg_qty,
+       CAST((2 * sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1e6 AS avg_price,
+       CAST((2 * sum(CAST(round(l_discount * 1e6) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1e6 AS avg_disc,
        count(*)                       AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
