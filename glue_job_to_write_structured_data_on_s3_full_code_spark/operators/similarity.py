@@ -515,6 +515,11 @@ def ivf_topk(
     )
 
 
+#: index paths this session has already built (applicationId-scoped, so
+#: cross-session staleness is impossible); see ivf_partitioned_topk(rebuild=)
+_BUILT_IVF_INDEXES: set[str] = set()
+
+
 def ivf_partitioned_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -525,6 +530,7 @@ def ivf_partitioned_topk(
     nprobe: int = 3,
     max_centroids: int = 256,
     index_name: str = "ivf_index",
+    rebuild: bool = True,
 ) -> DataFrame:
     """:func:`ivf_topk` with the corpus side served from a STORED index —
     the shape SCALE.md promises for 100 TB: the cell assignment is written
@@ -543,6 +549,13 @@ def ivf_partitioned_topk(
     tests/test_plan_quality.py). Results are row-identical to
     :func:`ivf_topk` (asserted in tests/test_similarity.py) and share its
     DuckDB oracle.
+
+    ``rebuild=False`` reuses an index of the same ``index_name`` already
+    built BY THIS SESSION (the path is applicationId-scoped, so a stale
+    index from another session can never be picked up) — the amortized
+    serving shape, where probes pay only the pruned scan. Callers using
+    it MUST give each distinct corpus its own ``index_name``; the default
+    ``rebuild=True`` keeps the operator self-contained.
     """
     import os
 
@@ -553,24 +566,26 @@ def ivf_partitioned_topk(
     spark = corpus.sparkSession
     cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
 
-    par = spark.sparkContext.defaultParallelism
-    assigned = _ivf_assign(
-        corpus.repartition(par).select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-        ),
-        cents,
-        "neighbor_id",
-        "cv",
-        keep=1,
-    ).withColumnRenamed("cent_id", "cell_id")
-
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     app_dir = os.path.join(warehouse, "_staged_results", spark.sparkContext.applicationId)
     _touch_heartbeat(app_dir)
     path = os.path.join(app_dir, index_name)
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    if rebuild or path not in _BUILT_IVF_INDEXES or not os.path.isdir(path):
+        par = spark.sparkContext.defaultParallelism
+        assigned = _ivf_assign(
+            corpus.repartition(par).select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            ),
+            cents,
+            "neighbor_id",
+            "cv",
+            keep=1,
+        ).withColumnRenamed("cent_id", "cell_id")
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+        _BUILT_IVF_INDEXES.add(path)
 
     index = spark.read.parquet(path)
     q = _ivf_assign(
