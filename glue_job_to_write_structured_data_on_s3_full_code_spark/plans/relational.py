@@ -41,8 +41,15 @@ def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order ulp from flipping the round, between engines or even
     between Spark's own runs (measured boundary distance at sf0.1 gets
     within 2e-10; the deep-pipeline nation average actually flipped).
-    At larger scales the micro sums outgrow BIGINT around 1e13 rows per
-    group — switch the sum to DECIMAL then; the division stays exact."""
+
+    The micro sums for quantity/price are NOT extra aggregates: because
+    the inputs are exact fixed-point, ``round(col * 1e6)`` summed per-row
+    equals the exact decimal group sum shifted by 1e6 — so ``avg_qty`` /
+    ``avg_price`` derive POST-agg from the same decimal sums that feed
+    ``sum_qty`` / ``sum_base_price`` (one map-side expression each fewer;
+    only ``l_discount``, which has no output sum, keeps a dedicated micro
+    aggregate). The shift stays in decimal arithmetic (38,6 ≫ the 1e16
+    magnitudes here), so no float touches the value before the division."""
     tune(spark)
     li = read_table(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -54,36 +61,44 @@ def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1 + F.col("l_tax"))
     ).cast("decimal(27,6)")
 
-    def micro(col: str):
-        return F.sum(F.round(F.col(col) * 1e6).cast("long"))
+    def dec(col: str):
+        return F.sum(F.col(col).cast("decimal(27,6)"))
 
-    avg6 = lambda s: (  # noqa: E731 — half-up micro mean as exact double
-        F.expr(f"(2 * {s} + count_order) DIV (2 * count_order)").cast("double")
+    # half-up micro mean as exact double, micro sum derived from the exact
+    # decimal group sum (scale-6 value × 1e6 is integral by construction)
+    avg6 = lambda s: (  # noqa: E731
+        F.expr(
+            f"(2 * CAST({s} * 1000000 AS BIGINT) + count_order)"
+            " DIV (2 * count_order)"
+        ).cast("double")
         / 1e6
     )
     return (
         li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity").alias("sum_qty"),
-            _dsum("l_extendedprice").alias("sum_base_price"),
+            dec("l_quantity").alias("__sq"),
+            dec("l_extendedprice").alias("__sp"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            micro("l_quantity").alias("__q"),
-            micro("l_extendedprice").alias("__p"),
-            micro("l_discount").alias("__d"),
+            F.sum(F.round(F.col("l_discount") * 1e6).cast("long")).alias("__d"),
             F.count("*").alias("count_order"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
-            "sum_qty",
-            "sum_base_price",
+            F.col("__sq").cast("double").alias("sum_qty"),
+            F.col("__sp").cast("double").alias("sum_base_price"),
             "sum_disc_price",
             "sum_charge",
-            avg6("__q").alias("avg_qty"),
-            avg6("__p").alias("avg_price"),
-            avg6("__d").alias("avg_disc"),
+            avg6("__sq").alias("avg_qty"),
+            avg6("__sp").alias("avg_price"),
+            (
+                F.expr("(2 * __d + count_order) DIV (2 * count_order)").cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("avg_disc"),
             "count_order",
         )
     )
