@@ -10,8 +10,12 @@ from .dedup import (
     simhash,
 )
 from .similarity import (
+    build_ivf_index,
     cosine_neardup,
     cosine_topk,
+    ivf_index_append,
+    ivf_index_built,
+    ivf_index_probe,
     ivf_topk,
     lsh_bucketed_topk,
     pq_topk,
@@ -32,8 +36,12 @@ __all__ = [
     "jaccard_similar_pairs",
     "minhash_lsh_candidates",
     "simhash",
+    "build_ivf_index",
     "cosine_neardup",
     "cosine_topk",
+    "ivf_index_append",
+    "ivf_index_built",
+    "ivf_index_probe",
     "ivf_topk",
     "lsh_bucketed_topk",
     "pq_topk",

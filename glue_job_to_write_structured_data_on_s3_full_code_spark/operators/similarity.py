@@ -520,74 +520,179 @@ def ivf_topk(
 _BUILT_IVF_INDEXES: set[str] = set()
 
 
-def ivf_partitioned_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 5,
-    centroid_mod: int = 50,
-    nprobe: int = 3,
-    max_centroids: int = 256,
-    index_name: str = "ivf_index",
-    rebuild: bool = True,
-) -> DataFrame:
-    """:func:`ivf_topk` with the corpus side served from a STORED index —
-    the shape SCALE.md promises for 100 TB: the cell assignment is written
-    ONCE as parquet partitioned by ``cell_id``, and every probe reads only
-    the probed cells via partition pruning instead of re-assigning (and
-    re-scanning) the whole corpus per query batch.
-
-    Build: one assignment pass (broadcast centroids, max-cosine cell) →
-    ``partitionBy(cell_id)`` parquet under the session staging area (the
-    heartbeat-swept per-application dir of
-    sources/parquet.materialize_result). Probe: scan the index joined to
-    the broadcast (query → nprobe cells) frame on the PARTITION column,
-    which Catalyst turns into dynamic partition pruning — the scan's
-    PartitionFilters carry a dynamicpruning expression, so only nprobe·Q
-    cell directories are listed and read (plan-gated in
-    tests/test_plan_quality.py). Results are row-identical to
-    :func:`ivf_topk` (asserted in tests/test_similarity.py) and share its
-    DuckDB oracle.
-
-    ``rebuild=False`` reuses an index of the same ``index_name`` already
-    built BY THIS SESSION (the path is applicationId-scoped, so a stale
-    index from another session can never be picked up) — the amortized
-    serving shape, where probes pay only the pruned scan. Callers using
-    it MUST give each distinct corpus its own ``index_name``; the default
-    ``rebuild=True`` keeps the operator self-contained.
-    """
+def _ivf_index_path(spark, index_name: str) -> str:
+    """Application-scoped on-disk location for a stored IVF index: the
+    heartbeat-swept per-application staging dir, so a stale index from a
+    dead session is reclaimed, never served."""
     import os
 
-    from pyspark.sql import Window
-
     from ..sources.parquet import _touch_heartbeat
-
-    spark = corpus.sparkSession
-    cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
 
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    app_dir = os.path.join(warehouse, "_staged_results", spark.sparkContext.applicationId)
+    app_dir = os.path.join(
+        warehouse, "_staged_results", spark.sparkContext.applicationId
+    )
     _touch_heartbeat(app_dir)
-    path = os.path.join(app_dir, index_name)
-    if rebuild or path not in _BUILT_IVF_INDEXES or not os.path.isdir(path):
-        par = spark.sparkContext.defaultParallelism
-        assigned = _ivf_assign(
-            corpus.repartition(par).select(
-                F.col(id_col).alias("neighbor_id"),
-                _as_double(F.col(vec_col)).alias("cv"),
-            ),
-            cents,
-            "neighbor_id",
-            "cv",
-            keep=1,
-        ).withColumnRenamed("cent_id", "cell_id")
-        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
-        _BUILT_IVF_INDEXES.add(path)
+    return os.path.join(app_dir, index_name)
 
+
+def ivf_index_built(spark, index_name: str) -> bool:
+    """True iff THIS session already built (or appended to) the named
+    stored index — the gate callers use to run build+append exactly once
+    per session before serving probes."""
+    import os
+
+    path = _ivf_index_path(spark, index_name)
+    return path in _BUILT_IVF_INDEXES and os.path.isdir(path)
+
+
+def _corpus_fingerprint(df: DataFrame, id_col: str) -> dict:
+    """Order-independent corpus identity: row count + bit_xor of 64-bit id
+    hashes. One column-pruned scan, one single-row collect. XOR composes
+    under append (fp(A ∪ B).id_xor == fp(A).id_xor ^ fp(B).id_xor), which
+    is what lets :func:`ivf_index_append` maintain the stored fingerprint
+    without rescanning the whole index."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("id_xor"),
+    ).collect()[0]
+    return {"rows": int(row["rows"]), "id_xor": int(row["id_xor"] or 0)}
+
+
+def _read_fingerprint(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(f"{path}__meta", "fingerprint.json")) as fh:
+        return json.load(fh)
+
+
+def _write_fingerprint(path: str, fp: dict) -> None:
+    import json
+    import os
+
+    meta = f"{path}__meta"
+    os.makedirs(meta, exist_ok=True)
+    with open(os.path.join(meta, "fingerprint.json"), "w") as fh:
+        json.dump(fp, fh)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_mod: int = 50,
+    max_centroids: int = 256,
+    index_name: str = "ivf_index",
+) -> str:
+    """Build the stored IVF index: one assignment pass (broadcast
+    centroids, max-cosine cell) written as parquet ``partitionBy(cell_id)``
+    so probes prune to their cells. Alongside the cells, ``<path>__meta``
+    persists (a) the FROZEN centroid set — appends and probes read it back
+    instead of re-deriving from a possibly-drifted corpus — and (b) the
+    corpus fingerprint that :func:`ivf_index_probe` checks so a stored
+    index can never silently answer for a different corpus. Returns the
+    index path."""
+    spark = corpus.sparkSession
+    path = _ivf_index_path(spark, index_name)
+    cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
+    par = spark.sparkContext.defaultParallelism
+    assigned = _ivf_assign(
+        corpus.repartition(par).select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ),
+        cents,
+        "neighbor_id",
+        "cv",
+        keep=1,
+    ).withColumnRenamed("cent_id", "cell_id")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta/centroids")
+    _write_fingerprint(path, _corpus_fingerprint(corpus, id_col))
+    _BUILT_IVF_INDEXES.add(path)
+    return path
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index_name: str = "ivf_index",
+) -> str:
+    """Incrementally maintain a stored IVF index: assign ONLY the new
+    batch against the FROZEN stored centroid set and append the rows to
+    their owning ``cell_id`` partition directories — the 100 TB shape
+    where a daily embedding batch costs one batch-sized assignment pass,
+    not a full-corpus rebuild. The stored fingerprint is advanced by XOR
+    composition (count adds, id hashes XOR), so a subsequent
+    :func:`ivf_index_probe` against base ∪ batch verifies clean. Centroids
+    are deliberately NOT recomputed: cell membership of existing rows
+    never changes, which is exactly what makes the append O(|batch|)."""
+    spark = batch.sparkSession
+    path = _ivf_index_path(spark, index_name)
+    cents = spark.read.parquet(f"{path}__meta/centroids")
+    par = spark.sparkContext.defaultParallelism
+    assigned = _ivf_assign(
+        batch.repartition(par).select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ),
+        cents,
+        "neighbor_id",
+        "cv",
+        keep=1,
+    ).withColumnRenamed("cent_id", "cell_id")
+    assigned.write.mode("append").partitionBy("cell_id").parquet(path)
+    old = _read_fingerprint(path)
+    add = _corpus_fingerprint(batch, id_col)
+    _write_fingerprint(
+        path,
+        {"rows": old["rows"] + add["rows"], "id_xor": old["id_xor"] ^ add["id_xor"]},
+    )
+    _BUILT_IVF_INDEXES.add(path)
+    return path
+
+
+def ivf_index_probe(
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 3,
+    index_name: str = "ivf_index",
+    expected_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Serve top-k from a stored IVF index: queries are assigned to their
+    ``nprobe`` best cells against the FROZEN stored centroids, then joined
+    to the index on the PARTITION column — Catalyst turns the broadcast
+    join into dynamic partition pruning, so only nprobe·Q cell directories
+    are listed and read (plan-gated in tests/test_plan_quality.py).
+
+    ``expected_corpus`` is the misuse guard the bare ``rebuild=False``
+    reuse used to lack: pass the corpus the caller BELIEVES the index
+    serves and the stored fingerprint is compared (count + id-hash XOR,
+    one column-pruned scan — far cheaper than the assignment pass it
+    replaces); a mismatch raises instead of silently returning neighbors
+    from a different corpus."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    path = _ivf_index_path(spark, index_name)
+    if expected_corpus is not None:
+        stored = _read_fingerprint(path)
+        actual = _corpus_fingerprint(expected_corpus, id_col)
+        if stored != actual:
+            raise ValueError(
+                f"stored IVF index '{index_name}' does not match the corpus "
+                f"being queried: index fingerprint {stored}, corpus "
+                f"fingerprint {actual} — rebuild the index (or append the "
+                "missing batch) instead of reusing it"
+            )
     index = spark.read.parquet(path)
+    cents = spark.read.parquet(f"{path}__meta/centroids")
     q = _ivf_assign(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -625,6 +730,66 @@ def ivf_partitioned_topk(
             F.round("cosine", 6).alias("cosine"),
             F.col("rk").alias("rank"),
         )
+    )
+
+
+def ivf_partitioned_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+    max_centroids: int = 256,
+    index_name: str = "ivf_index",
+    rebuild: bool = True,
+) -> DataFrame:
+    """:func:`ivf_topk` with the corpus side served from a STORED index —
+    the shape SCALE.md promises for 100 TB: the cell assignment is written
+    ONCE as parquet partitioned by ``cell_id``, and every probe reads only
+    the probed cells via partition pruning instead of re-assigning (and
+    re-scanning) the whole corpus per query batch.
+
+    Build: one assignment pass (broadcast centroids, max-cosine cell) →
+    ``partitionBy(cell_id)`` parquet under the session staging area (the
+    heartbeat-swept per-application dir of
+    sources/parquet.materialize_result). Probe: scan the index joined to
+    the broadcast (query → nprobe cells) frame on the PARTITION column,
+    which Catalyst turns into dynamic partition pruning — the scan's
+    PartitionFilters carry a dynamicpruning expression, so only nprobe·Q
+    cell directories are listed and read (plan-gated in
+    tests/test_plan_quality.py). Results are row-identical to
+    :func:`ivf_topk` (asserted in tests/test_similarity.py) and share its
+    DuckDB oracle.
+
+    ``rebuild=False`` reuses an index of the same ``index_name`` already
+    built BY THIS SESSION (the path is applicationId-scoped, so a stale
+    index from another session can never be picked up) — the amortized
+    serving shape, where probes pay only the pruned scan. Reuse is
+    fingerprint-VERIFIED: the stored index's corpus fingerprint must match
+    the ``corpus`` argument or the probe raises, so a wrong ``index_name``
+    produces an error, never a silently wrong answer. Incremental
+    maintenance lives in :func:`ivf_index_append`.
+    """
+    import os
+
+    spark = corpus.sparkSession
+    path = _ivf_index_path(spark, index_name)
+    freshly_built = False
+    if rebuild or path not in _BUILT_IVF_INDEXES or not os.path.isdir(path):
+        build_ivf_index(
+            corpus, vec_col, id_col, centroid_mod, max_centroids, index_name
+        )
+        freshly_built = True
+    return ivf_index_probe(
+        queries,
+        vec_col,
+        id_col,
+        k=k,
+        nprobe=nprobe,
+        index_name=index_name,
+        expected_corpus=None if freshly_built else corpus,
     )
 
 

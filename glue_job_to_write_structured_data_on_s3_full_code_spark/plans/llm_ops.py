@@ -25,8 +25,12 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import extract_media_features, sample_frames
 from ..operators.similarity import (
+    build_ivf_index,
     cosine_neardup,
     cosine_topk,
+    ivf_index_append,
+    ivf_index_built,
+    ivf_index_probe,
     ivf_partitioned_topk,
     ivf_topk,
     ivfpq_topk,
@@ -506,6 +510,39 @@ def embedding_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the stored IVF index — the daily-batch
+    shape at 100 TB: build once on the base corpus, then land each new
+    embedding batch with one batch-sized assignment pass against the
+    FROZEN stored centroids, appended straight into the owning ``cell_id``
+    partition directories (never a full rebuild). Here the corpus is split
+    base/batch on ``vec_id % 50 == 17`` — a residue class that contains no
+    centroid ids (centroids are ``vec_id % 50 == 0``), so the frozen
+    base-corpus centroid set equals the full-corpus one and the
+    post-append probe is row-identical to a full rebuild: it shares
+    :func:`embedding_ivf_topk`'s complete DuckDB oracle. The probe passes
+    the full corpus as ``expected_corpus``, so the gate row also exercises
+    the fingerprint composition (build fp ⊕ batch fp == full-corpus fp) —
+    a drifted or wrong index raises rather than answering."""
+    import os
+
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    name = f"ivf_append_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not ivf_index_built(spark, name):
+        build_ivf_index(
+            emb.where(F.col("vec_id") % 50 != 17), index_name=name
+        )
+        ivf_index_append(emb.where(F.col("vec_id") % 50 == 17), index_name=name)
+    return ivf_index_probe(
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=3,
+        index_name=name,
+        expected_corpus=emb,
+    )
+
+
 def _ivf_oracle(
     k: int = 5, centroid_mod: int = 50, nprobe: int = 3, max_centroids: int = 256
 ) -> str:
@@ -902,6 +939,7 @@ REGISTRY = [
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
     ("embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_ORACLE),
     ("embedding_ivf_indexed_topk", embedding_ivf_indexed_topk, EMBEDDING_IVF_ORACLE),
+    ("embedding_ivf_index_append", embedding_ivf_index_append, EMBEDDING_IVF_ORACLE),
     ("embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_ORACLE),
     ("embedding_ivfpq_topk", embedding_ivfpq_topk, EMBEDDING_IVFPQ_ORACLE),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),

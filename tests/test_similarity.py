@@ -265,3 +265,67 @@ def test_ivf_partitioned_index_matches_in_memory(spark, sf_dir):
     mem = sorted(tuple(r) for r in ivf_topk(emb, q, k=5).collect())
     idx = sorted(tuple(r) for r in ivf_partitioned_topk(emb, q, k=5).collect())
     assert mem == idx and len(mem) > 0
+
+
+def test_ivf_index_append_matches_full_rebuild(spark, sf_dir):
+    """Build on the base corpus (minus the vec_id % 50 == 17 residue class,
+    which contains no centroid ids), append the held-out batch against the
+    FROZEN stored centroids, and the post-append probe must be
+    row-identical to the in-memory IVF over the FULL corpus — including a
+    clean fingerprint check against the full corpus (composition:
+    base fp ⊕ batch fp == full fp)."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_probe,
+        ivf_topk,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_append_idx"
+    )
+    ivf_index_append(
+        emb.where(F.col("vec_id") % 50 == 17), index_name="t_append_idx"
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_index_probe(
+            q, k=5, index_name="t_append_idx", expected_corpus=emb
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in ivf_topk(emb, q, k=5).collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_probe_raises_on_wrong_corpus(spark, sf_dir):
+    """rebuild=False reuse of a stored index must NEVER silently answer for
+    a different corpus: the fingerprint check turns the mismatch into a
+    raise, both through ivf_index_probe and the ivf_partitioned_topk
+    wrapper."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_probe,
+        ivf_partitioned_topk,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    build_ivf_index(emb, index_name="t_fp_idx")
+    wrong = emb.where(F.col("vec_id") % 2 == 0)
+    with pytest.raises(ValueError, match="does not match the corpus"):
+        ivf_index_probe(q, index_name="t_fp_idx", expected_corpus=wrong)
+    with pytest.raises(ValueError, match="does not match the corpus"):
+        ivf_partitioned_topk(
+            wrong, q, k=5, index_name="t_fp_idx", rebuild=False
+        )
+    # the matching corpus still verifies clean and serves
+    assert ivf_index_probe(q, k=5, index_name="t_fp_idx", expected_corpus=emb).count() > 0
