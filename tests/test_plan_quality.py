@@ -452,3 +452,80 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# -- registry-wide global-window sweep ---------------------------------------
+#
+# A WindowExec with an empty partition spec funnels its entire input through
+# ONE task — fatal at 100 TB unless the input is already a post-aggregation
+# frame of bounded size. The per-query gates above pin specific plans; this
+# sweep closes the gap for FUTURE registrations: every registered query's
+# optimized plan is walked, and any global (partition-less) Window must
+# either sit above an Aggregate in its own subtree (bounded input by
+# construction) or be one of the enumerated, documented parity cases.
+
+#: Registered queries ALLOWED a global window over non-aggregated input,
+#: each with the documented reason (see the operator docstrings). The sweep
+#: asserts this list is MINIMAL — an entry that stops offending must be
+#: removed, so the whitelist can never hide a future regression.
+#: (deep_prospect_pipeline also runs the reference's W1 surrogate key, but
+#: its eager checkpoint executes that stage at construction time, so the
+#: returned plan has no Window node for the sweep to see.)
+_GLOBAL_WINDOW_WHITELIST = {
+    # reference-parity W1 hazard, kept deliberately; scalable twin exists
+    # (scalable_surrogate_key via zipWithIndex-style partition offsets)
+    "sequential_surrogate_key",
+    # reference row_number() audit column — same W1 parity hazard
+    "flagship_prospect_pipeline",
+    # exact order-statistic form, documented with a sampled-boundary
+    # scalable twin (equi_depth_histogram_sampled)
+    "equi_depth_histogram",
+}
+
+
+def _walk_plan(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_plan(children.apply(i))
+
+
+def _offending_global_windows(df, name: str) -> list[str]:
+    bad = []
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_plan(plan):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        above_agg = any(
+            n.getClass().getSimpleName() == "Aggregate" for n in _walk_plan(node)
+        )
+        if not above_agg:
+            bad.append(f"{name}: {node.getClass().getSimpleName()} "
+                       f"(global window, no Aggregate beneath)")
+    return bad
+
+
+def test_no_unbounded_global_window_anywhere_in_registry(spark, sf_dir):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    assert _GLOBAL_WINDOW_WHITELIST <= set(qs), "whitelist names must register"
+    offenders: list[str] = []
+    stale_whitelist: list[str] = []
+    for name, fn in qs.items():
+        found = _offending_global_windows(fn(spark, sf_dir), name)
+        if name in _GLOBAL_WINDOW_WHITELIST:
+            if not found:
+                stale_whitelist.append(name)
+        else:
+            offenders.extend(found)
+    assert not offenders, (
+        "global (partition-less) Window over non-aggregated input — either "
+        "repartition the window or document + whitelist it: "
+        + "; ".join(offenders)
+    )
+    assert not stale_whitelist, (
+        f"whitelisted but no longer offending — remove: {stale_whitelist}"
+    )
