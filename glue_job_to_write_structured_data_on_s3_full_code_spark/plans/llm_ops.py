@@ -23,7 +23,11 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     simhash,
 )
-from ..operators.multimodal import extract_media_features, sample_frames
+from ..operators.multimodal import (
+    extract_media_features,
+    perceptual_hash,
+    sample_frames,
+)
 from ..operators.similarity import (
     build_ivf_index,
     cosine_neardup,
@@ -900,6 +904,58 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # fixture text is pure ASCII (same guarantee FRAME_SAMPLE_ORACLE relies
 # on), so ord(substr(...)) reads exactly the byte the engine frames
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over binary payloads using the
+    REAL numpy aHash (operators/multimodal.perceptual_hash — mean-threshold
+    over a 32×32 byte grid, all-integer compare), not the fake extractor:
+    the first codec-free multimodal feature computed end-to-end. Docs
+    sharing a perceptual hash are dup candidates; ``n_same`` counts the
+    collision group via a phash-partitioned window (never global). At
+    100 TB the 64-bit hash is the only thing shuffled — payloads stay in
+    their scan partitions, exactly like the text exact-dedup digest path."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    from pyspark.sql import Window
+
+    ph = perceptual_hash(payloads, grid=32, block=4)
+    return ph.select(
+        "doc_id",
+        "phash",
+        F.count(F.lit(1)).over(Window.partitionBy("phash")).alias("n_same"),
+    )
+
+
+# fixture text is pure ASCII (same guarantee the other multimodal oracles
+# rely on), so ord(substr(...)) reads exactly the payload byte; the modulo
+# replays the engine's cyclic tiling to the 32×32 grid
+PHASH_DEDUP_ORACLE = """
+WITH px AS (
+    SELECT doc_id,
+           [CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0
+                 ELSE ord(substr(text,
+                                 k % octet_length(CAST(text AS BLOB)) + 1, 1))
+            END FOR k IN range(1024)] AS p
+    FROM documents
+), cells AS (
+    SELECT doc_id, list_sum(p) AS total,
+           [list_sum([p[((c // 8) * 4 + i // 4) * 32 + (c % 8) * 4 + (i % 4) + 1]
+                      FOR i IN range(16)])
+            FOR c IN range(64)] AS cs
+    FROM px
+), h AS (
+    SELECT doc_id,
+           array_to_string(
+               [CASE WHEN cs[c + 1] * 64 > total THEN '1' ELSE '0' END
+                FOR c IN range(64)], '') AS phash
+    FROM cells
+)
+SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same FROM h
+"""
+
+
 AUDIO_ENERGY_ORACLE = """
 WITH s AS (
     SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n,
@@ -945,4 +1001,5 @@ REGISTRY = [
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
     ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
     ("multimodal_audio_energy", multimodal_audio_energy, AUDIO_ENERGY_ORACLE),
+    ("multimodal_phash_dedup", multimodal_phash_dedup, PHASH_DEDUP_ORACLE),
 ]

@@ -554,3 +554,37 @@ def test_read_raw_objects_parallel_listing(spark, tmp_path):
     rows = texts.collect()
     assert len(rows) == 1 and rows[0].text == "not json"
     assert rows[0].length == len("not json")
+
+
+def test_perceptual_hash_dedup_properties(spark):
+    """The numpy aHash must (a) collide for content-identical payloads —
+    including one that is a whole-number tiling of the other, since the
+    grid fill is cyclic, (b) differ for different content, and (c) move
+    at most a few bits under a small corruption while a gross change
+    rewrites the hash (the perceptual property)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        perceptual_hash,
+    )
+
+    base = bytes(range(256)) * 2  # 512 bytes, tiles 1024 exactly
+    tiled = base * 2  # same cyclic image
+    corrupt = bytearray(base)
+    corrupt[100] = 255  # one byte flipped
+    different = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, tiled),
+            (3, bytes(corrupt)),
+            (4, different),
+            (5, b""),  # empty payload must not crash
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.phash for r in perceptual_hash(df).collect()}
+    assert len(got) == 5 and all(len(h) == 64 for h in got.values())
+    assert got[1] == got[2], "cyclic tiling must not change the hash"
+    assert got[1] != got[4], "different content must hash differently"
+    hamming = sum(a != b for a, b in zip(got[1], got[3]))
+    assert hamming <= 8, f"small corruption moved {hamming} bits"
+    assert got[5] == "0" * 64
