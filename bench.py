@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "hybrid_retrieval_rrf",
     "corpus_to_shards_capstone",
     "embedding_ivf_indexed_topk",
+    # round-7 additions: the incremental-index serving path and the real
+    # (numpy) perceptual-hash multimodal feature
+    "embedding_ivf_index_append",
+    "multimodal_phash_dedup",
 ]
 
 
@@ -135,6 +139,8 @@ def main() -> None:
         "hybrid_retrieval_rrf",
         "corpus_to_shards_capstone",
         "embedding_ivf_indexed_topk",
+        "embedding_ivf_index_append",
+        "multimodal_phash_dedup",
     }
     print(
         json.dumps(

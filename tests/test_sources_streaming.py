@@ -588,3 +588,39 @@ def test_perceptual_hash_dedup_properties(spark):
     hamming = sum(a != b for a, b in zip(got[1], got[3]))
     assert hamming <= 8, f"small corruption moved {hamming} bits"
     assert got[5] == "0" * 64
+
+
+def test_replicate_tables_isolates_per_table_failures(spark, sf_dir, tmp_path):
+    """The manifest-driven replication loop (JDBC.sql:29-86's one-table-
+    per-edit workflow, made a driver): three tables with one injected
+    failure — the bad table is reported, the other two land stamped and
+    re-readable."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.jdbc import (
+        replicate_tables,
+    )
+
+    def parquet_reader(spark, dbtable, **kwargs):
+        if dbtable == "badtable":
+            raise RuntimeError("injected: table dropped mid-run")
+        return spark.read.parquet(f"{sf_dir}/{dbtable}.parquet")
+
+    manifest = [
+        {"table": "region"},
+        {"table": "badtable"},
+        {"table": "nation", "dest": "nationmigration"},  # per-table dest quirk
+    ]
+    report = replicate_tables(
+        spark,
+        manifest,
+        dest_root=str(tmp_path),
+        snapshot_dt="20231122",
+        reader=parquet_reader,
+    )
+    assert [r["status"] for r in report] == ["ok", "error", "ok"]
+    assert "injected" in report[1]["error"]
+    landed = spark.read.parquet(str(tmp_path / "nationmigration"))
+    assert landed.count() == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert str(landed.select("snapshot_dt").distinct().collect()[0][0]) == "20231122"
+    regions = spark.read.parquet(str(tmp_path / "region"))
+    assert regions.count() == 5
+    assert not (tmp_path / "badtable").exists()
