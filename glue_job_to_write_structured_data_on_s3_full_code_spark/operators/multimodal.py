@@ -155,7 +155,7 @@ def sample_frames(
     return src.mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
-PHASH_SCHEMA = "doc_id long, phash string"
+PHASH_SCHEMA = "doc_id long, phash long"
 
 
 def perceptual_hash(
@@ -176,22 +176,35 @@ def perceptual_hash(
     bit-reproducible across engines — this Pandas-UDF operator is
     hash-verified against a DuckDB oracle despite running in Python.
 
-    The whole Arrow batch is hashed with THREE vectorized numpy ops
-    (fill, block-sum reshape, threshold) — no per-pixel Python. A real
-    image deployment swaps the byte grid for :func:`decode_media` output;
-    the batching, schema, and integer thresholding carry over unchanged.
+    The hash is emitted as one BIGINT (cell 0 = most-significant bit,
+    two's-complement), not a 64-char bit string: at 100 TB the hash is
+    the only thing shuffled and grouped on, and an 8-byte key beats a
+    64+-byte string for every exchange and hash table downstream. Per
+    batch, the grid fill walks rows in Python (unavoidable for ragged
+    binary payloads; NULL and empty payloads hash to 0), but block-sum,
+    threshold, and the ``np.packbits`` bit-pack are whole-batch
+    vectorized numpy. A real image deployment swaps the byte grid for
+    :func:`decode_media` output; the batching, schema, and integer
+    thresholding carry over unchanged.
     """
     import numpy as np
 
     if grid % block:
         raise ValueError("grid must be divisible by block")
     cells = grid // block
+    if cells * cells > 64:
+        raise ValueError(
+            "perceptual_hash packs (grid/block)² cells into one 64-bit "
+            f"word; {cells * cells} cells do not fit — raise `block`"
+        )
 
     def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             img = np.zeros((n, grid * grid), dtype=np.int64)
             for row, payload in enumerate(pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload == empty: all-zero hash
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if len(b):
                     img[row] = np.resize(b, grid * grid)  # cyclic tile
@@ -202,14 +215,15 @@ def perceptual_hash(
             )
             total = img.sum(axis=1, keepdims=True)
             bits = blocks * (cells * cells) > total
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "phash": [
-                        "".join("1" if x else "0" for x in row) for row in bits
-                    ],
-                }
-            )
+            if cells * cells < 64:  # low-order zero padding to one word
+                bits = np.pad(bits, ((0, 0), (0, 64 - cells * cells)))
+            # pack 64 bool cells → one signed 64-bit word (cell 0 = MSB);
+            # '>i8' view of the MSB-first packed bytes IS the two's-
+            # complement value, no overflow-prone arithmetic
+            # astype: big-endian view → native-order int64 (value-preserving
+            # byteswap; Arrow rejects non-native byte order)
+            packed = np.packbits(bits, axis=1).view(">i8").ravel().astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": packed})
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_phash, schema=PHASH_SCHEMA)

@@ -946,13 +946,23 @@ WITH px AS (
             FOR c IN range(64)] AS cs
     FROM px
 ), h AS (
+    -- cell 0 = MSB; exact powers of two (pow(2, k) is integer-exact in
+    -- doubles), summed in HUGEINT then folded to the engine's signed
+    -- two's-complement BIGINT
     SELECT doc_id,
-           array_to_string(
-               [CASE WHEN cs[c + 1] * 64 > total THEN '1' ELSE '0' END
-                FOR c IN range(64)], '') AS phash
+           list_sum([CASE WHEN cs[c + 1] * 64 > total
+                          THEN CAST(pow(2, 63 - c) AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END
+                     FOR c IN range(64)]) AS u
     FROM cells
+), hs AS (
+    SELECT doc_id,
+           CAST(CASE WHEN u >= CAST(pow(2, 63) AS HUGEINT)
+                     THEN u - CAST(pow(2, 64) AS HUGEINT)
+                     ELSE u END AS BIGINT) AS phash
+    FROM h
 )
-SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same FROM h
+SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same FROM hs
 """
 
 

@@ -102,9 +102,13 @@ def replicate_tables(
     report: list[dict] = []
     for spec in manifest:
         spec = dict(spec)
-        table = spec.pop("table")
-        dest = os.path.join(dest_root, spec.pop("dest", table))
+        # resolve INSIDE the try: a malformed entry (missing "table") is
+        # itself a per-table error, not a reason to abort the whole run
+        table = spec.get("table")
+        dest = None
         try:
+            table = spec.pop("table")
+            dest = os.path.join(dest_root, spec.pop("dest", table))
             df = read(spark, dbtable=table, **spec)
             write_snapshot(stamp_snapshot(df, value=snapshot_dt), dest)
             report.append(

@@ -578,16 +578,18 @@ def test_perceptual_hash_dedup_properties(spark):
             (3, bytes(corrupt)),
             (4, different),
             (5, b""),  # empty payload must not crash
+            (6, None),  # NULL payload must not crash either
         ],
         "doc_id long, payload binary",
     )
     got = {r.doc_id: r.phash for r in perceptual_hash(df).collect()}
-    assert len(got) == 5 and all(len(h) == 64 for h in got.values())
+    assert len(got) == 6 and all(isinstance(h, int) for h in got.values())
     assert got[1] == got[2], "cyclic tiling must not change the hash"
     assert got[1] != got[4], "different content must hash differently"
-    hamming = sum(a != b for a, b in zip(got[1], got[3]))
+    hamming = bin((got[1] ^ got[3]) & (1 << 64) - 1).count("1")
     assert hamming <= 8, f"small corruption moved {hamming} bits"
-    assert got[5] == "0" * 64
+    assert got[5] == 0, "empty payload hashes to the all-zero word"
+    assert got[6] == 0, "NULL payload is treated like empty"
 
 
 def test_replicate_tables_isolates_per_table_failures(spark, sf_dir, tmp_path):
@@ -607,6 +609,7 @@ def test_replicate_tables_isolates_per_table_failures(spark, sf_dir, tmp_path):
     manifest = [
         {"table": "region"},
         {"table": "badtable"},
+        {"dest": "orphan"},  # malformed: no "table" — isolated, not fatal
         {"table": "nation", "dest": "nationmigration"},  # per-table dest quirk
     ]
     report = replicate_tables(
@@ -616,8 +619,9 @@ def test_replicate_tables_isolates_per_table_failures(spark, sf_dir, tmp_path):
         snapshot_dt="20231122",
         reader=parquet_reader,
     )
-    assert [r["status"] for r in report] == ["ok", "error", "ok"]
+    assert [r["status"] for r in report] == ["ok", "error", "error", "ok"]
     assert "injected" in report[1]["error"]
+    assert report[2]["table"] is None and "table" in report[2]["error"]
     landed = spark.read.parquet(str(tmp_path / "nationmigration"))
     assert landed.count() == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     assert str(landed.select("snapshot_dt").distinct().collect()[0][0]) == "20231122"
