@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import eager_checkpoint
+
 
 def connected_components(
     nodes: DataFrame,
@@ -40,21 +42,26 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-    sym = sym.where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    sym = eager_checkpoint(
+        sym.where(F.col("a") != F.col("b")).distinct(), "components_edges"
+    )
 
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint(eager=True)
+    labels = eager_checkpoint(
+        nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("component")
+        ),
+        "components_labels_init",
+    )
 
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym.b == labels.node
         ).select(F.col("a").alias("node"), "component")
-        new_labels = (
+        new_labels = eager_checkpoint(
             labels.union(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            "components_labels_round",
         )
         changed = (
             new_labels.alias("n")

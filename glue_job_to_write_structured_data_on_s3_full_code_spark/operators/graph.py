@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import eager_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -57,18 +59,19 @@ def pagerank(
     out_w = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     # one materialized edge list reused by every round, contribution
     # fraction precomputed so the loop body is join + sum only
-    contrib_edges = (
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("frac"))
-        .localCheckpoint(eager=True)
+    contrib_edges = eager_checkpoint(
+        e.join(out_w, "src").select(
+            "src", "dst", (F.col("w") / F.col("w_out")).alias("frac")
+        ),
+        "pagerank_edges",
     )
 
-    ranks = (
+    ranks = eager_checkpoint(
         contrib_edges.select(F.col("src").alias("node"))
         .union(contrib_edges.select(F.col("dst").alias("node")))
         .distinct()
-        .select("node", F.lit(1.0).alias("rank"))
-        .localCheckpoint(eager=True)
+        .select("node", F.lit(1.0).alias("rank")),
+        "pagerank_ranks_init",
     )
     for _ in range(iterations):
         incoming = (
@@ -78,7 +81,7 @@ def pagerank(
         )
         # left join keeps in-degree-0 nodes at the teleport floor (with
         # symmetric edges every node has in-edges and this is a no-op)
-        ranks = (
+        ranks = eager_checkpoint(
             ranks.select("node")
             .join(incoming, ranks.node == incoming.dst, "left")
             .select(
@@ -87,7 +90,7 @@ def pagerank(
                     F.lit(1.0 - damping)
                     + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "pagerank_ranks_round",
         )
     return ranks.select("node", F.col("rank").alias("pagerank"))

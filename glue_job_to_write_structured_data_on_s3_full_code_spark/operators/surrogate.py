@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import eager_checkpoint
+
 
 def _format_key(prefix: str, n: Column, width: int) -> Column:
     return F.concat(F.lit(prefix), F.lpad(n.cast("string"), width, "0"))
@@ -62,8 +64,9 @@ def scalable_key(
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    keyed = parted.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+    keyed = eager_checkpoint(
+        parted.withColumn("__pid", F.spark_partition_id()),
+        "scalable_surrogate_keyed",
     )
     with_pid = keyed.withColumn(
         "__local_rn",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import consonant_skeleton, token_sort_key
-from ..session import tune
+from ..session import eager_checkpoint, tune
 from ..sources import read_table
 
 
@@ -182,7 +182,8 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("retail_cents"),
-    ).localCheckpoint(eager=True)
+    )
+    names = eager_checkpoint(names, "linkage_name_histogram")
     a = names.select(F.col("p_name").alias("name_a"))
     b = names.select(F.col("p_name").alias("name_b"))
     edges = (

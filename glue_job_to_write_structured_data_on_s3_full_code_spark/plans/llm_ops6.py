@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, token_count
-from ..session import tune
+from ..session import eager_checkpoint, tune
 from ..sources import read_table
 from .llm_ops4 import _TOKCNT  # DuckDB spelling of token_count — ONE copy
 from .llm_ops5 import (
@@ -210,10 +210,9 @@ def _mmr_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InMemoryRelation in the session catalog — a cache here outlives the
     # query and pollutes later plan inspections of identical subtrees
     # (ContextCleaner reclaims checkpointed blocks when the frame is GC'd)
-    return (
-        scored.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(_SHORTLIST)
-        .localCheckpoint(eager=True)
+    return eager_checkpoint(
+        scored.orderBy(F.col("rel").desc(), "vec_id").limit(_SHORTLIST),
+        "mmr_shortlist",
     )
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import anti_join_new_rows, reconcile, top1_per_group
-from ..session import tune
+from ..session import eager_checkpoint, tune
 from ..sources import read_table
 
 
@@ -261,7 +261,8 @@ def outbound_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.alias("doc"),
         nullable_details.alias("details"),
         F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
-    ).localCheckpoint(eager=True)
+    )
+    candidates = eager_checkpoint(candidates, "outbound_candidates")
     stats = candidates.agg(
         F.count("*").alias("n_candidates"),
         F.sum("hit").alias("n_suppressed"),

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, tokens
-from ..session import tune
+from ..session import eager_checkpoint, tune
 from ..sources import read_table
 from .llm_ops2 import CHUNK_LEN, CHUNK_STRIDE
 
@@ -394,7 +394,7 @@ def _doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
         for i, t in enumerate(QUERY_TERMS)
     ]
-    return tok.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
+    return eager_checkpoint(tok.groupBy("doc_id").agg(*aggs), "bm25_doc_stats")
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,7 +525,9 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         + [F.sum(_dim_weight(j)).alias(f"e{j}") for j in range(_DIM)]
     )
-    per_doc = with_u.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
+    per_doc = eager_checkpoint(
+        with_u.groupBy("doc_id").agg(*aggs), "hybrid_doc_stats"
+    )
 
     lex = (
         _bm25_from_stats(per_doc)

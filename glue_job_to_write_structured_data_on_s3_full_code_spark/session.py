@@ -66,3 +66,31 @@ def get_spark(app_name: str = "glue_job_to_write_structured_data_on_s3_full_code
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
+
+
+#: Observers called with ``(df, label)`` immediately BEFORE an eager
+#: lineage break executes. Empty in production (zero overhead). The
+#: registry-wide plan sweeps (tests/test_plan_quality.py) install one so
+#: stages that run at query-CONSTRUCTION time — whose plans vanish from
+#: the DataFrame a query returns — are still audited; without this hook a
+#: hazardous plan could hide behind any localCheckpoint/checkpoint_stage.
+_STAGE_PLAN_OBSERVERS: list = []
+
+
+def notify_stage_observers(df, label: str) -> None:
+    """Report a pre-execution stage plan to any installed observers."""
+    for obs in _STAGE_PLAN_OBSERVERS:
+        obs(df, label)
+
+
+def eager_checkpoint(df, label: str = "eager_checkpoint"):
+    """``localCheckpoint(eager=True)`` with a test-observable plan.
+
+    EVERY eager lineage break in the engine must funnel through here or
+    through the parquet-staging helpers (sources/parquet.checkpoint_stage,
+    materialize_result) — enforced by a grep-style test — so the plan
+    sweeps see eagerly-executed stages. Semantics are identical to the
+    raw call: the stage runs now, the caller gets the truncated lineage.
+    """
+    notify_stage_observers(df, label)
+    return df.localCheckpoint(eager=True)

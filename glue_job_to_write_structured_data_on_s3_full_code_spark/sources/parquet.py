@@ -41,6 +41,9 @@ def checkpoint_stage(df: DataFrame, path: str) -> DataFrame:
     a durable, independently queryable artifact — the reference relies on
     that for its validation suite.
     """
+    from ..session import notify_stage_observers
+
+    notify_stage_observers(df, f"checkpoint_stage:{path}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
@@ -114,6 +117,9 @@ def materialize_result(df: DataFrame, name: str) -> DataFrame:
     full TTL while still holding lazily re-scanned staged frames is
     outside the contract — such callers should copy results out of the
     staging area (or checkpoint_stage to their own path)."""
+    from ..session import notify_stage_observers
+
+    notify_stage_observers(df, f"materialize_result:{name}")
     spark = df.sparkSession
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"

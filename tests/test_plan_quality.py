@@ -468,13 +468,13 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir, queries):
 #: each with the documented reason (see the operator docstrings). The sweep
 #: asserts this list is MINIMAL — an entry that stops offending must be
 #: removed, so the whitelist can never hide a future regression.
-#: (deep_prospect_pipeline also runs the reference's W1 surrogate key, but
-#: its eager checkpoint executes that stage at construction time, so the
-#: returned plan has no Window node for the sweep to see.)
 _GLOBAL_WINDOW_WHITELIST = {
     # reference-parity W1 hazard, kept deliberately; scalable twin exists
     # (scalable_surrogate_key via zipWithIndex-style partition offsets)
     "sequential_surrogate_key",
+    # same W1 parity: the reference's 18-stage pipeline ends in a global
+    # row_number surrogate key over the joined prospect frame (FULL.py:413)
+    "deep_prospect_pipeline",
     # reference row_number() audit column — same W1 parity hazard
     "flagship_prospect_pipeline",
     # exact order-statistic form, documented with a sampled-boundary
@@ -490,6 +490,32 @@ def _walk_plan(node):
         yield from _walk_plan(children.apply(i))
 
 
+#: Plan nodes that BOUND the rows flowing into a global window by
+#: construction: an Aggregate (one row per group key set) or a GlobalLimit
+#: (top-k). Either directly beneath the window makes the single-task
+#: window safe at any input scale.
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit"}
+
+
+def _bounded_input(window_node) -> bool:
+    """True iff the window's DIRECT input chain — child links through
+    UNARY nodes only — reaches a bounding node. A bounding node merely
+    somewhere in the subtree is NOT enough: a global window over
+    ``hugeTable JOIN aggResult`` would have one in the join's other arm
+    while still funneling the huge side through a single task, so the
+    walk stops at the first join/union/leaf."""
+    ch = window_node.children()
+    node = ch.apply(0) if ch.size() == 1 else None
+    while node is not None:
+        if node.getClass().getSimpleName() in _BOUNDING_NODES:
+            return True
+        ch = node.children()
+        if ch.size() != 1:
+            return False
+        node = ch.apply(0)
+    return False
+
+
 def _offending_global_windows(df, name: str) -> list[str]:
     bad = []
     plan = df._jdf.queryExecution().optimizedPlan()
@@ -498,29 +524,42 @@ def _offending_global_windows(df, name: str) -> list[str]:
             continue
         if not node.partitionSpec().isEmpty():
             continue
-        above_agg = any(
-            n.getClass().getSimpleName() == "Aggregate" for n in _walk_plan(node)
-        )
-        if not above_agg:
-            bad.append(f"{name}: {node.getClass().getSimpleName()} "
-                       f"(global window, no Aggregate beneath)")
+        if not _bounded_input(node):
+            bad.append(f"{name}: global window with unbounded direct input")
     return bad
 
 
 def test_no_unbounded_global_window_anywhere_in_registry(spark, sf_dir):
+    """Walks BOTH the plan each query returns AND the plans of stages the
+    query executed eagerly while being constructed (localCheckpoint /
+    checkpoint_stage / materialize_result — reported via the
+    session._STAGE_PLAN_OBSERVERS hook), so a hazardous global window
+    can't hide behind a lineage break."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark import session
+
     import __spark_entry__ as e
 
     qs = e.queries()
     assert _GLOBAL_WINDOW_WHITELIST <= set(qs), "whitelist names must register"
     offenders: list[str] = []
     stale_whitelist: list[str] = []
-    for name, fn in qs.items():
-        found = _offending_global_windows(fn(spark, sf_dir), name)
-        if name in _GLOBAL_WINDOW_WHITELIST:
-            if not found:
-                stale_whitelist.append(name)
-        else:
-            offenders.extend(found)
+    staged: list = []
+    session._STAGE_PLAN_OBSERVERS.append(lambda df, label: staged.append((df, label)))
+    try:
+        for name, fn in qs.items():
+            staged.clear()
+            found = _offending_global_windows(fn(spark, sf_dir), name)
+            for stage_df, label in staged:
+                found.extend(
+                    _offending_global_windows(stage_df, f"{name}[{label}]")
+                )
+            if name in _GLOBAL_WINDOW_WHITELIST:
+                if not found:
+                    stale_whitelist.append(name)
+            else:
+                offenders.extend(found)
+    finally:
+        session._STAGE_PLAN_OBSERVERS.clear()
     assert not offenders, (
         "global (partition-less) Window over non-aggregated input — either "
         "repartition the window or document + whitelist it: "
@@ -529,3 +568,21 @@ def test_no_unbounded_global_window_anywhere_in_registry(spark, sf_dir):
     assert not stale_whitelist, (
         f"whitelisted but no longer offending — remove: {stale_whitelist}"
     )
+
+
+def test_every_eager_checkpoint_is_observable():
+    """The sweep above can only audit eager stages that report their
+    plans, so raw ``.localCheckpoint(`` is banned outside the
+    session.eager_checkpoint funnel (and ``df.write`` lineage breaks must
+    go through the parquet staging helpers, which also notify)."""
+    import pathlib
+
+    pkg = pathlib.Path(
+        "glue_job_to_write_structured_data_on_s3_full_code_spark"
+    )
+    raw = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if p.name != "session.py" and ".localCheckpoint(" in p.read_text()
+    ]
+    assert not raw, f"raw localCheckpoint outside session.eager_checkpoint: {raw}"
