@@ -570,13 +570,68 @@ def _read_fingerprint(path: str) -> dict:
 
 
 def _write_fingerprint(path: str, fp: dict) -> None:
+    """Atomic replace: write a temp file in the same dir and rename over
+    the old fingerprint, so a reader never sees a torn/partial JSON and a
+    crash mid-write leaves the previous fingerprint intact."""
     import json
     import os
+    import uuid
 
     meta = f"{path}__meta"
     os.makedirs(meta, exist_ok=True)
-    with open(os.path.join(meta, "fingerprint.json"), "w") as fh:
+    tmp = os.path.join(meta, f".fingerprint.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
         json.dump(fp, fh)
+    os.replace(tmp, os.path.join(meta, "fingerprint.json"))
+
+
+class ConcurrentIndexMutation(RuntimeError):
+    """A second writer tried to mutate a stored IVF index while another
+    mutation held the lock. The index maintains a SINGLE-WRITER contract:
+    appends compose the stored fingerprint read-modify-write, so two
+    interleaved appends could land both row batches while one batch's
+    contribution is lost from the fingerprint — every later fingerprint
+    check would then wrongly fail (or worse, pass against the wrong
+    corpus). Raising beats silently corrupting index metadata; the caller
+    serializes appends (retry after the holder finishes)."""
+
+
+class _index_write_lock:
+    """O_CREAT|O_EXCL lock file under ``<path>__meta`` guarding the
+    append critical section (publish staged files + advance fingerprint).
+    A crash while holding the lock leaves the lock file behind — the
+    error message names it so an operator can remove it after verifying
+    the index (see :func:`ivf_index_verify`)."""
+
+    def __init__(self, path: str):
+        import os
+
+        meta = f"{path}__meta"
+        os.makedirs(meta, exist_ok=True)
+        self._lock = os.path.join(meta, "append.lock")
+
+    def __enter__(self):
+        import os
+
+        try:
+            fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentIndexMutation(
+                f"another append holds {self._lock}; retry after it "
+                "finishes (if its process died, verify the index with "
+                "ivf_index_verify and remove the lock file)"
+            ) from None
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        import os
+
+        try:
+            os.unlink(self._lock)
+        except FileNotFoundError:
+            pass
+        return False
 
 
 def build_ivf_index(
@@ -611,6 +666,17 @@ def build_ivf_index(
     ).withColumnRenamed("cent_id", "cell_id")
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta/centroids")
+    # per-cell row counts AT BUILD TIME — the drift baseline
+    # ivf_cell_skew_audit compares against (appends deliberately do not
+    # touch this: growth since build IS the signal)
+    (
+        spark.read.parquet(path)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("rows_at_build"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}__meta/cell_stats")
+    )
     _write_fingerprint(path, _corpus_fingerprint(corpus, id_col))
     _BUILT_IVF_INDEXES.add(path)
     return path
@@ -630,7 +696,23 @@ def ivf_index_append(
     composition (count adds, id hashes XOR), so a subsequent
     :func:`ivf_index_probe` against base ∪ batch verifies clean. Centroids
     are deliberately NOT recomputed: cell membership of existing rows
-    never changes, which is exactly what makes the append O(|batch|)."""
+    never changes, which is exactly what makes the append O(|batch|).
+
+    Failure atomicity: the heavy Spark write lands in a STAGING dir next
+    to the index; a job failure there leaves the index and fingerprint
+    untouched (staging is swept). Only after the write commits are the
+    part files renamed into their cell partitions and the fingerprint
+    advanced — both under an O_EXCL lock (single-writer contract: a
+    concurrent append raises :class:`ConcurrentIndexMutation`, never
+    silently drops a batch from the fingerprint). Renames are same-
+    filesystem metadata ops, so the residual crash window is the file
+    moves themselves — :func:`ivf_index_verify` recomputes the
+    fingerprint from index CONTENTS to audit/repair after such a crash."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
     spark = batch.sparkSession
     path = _ivf_index_path(spark, index_name)
     cents = spark.read.parquet(f"{path}__meta/centroids")
@@ -645,15 +727,301 @@ def ivf_index_append(
         "cv",
         keep=1,
     ).withColumnRenamed("cent_id", "cell_id")
-    assigned.write.mode("append").partitionBy("cell_id").parquet(path)
-    old = _read_fingerprint(path)
-    add = _corpus_fingerprint(batch, id_col)
-    _write_fingerprint(
-        path,
-        {"rows": old["rows"] + add["rows"], "id_xor": old["id_xor"] ^ add["id_xor"]},
-    )
+    staging = f"{path}__staging_{uuid.uuid4().hex}"
+    try:
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(staging)
+        add = _corpus_fingerprint(batch, id_col)
+        with _index_write_lock(path):
+            for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
+                dst_dir = os.path.join(path, os.path.basename(cell_dir))
+                os.makedirs(dst_dir, exist_ok=True)
+                for part in glob.glob(os.path.join(cell_dir, "*.parquet")):
+                    os.rename(
+                        part, os.path.join(dst_dir, os.path.basename(part))
+                    )
+            old = _read_fingerprint(path)
+            _write_fingerprint(
+                path,
+                {
+                    "rows": old["rows"] + add["rows"],
+                    "id_xor": old["id_xor"] ^ add["id_xor"],
+                },
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     _BUILT_IVF_INDEXES.add(path)
     return path
+
+
+def ivf_index_verify(spark, index_name: str = "ivf_index") -> dict:
+    """Recompute the corpus fingerprint from the INDEX CONTENTS (one
+    id-column-pruned scan) and compare with the stored fingerprint — the
+    audit/repair tool for a crash inside an append's publish window.
+    Returns ``{"stored": …, "actual": …, "consistent": bool}``; callers
+    finding ``consistent=False`` rebuild (or re-append the lost batch)."""
+    path = _ivf_index_path(spark, index_name)
+    actual = _corpus_fingerprint(spark.read.parquet(path), "neighbor_id")
+    stored = _read_fingerprint(path)
+    return {"stored": stored, "actual": actual, "consistent": stored == actual}
+
+
+def ivf_cell_skew_audit(spark, index_name: str = "ivf_index") -> DataFrame:
+    """Per-cell drift report for a stored IVF index: current row count vs
+    the count at build/rebalance time. Appends against FROZEN centroids
+    never move existing rows, so a drifted batch distribution shows up as
+    unbounded growth of a few hot cells — probe cost per cell rises and
+    recall falls, and WITHOUT this audit nothing measures it. One
+    column-pruned scan of the index (cell_id only — at 100 TB this reads
+    parquet footers + one tiny shuffle of ≤``max_centroids`` groups)
+    joined to the ≤256-row stored baseline.
+
+    Columns: ``cell_id, rows_at_build, rows_now, added, growth`` (growth
+    NULL for a cell born after build). Feed the hot cells to
+    :func:`ivf_index_rebalance`."""
+    path = _ivf_index_path(spark, index_name)
+    now = (
+        spark.read.parquet(path)
+        .groupBy(F.col("cell_id").cast("int").alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("rows_now"))
+    )
+    base = spark.read.parquet(f"{path}__meta/cell_stats").select(
+        F.col("cell_id").cast("int").alias("cell_id"),
+        F.col("rows_at_build").cast("long").alias("rows_at_build"),
+    )
+    # full_outer keeps cells that exist on only one side (born post-build /
+    # emptied); no broadcast hint — unsupported for full outer, and both
+    # sides are ≤ max_centroids rows anyway
+    return (
+        now.join(base, "cell_id", "full_outer")
+        .select(
+            "cell_id",
+            F.coalesce("rows_at_build", F.lit(0)).alias("rows_at_build"),
+            F.coalesce("rows_now", F.lit(0)).alias("rows_now"),
+            (
+                F.coalesce("rows_now", F.lit(0))
+                - F.coalesce("rows_at_build", F.lit(0))
+            ).alias("added"),
+            F.round(
+                F.coalesce(F.col("rows_now"), F.lit(0))
+                / F.when(F.col("rows_at_build") > 0, F.col("rows_at_build")),
+                4,
+            ).alias("growth"),
+        )
+    )
+
+
+def ivf_index_rebalance(
+    spark,
+    index_name: str = "ivf_index",
+    cells: list[int] | None = None,
+    factor: int = 2,
+    growth_threshold: float = 2.0,
+) -> list[int]:
+    """Re-split oversized cells of a stored IVF index while leaving cold
+    cells untouched — the drift-repair half of the serving lifecycle
+    (build → append → audit → REBALANCE). Each listed cell is split into
+    ``factor`` sub-cells: the sub-centroids are the cell's ``factor``
+    smallest-id member VECTORS (deterministic, so the whole operation is
+    DuckDB-replayable), every row of the cell is reassigned to its
+    max-cosine sub-centroid, and the refined centroid set replaces the
+    parent — future probes rank sub-cells individually, restoring
+    per-cell probe cost and recall without touching any other partition.
+
+    ``cells=None`` selects cells whose current rows exceed
+    ``growth_threshold ×`` their build-time count (the audit's growth
+    signal). Cost is O(rows in the chosen cells) — the scan is
+    partition-pruned to exactly those directories; the corpus fingerprint
+    is unchanged (same rows, new layout). Runs under the single-writer
+    lock; like append, the publish step is file renames, with
+    :func:`ivf_index_verify` as the post-crash audit. Returns the list of
+    parent cell ids actually split."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    path = _ivf_index_path(spark, index_name)
+    meta = f"{path}__meta"
+    if cells is None:
+        audit = ivf_cell_skew_audit(spark, index_name)
+        cells = [
+            int(r["cell_id"])
+            for r in audit.where(
+                F.col("growth") >= growth_threshold
+            ).collect()  # bounded: ≤ max_centroids rows
+        ]
+    cells = sorted(int(c) for c in cells)
+    if not cells:
+        return []
+
+    # partition-pruned scan of ONLY the cells being split
+    sub_rows = (
+        spark.read.parquet(path)
+        .where(F.col("cell_id").isin(cells))
+        .select(F.col("cell_id").cast("long").alias("parent"), "neighbor_id", "cv")
+    )
+    w = Window.partitionBy("parent").orderBy("neighbor_id")
+    subcents = (
+        sub_rows.withColumn("srk", F.row_number().over(w))
+        .where(F.col("srk") <= factor)
+        .select(
+            "parent",
+            F.col("neighbor_id").alias("sub_id"),
+            F.col("cv").alias("sub_v"),
+        )
+    )
+    scored = sub_rows.join(F.broadcast(subcents), "parent").select(
+        "parent",
+        "neighbor_id",
+        "cv",
+        "sub_id",
+        (
+            _dot(F.col("cv"), F.col("sub_v"))
+            / (
+                F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                * F.sqrt(_dot(F.col("sub_v"), F.col("sub_v")))
+            )
+        ).alias("sub_cos"),
+    )
+    wr = Window.partitionBy("parent", "neighbor_id").orderBy(
+        F.col("sub_cos").desc(), F.col("sub_id")
+    )
+    assigned = (
+        scored.withColumn("rrk", F.row_number().over(wr))
+        .where(F.col("rrk") == 1)
+        .select(F.col("sub_id").alias("cell_id"), "neighbor_id", "cv")
+    )
+
+    staging = f"{path}__staging_{uuid.uuid4().hex}"
+    cents_new_dir = os.path.join(meta, f".centroids.{uuid.uuid4().hex}.new")
+    stats_new_dir = os.path.join(meta, f".cell_stats.{uuid.uuid4().hex}.new")
+    try:
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(staging)
+
+        cents = spark.read.parquet(os.path.join(meta, "centroids"))
+        refined = cents.where(~F.col("cent_id").isin(cells)).unionByName(
+            subcents.select(
+                F.col("sub_id").alias("cent_id"), F.col("sub_v").alias("cent_v")
+            )
+        )
+        refined.coalesce(1).write.mode("overwrite").parquet(cents_new_dir)
+
+        stats = spark.read.parquet(os.path.join(meta, "cell_stats"))
+        child_stats = (
+            spark.read.parquet(staging)
+            .groupBy(F.col("cell_id").cast("long").alias("cell_id"))
+            .agg(F.count(F.lit(1)).alias("rows_at_build"))
+        )
+        new_stats = (
+            stats.where(~F.col("cell_id").cast("long").isin(cells))
+            .select(
+                F.col("cell_id").cast("long").alias("cell_id"),
+                F.col("rows_at_build").cast("long").alias("rows_at_build"),
+            )
+            .unionByName(child_stats)
+        )
+        new_stats.coalesce(1).write.mode("overwrite").parquet(stats_new_dir)
+
+        with _index_write_lock(path):
+            for cell in cells:
+                shutil.rmtree(os.path.join(path, f"cell_id={cell}"), True)
+            for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
+                dst_dir = os.path.join(path, os.path.basename(cell_dir))
+                os.makedirs(dst_dir, exist_ok=True)
+                for part in glob.glob(os.path.join(cell_dir, "*.parquet")):
+                    os.rename(
+                        part, os.path.join(dst_dir, os.path.basename(part))
+                    )
+            for name, new_dir in (
+                ("centroids", cents_new_dir),
+                ("cell_stats", stats_new_dir),
+            ):
+                live = os.path.join(meta, name)
+                old = f"{live}.old"
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(live, old)
+                os.rename(new_dir, live)
+                shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(cents_new_dir, ignore_errors=True)
+        shutil.rmtree(stats_new_dir, ignore_errors=True)
+    return cells
+
+
+def ivf_index_compact(
+    spark,
+    index_name: str = "ivf_index",
+    max_files_per_cell: int = 1,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[int, int]:
+    """Compact cell partitions that have accreted small files: every
+    :func:`ivf_index_append` lands ≥1 new file per touched cell, so after
+    N daily batches a probe opens N files per probed cell — at 100 TB
+    scan cost becomes file-open/footer overhead, not bytes. Cells whose
+    file count exceeds ``max_files_per_cell`` are rewritten (sized from
+    measured bytes, like operators/compaction.compact) and swapped in
+    under the single-writer lock; contents, fingerprint, and probe
+    results are unchanged. Returns ``{cell_id: new_file_count}`` for the
+    compacted cells."""
+    import glob
+    import math
+    import os
+    import shutil
+    import uuid
+
+    from .compaction import dataset_bytes
+
+    path = _ivf_index_path(spark, index_name)
+    done: dict[int, int] = {}
+    for cell_dir in sorted(glob.glob(os.path.join(path, "cell_id=*"))):
+        parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
+        if len(parts) <= max_files_per_cell:
+            continue
+        cell = int(os.path.basename(cell_dir).split("=", 1)[1])
+        n_files = max(1, math.ceil(dataset_bytes(spark, cell_dir) / target_file_bytes))
+        staging = f"{path}__staging_{uuid.uuid4().hex}"
+        try:
+            (
+                spark.read.parquet(cell_dir)
+                .coalesce(n_files)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            with _index_write_lock(path):
+                for part in parts:
+                    os.unlink(part)
+                for part in glob.glob(os.path.join(staging, "*.parquet")):
+                    os.rename(
+                        part, os.path.join(cell_dir, os.path.basename(part))
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        done[cell] = n_files
+    return done
+
+
+#: Per-session memo of corpus fingerprints, keyed by (applicationId,
+#: analyzed-plan semantic hash): a probe loop re-verifying the same corpus
+#: pays the fingerprint scan ONCE, not once per probe batch — at 100 TB a
+#: per-probe full id scan would defeat the stored index. Plan-keyed, so it
+#: assumes the corpus a plan denotes is immutable within the session (the
+#: same contract the stored fingerprint itself rests on).
+_CORPUS_FP_CACHE: dict[tuple, dict] = {}
+
+
+def _corpus_fingerprint_cached(df: DataFrame, id_col: str) -> dict:
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        id_col,
+    )
+    fp = _CORPUS_FP_CACHE.get(key)
+    if fp is None:
+        fp = _CORPUS_FP_CACHE[key] = _corpus_fingerprint(df, id_col)
+    return fp
 
 
 def ivf_index_probe(
@@ -664,6 +1032,7 @@ def ivf_index_probe(
     nprobe: int = 3,
     index_name: str = "ivf_index",
     expected_corpus: DataFrame | None = None,
+    expected_fingerprint: dict | None = None,
 ) -> DataFrame:
     """Serve top-k from a stored IVF index: queries are assigned to their
     ``nprobe`` best cells against the FROZEN stored centroids, then joined
@@ -674,16 +1043,20 @@ def ivf_index_probe(
     ``expected_corpus`` is the misuse guard the bare ``rebuild=False``
     reuse used to lack: pass the corpus the caller BELIEVES the index
     serves and the stored fingerprint is compared (count + id-hash XOR,
-    one column-pruned scan — far cheaper than the assignment pass it
-    replaces); a mismatch raises instead of silently returning neighbors
-    from a different corpus."""
+    one column-pruned scan, MEMOIZED per session+corpus-plan so a probe
+    loop pays it once); a mismatch raises instead of silently returning
+    neighbors from a different corpus. Callers that persist their corpus
+    fingerprint alongside the corpus can pass ``expected_fingerprint``
+    directly and skip the scan entirely — the zero-scan serving shape."""
     from pyspark.sql import Window
 
     spark = queries.sparkSession
     path = _ivf_index_path(spark, index_name)
-    if expected_corpus is not None:
+    if expected_fingerprint is None and expected_corpus is not None:
+        expected_fingerprint = _corpus_fingerprint_cached(expected_corpus, id_col)
+    if expected_fingerprint is not None:
         stored = _read_fingerprint(path)
-        actual = _corpus_fingerprint(expected_corpus, id_col)
+        actual = expected_fingerprint
         if stored != actual:
             raise ValueError(
                 f"stored IVF index '{index_name}' does not match the corpus "

@@ -32,9 +32,12 @@ from ..operators.similarity import (
     build_ivf_index,
     cosine_neardup,
     cosine_topk,
+    ivf_cell_skew_audit,
     ivf_index_append,
     ivf_index_built,
+    ivf_index_compact,
     ivf_index_probe,
+    ivf_index_rebalance,
     ivf_partitioned_topk,
     ivf_topk,
     ivfpq_topk,
@@ -547,6 +550,224 @@ def embedding_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIFT AUDIT of the stored IVF index — the missing telemetry of the
+    append-only lifecycle: appends against frozen centroids make hot
+    cells grow unbounded when the batch distribution drifts, raising
+    probe cost and dropping recall with no signal. This query builds on
+    the base corpus, appends the held-out ``vec_id % 50 == 17`` batch,
+    and reports per-cell ``rows_now`` vs the build-time baseline stored
+    in ``__meta/cell_stats`` (one cell_id-pruned scan + a broadcast join
+    of the ≤256-row baseline). ``growth`` feeds
+    :func:`embedding_ivf_rebalanced_topk`'s re-split."""
+    import os
+
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    name = f"ivf_skew_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not ivf_index_built(spark, name):
+        build_ivf_index(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
+        ivf_index_append(emb.where(F.col("vec_id") % 50 == 17), index_name=name)
+    return ivf_cell_skew_audit(spark, name)
+
+
+def embedding_ivf_rebalanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REBALANCE closes the stored-index lifecycle: build → append →
+    audit → re-split the hottest cell → probe. The hottest cell (max
+    ``rows_now``, cell_id tie-break — a 1-row bounded collect) is split
+    into 2 sub-cells around its two smallest-id member vectors; rows of
+    that cell are reassigned by max cosine, the refined centroid set
+    replaces the parent, and cold cells are untouched (the re-split scan
+    is partition-pruned to the one hot directory). Fully deterministic,
+    so the ENTIRE lifecycle — including the refined-probe answer — is
+    replayed by the DuckDB oracle and hash-verified."""
+    import os
+
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    name = f"ivf_rebal_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not ivf_index_built(spark, name):
+        build_ivf_index(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
+        ivf_index_append(emb.where(F.col("vec_id") % 50 == 17), index_name=name)
+        hot = (
+            ivf_cell_skew_audit(spark, name)
+            .orderBy(F.col("rows_now").desc(), "cell_id")
+            .first()["cell_id"]
+        )
+        ivf_index_rebalance(spark, name, cells=[int(hot)], factor=2)
+    return ivf_index_probe(
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=3,
+        index_name=name,
+        expected_corpus=emb,
+    )
+
+
+def embedding_ivf_compacted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION wired into the index lifecycle: three append batches
+    land ≥3 files in every touched cell; ivf_index_compact rewrites any
+    cell over the files-per-cell bound and swaps it in under the writer
+    lock. The probe result is row-identical to the never-appended index —
+    it shares :func:`embedding_ivf_topk`'s complete DuckDB oracle — so
+    this gate row proves compaction changes layout, never content."""
+    import os
+
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    name = f"ivf_compact_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not ivf_index_built(spark, name):
+        build_ivf_index(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
+        for residue in (17, 67, 117):  # the %50==17 batch in three slices
+            ivf_index_append(
+                emb.where(F.col("vec_id") % 150 == residue), index_name=name
+            )
+        ivf_index_compact(spark, name)
+    return ivf_index_probe(
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=3,
+        index_name=name,
+        expected_corpus=emb,
+    )
+
+
+def _ivf_skew_oracle(centroid_mod: int = 50, max_centroids: int = 256) -> str:
+    """DuckDB replay of ivf_cell_skew_audit over the build-on-base,
+    append-residue-17 lifecycle: assignment of the FULL corpus against
+    the base centroids (residue 17 holds no centroid ids, so base and
+    full centroid sets coincide), per-cell counts with and without the
+    appended batch."""
+    cent_cos = _COS.format(A="e.embedding", B="c.cent_v")
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cent_v
+    FROM embeddings
+    WHERE vec_id % {centroid_mod} = 0
+      AND vec_id < {centroid_mod * max_centroids}
+),
+assign AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cent_cos} DESC, c.cent_id
+               ) AS crk
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE crk = 1
+),
+b AS (SELECT cent_id, count(*) AS n FROM assign WHERE vec_id % 50 <> 17 GROUP BY 1),
+f AS (SELECT cent_id, count(*) AS n FROM assign GROUP BY 1)
+SELECT CAST(f.cent_id AS INT) AS cell_id,
+       coalesce(b.n, 0) AS rows_at_build,
+       f.n AS rows_now,
+       f.n - coalesce(b.n, 0) AS added,
+       round(CAST(f.n AS DOUBLE) / nullif(b.n, 0), 4) AS growth
+FROM f LEFT JOIN b USING (cent_id)
+"""
+
+
+IVF_CELL_SKEW_ORACLE = _ivf_skew_oracle()
+
+
+def _ivf_rebalanced_oracle(
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+    max_centroids: int = 256,
+    factor: int = 2,
+) -> str:
+    """DuckDB replay of the FULL rebalance lifecycle: full-corpus
+    assignment, hottest cell by (count DESC, cent_id), sub-centroids =
+    the cell's `factor` smallest vec_ids, max-cosine reassignment of that
+    cell only, refined centroid set, nprobe probe, exact in-cell top-k."""
+    cent_cos = _COS.format(A="e.embedding", B="c.cent_v")
+    sub_cos = _COS.format(A="a.cv", B="s.sub_v")
+    cent2_cos = _COS.format(A="e.embedding", B="c.cent_v")
+    pair_cos = _COS.format(A="q.qv", B="s.cv")
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cent_v
+    FROM embeddings
+    WHERE vec_id % {centroid_mod} = 0
+      AND vec_id < {centroid_mod * max_centroids}
+),
+assign AS (
+    SELECT vec_id, cv, cent_id FROM (
+        SELECT e.vec_id, e.embedding AS cv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cent_cos} DESC, c.cent_id
+               ) AS crk
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE crk = 1
+),
+hot AS (
+    SELECT cent_id FROM (
+        SELECT cent_id, row_number() OVER (ORDER BY count(*) DESC, cent_id) AS rn
+        FROM assign GROUP BY cent_id
+    ) WHERE rn = 1
+),
+subcents AS (
+    SELECT cent_id AS parent, vec_id AS sub_id, cv AS sub_v FROM (
+        SELECT a.*, row_number() OVER (
+            PARTITION BY a.cent_id ORDER BY a.vec_id
+        ) AS srk
+        FROM assign a WHERE a.cent_id IN (SELECT cent_id FROM hot)
+    ) WHERE srk <= {factor}
+),
+resub AS (
+    SELECT vec_id, cv, sub_id AS cell FROM (
+        SELECT a.vec_id, a.cv, s.sub_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {sub_cos} DESC, s.sub_id
+               ) AS rrk
+        FROM assign a JOIN subcents s ON a.cent_id = s.parent
+    ) WHERE rrk = 1
+),
+corpus2 AS (
+    SELECT vec_id, cv, cent_id AS cell FROM assign
+    WHERE cent_id NOT IN (SELECT cent_id FROM hot)
+    UNION ALL
+    SELECT vec_id, cv, cell FROM resub
+),
+cents2 AS (
+    SELECT cent_id, cent_v FROM cents
+    WHERE cent_id NOT IN (SELECT cent_id FROM hot)
+    UNION ALL
+    SELECT sub_id, sub_v FROM subcents
+),
+probe AS (
+    SELECT vec_id AS query_id, qv, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding AS qv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cent2_cos} DESC, c.cent_id
+               ) AS crk
+        FROM embeddings e CROSS JOIN cents2 c
+        WHERE e.vec_id < 10
+    ) WHERE crk <= {nprobe}
+),
+scored AS (
+    SELECT q.query_id, s.vec_id AS neighbor_id, {pair_cos} AS cosine
+    FROM corpus2 s JOIN probe q USING (cell)
+    WHERE q.query_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+IVF_REBALANCED_ORACLE = _ivf_rebalanced_oracle()
+
+
 def _ivf_oracle(
     k: int = 5, centroid_mod: int = 50, nprobe: int = 3, max_centroids: int = 256
 ) -> str:
@@ -1005,6 +1226,17 @@ REGISTRY = [
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
     ("embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_ORACLE),
     ("embedding_ivf_indexed_topk", embedding_ivf_indexed_topk, EMBEDDING_IVF_ORACLE),
+    ("embedding_ivf_cell_skew", embedding_ivf_cell_skew, IVF_CELL_SKEW_ORACLE),
+    (
+        "embedding_ivf_rebalanced_topk",
+        embedding_ivf_rebalanced_topk,
+        IVF_REBALANCED_ORACLE,
+    ),
+    (
+        "embedding_ivf_compacted_probe",
+        embedding_ivf_compacted_probe,
+        EMBEDDING_IVF_ORACLE,
+    ),
     ("embedding_ivf_index_append", embedding_ivf_index_append, EMBEDDING_IVF_ORACLE),
     ("embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_ORACLE),
     ("embedding_ivfpq_topk", embedding_ivfpq_topk, EMBEDDING_IVFPQ_ORACLE),

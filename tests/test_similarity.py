@@ -329,3 +329,266 @@ def test_ivf_index_probe_raises_on_wrong_corpus(spark, sf_dir):
         )
     # the matching corpus still verifies clean and serves
     assert ivf_index_probe(q, k=5, index_name="t_fp_idx", expected_corpus=emb).count() > 0
+
+
+def test_ivf_index_append_is_failure_atomic(spark, sf_dir):
+    """A batch whose assignment job FAILS must leave the index and its
+    fingerprint exactly as they were: the heavy write lands in a staging
+    dir, so nothing is published before the job commits (the
+    partial-append-with-stale-fingerprint hazard)."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _ivf_index_path,
+        _read_fingerprint,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_probe,
+        ivf_index_verify,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    build_ivf_index(base, index_name="t_atomic_idx")
+    path = _ivf_index_path(spark, "t_atomic_idx")
+    fp_before = _read_fingerprint(path)
+
+    # poison batch: the embedding UDF-free plan itself fails at execution
+    # (division inside the assignment's cosine reads a corrupt vector)
+    poison = emb.where(F.col("vec_id") % 50 == 17).withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> assert_true(false))").cast(
+            "array<double>"
+        ),
+    )
+    with pytest.raises(Exception):
+        ivf_index_append(poison, index_name="t_atomic_idx")
+
+    assert _read_fingerprint(path) == fp_before, "fingerprint advanced on failure"
+    assert ivf_index_verify(spark, "t_atomic_idx")["consistent"]
+    # the index still serves the base corpus it actually holds
+    q = emb.where(F.col("vec_id") < 10)
+    assert (
+        ivf_index_probe(
+            q, k=5, index_name="t_atomic_idx", expected_corpus=base
+        ).count()
+        > 0
+    )
+    # and no staging garbage is left behind
+    import glob
+
+    assert not glob.glob(f"{path}__staging_*")
+
+
+def test_ivf_index_append_single_writer_lock(spark, sf_dir):
+    """Two concurrent appends must serialize-or-raise, never silently
+    drop a batch from the fingerprint: the second writer hitting the held
+    lock gets ConcurrentIndexMutation, and after the holder finishes the
+    stored fingerprint still matches the index contents."""
+    import os
+
+    import pytest
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        ConcurrentIndexMutation,
+        _index_write_lock,
+        _ivf_index_path,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_verify,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_lock_idx"
+    )
+    path = _ivf_index_path(spark, "t_lock_idx")
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    # writer A holds the publish lock; writer B's append must raise
+    with _index_write_lock(path):
+        with pytest.raises(ConcurrentIndexMutation, match="append.lock"):
+            ivf_index_append(batch, index_name="t_lock_idx")
+    # lock released -> the append now lands, and metadata is consistent
+    ivf_index_append(batch, index_name="t_lock_idx")
+    assert ivf_index_verify(spark, "t_lock_idx")["consistent"]
+    assert not os.path.exists(os.path.join(f"{path}__meta", "append.lock"))
+
+
+def test_ivf_probe_fingerprint_scan_is_memoized(spark, sf_dir):
+    """A probe loop re-verifying the SAME corpus must scan it once: the
+    fingerprint is memoized per (session, corpus plan). Passing a
+    precomputed expected_fingerprint skips the scan entirely."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    sim.build_ivf_index(emb, index_name="t_memo_idx")
+
+    calls = []
+    real = sim._corpus_fingerprint
+
+    def counting(df, id_col):
+        calls.append(id_col)
+        return real(df, id_col)
+
+    sim._CORPUS_FP_CACHE.clear()
+    sim._corpus_fingerprint = counting
+    try:
+        for _ in range(3):
+            sim.ivf_index_probe(
+                q, k=5, index_name="t_memo_idx", expected_corpus=emb
+            ).count()
+    finally:
+        sim._corpus_fingerprint = real
+    assert len(calls) == 1, f"fingerprint scanned {len(calls)}x for one corpus"
+
+    # precomputed fingerprint: zero scans, same guard semantics
+    fp = sim._read_fingerprint(sim._ivf_index_path(spark, "t_memo_idx"))
+    calls.clear()
+    sim._corpus_fingerprint = counting
+    try:
+        assert (
+            sim.ivf_index_probe(
+                q, k=5, index_name="t_memo_idx", expected_fingerprint=fp
+            ).count()
+            > 0
+        )
+    finally:
+        sim._corpus_fingerprint = real
+    assert calls == []
+    import pytest
+
+    with pytest.raises(ValueError, match="does not match the corpus"):
+        sim.ivf_index_probe(
+            q,
+            k=5,
+            index_name="t_memo_idx",
+            expected_fingerprint={"rows": 1, "id_xor": 2},
+        )
+
+
+def test_ivf_rebalance_splits_hot_cell_and_prunes_cold(spark, sf_dir):
+    """Rebalance must re-split ONLY the requested cell: its rows land in
+    the child sub-cells, every other partition directory is untouched
+    (byte-identical file lists), the refined centroid set replaces the
+    parent, and the corpus fingerprint still matches the index contents."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _ivf_index_path,
+        build_ivf_index,
+        ivf_cell_skew_audit,
+        ivf_index_rebalance,
+        ivf_index_verify,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, index_name="t_rebal_idx")
+    path = _ivf_index_path(spark, "t_rebal_idx")
+
+    audit = ivf_cell_skew_audit(spark, "t_rebal_idx")
+    hot = int(
+        audit.orderBy(F.col("rows_now").desc(), "cell_id").first()["cell_id"]
+    )
+    hot_rows = sorted(
+        r.neighbor_id
+        for r in spark.read.parquet(f"{path}/cell_id={hot}").collect()
+    )
+    other_files = {
+        d: sorted(os.listdir(d))
+        for d in glob.glob(os.path.join(path, "cell_id=*"))
+        if d != os.path.join(path, f"cell_id={hot}")
+    }
+
+    split = ivf_index_rebalance(spark, "t_rebal_idx", cells=[hot], factor=2)
+    assert split == [hot]
+    # cold partitions byte-untouched
+    for d, files in other_files.items():
+        assert sorted(os.listdir(d)) == files
+    # the hot cell's rows all live in the child cells now
+    cents = spark.read.parquet(f"{path}__meta/centroids")
+    child_ids = sorted(
+        r.cent_id for r in cents.collect() if r.cent_id in set(hot_rows)
+    )
+    assert 1 <= len(child_ids) <= 2
+    moved = sorted(
+        r.neighbor_id
+        for cid in child_ids
+        for r in spark.read.parquet(f"{path}/cell_id={cid}").collect()
+    )
+    assert moved == hot_rows
+    # same rows overall, metadata consistent, baseline refreshed
+    assert ivf_index_verify(spark, "t_rebal_idx")["consistent"]
+    audit2 = ivf_cell_skew_audit(spark, "t_rebal_idx")
+    assert audit2.where(F.col("cell_id") == hot).count() == 0 or hot in child_ids
+    assert audit2.where(F.col("added") != 0).count() == 0
+    # no-op: nothing exceeds the growth threshold on a fresh build
+    assert ivf_index_rebalance(spark, "t_rebal_idx") == []
+
+
+def test_ivf_compact_restores_file_count_and_results(spark, sf_dir):
+    """Five appends leave ≥5 files in the touched cells; compaction must
+    bring every cell back to one file while leaving probe results and the
+    stored fingerprint bit-identical."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _ivf_index_path,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_probe,
+        ivf_index_verify,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_compact_idx"
+    )
+    for residue in (17, 67, 117, 167, 217):  # %50==17 in five slices
+        ivf_index_append(
+            emb.where(F.col("vec_id") % 250 == residue),
+            index_name="t_compact_idx",
+        )
+    path = _ivf_index_path(spark, "t_compact_idx")
+
+    def files_per_cell():
+        return {
+            d: len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(path, "cell_id=*"))
+        }
+
+    # not every tiny batch touches every cell at this SF, but the hot
+    # cells must have accreted several files beyond the single build file
+    assert max(files_per_cell().values()) >= 3, "appends should accrete files"
+    q = emb.where(F.col("vec_id") < 10)
+    before = sorted(
+        tuple(r)
+        for r in ivf_index_probe(q, k=5, index_name="t_compact_idx").collect()
+    )
+    compacted = ivf_index_compact(spark, "t_compact_idx")
+    assert compacted, "at least the touched cells must compact"
+    assert max(files_per_cell().values()) == 1
+    after = sorted(
+        tuple(r)
+        for r in ivf_index_probe(q, k=5, index_name="t_compact_idx").collect()
+    )
+    assert after == before and len(after) > 0
+    assert ivf_index_verify(spark, "t_compact_idx")["consistent"]
+    # idempotent: nothing left over the bound
+    assert ivf_index_compact(spark, "t_compact_idx") == {}
