@@ -628,3 +628,57 @@ def test_replicate_tables_isolates_per_table_failures(spark, sf_dir, tmp_path):
     regions = spark.read.parquet(str(tmp_path / "region"))
     assert regions.count() == 5
     assert not (tmp_path / "badtable").exists()
+
+
+def test_replicate_tables_concurrent_with_isolated_failure(spark, sf_dir, tmp_path):
+    """max_concurrency>1 runs per-table jobs from a bounded thread pool:
+    all tables land (Spark schedules concurrent actions fairly), one
+    injected failure stays isolated to its entry, report order follows
+    the manifest, and the pool genuinely overlaps work (observed
+    concurrency > 1)."""
+    import threading
+    import time
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.jdbc import (
+        replicate_tables,
+    )
+
+    in_flight, peak = [0], [0]
+    lock = threading.Lock()
+
+    def parquet_reader(spark, dbtable, **kwargs):
+        with lock:
+            in_flight[0] += 1
+            peak[0] = max(peak[0], in_flight[0])
+        try:
+            time.sleep(0.2)  # hold the slot so overlap is observable
+            if dbtable == "badtable":
+                raise RuntimeError("injected: connection reset")
+            return spark.read.parquet(f"{sf_dir}/{dbtable}.parquet")
+        finally:
+            with lock:
+                in_flight[0] -= 1
+
+    manifest = [
+        {"table": "region"},
+        {"table": "nation"},
+        {"table": "badtable"},
+        {"table": "supplier"},
+        {"table": "customer"},
+    ]
+    report = replicate_tables(
+        spark,
+        manifest,
+        dest_root=str(tmp_path),
+        snapshot_dt="20231122",
+        reader=parquet_reader,
+        max_concurrency=3,
+    )
+    assert [r["table"] for r in report] == [m["table"] for m in manifest]
+    assert [r["status"] for r in report] == ["ok", "ok", "error", "ok", "ok"]
+    assert peak[0] > 1, "thread pool never overlapped two tables"
+    for tbl in ("region", "nation", "supplier", "customer"):
+        got = spark.read.parquet(str(tmp_path / tbl))
+        assert got.count() == spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+        assert str(got.select("snapshot_dt").distinct().collect()[0][0]) == "20231122"
+    assert not (tmp_path / "badtable").exists()
