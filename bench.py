@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     # (numpy) perceptual-hash multimodal feature
     "embedding_ivf_index_append",
     "multimodal_phash_dedup",
+    # round-8 additions: the rest of the stored-index lifecycle — drift
+    # audit, hot-cell rebalance + probe, and the compacted-append probe
+    "embedding_ivf_cell_skew",
+    "embedding_ivf_rebalanced_topk",
+    "embedding_ivf_compacted_probe",
 ]
 
 

@@ -687,6 +687,7 @@ def ivf_index_append(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index_name: str = "ivf_index",
+    compact_after_files: int | None = None,
 ) -> str:
     """Incrementally maintain a stored IVF index: assign ONLY the new
     batch against the FROZEN stored centroid set and append the rows to
@@ -707,7 +708,12 @@ def ivf_index_append(
     silently drops a batch from the fingerprint). Renames are same-
     filesystem metadata ops, so the residual crash window is the file
     moves themselves — :func:`ivf_index_verify` recomputes the
-    fingerprint from index CONTENTS to audit/repair after such a crash."""
+    fingerprint from index CONTENTS to audit/repair after such a crash.
+
+    ``compact_after_files`` wires maintenance into the lifecycle: after
+    the batch publishes, any cell that has accreted more than that many
+    files is compacted in place (:func:`ivf_index_compact`), so a daily
+    append job never lets probe cost degrade into file-open overhead."""
     import glob
     import os
     import shutil
@@ -749,6 +755,10 @@ def ivf_index_append(
             )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+    if compact_after_files is not None:
+        ivf_index_compact(
+            spark, index_name, max_files_per_cell=compact_after_files
+        )
     _BUILT_IVF_INDEXES.add(path)
     return path
 

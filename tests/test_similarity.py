@@ -592,3 +592,39 @@ def test_ivf_compact_restores_file_count_and_results(spark, sf_dir):
     assert ivf_index_verify(spark, "t_compact_idx")["consistent"]
     # idempotent: nothing left over the bound
     assert ivf_index_compact(spark, "t_compact_idx") == {}
+
+
+def test_ivf_append_auto_compaction(spark, sf_dir):
+    """compact_after_files wires compaction into the append lifecycle:
+    with a bound of 1, every append leaves each cell at a single file,
+    and contents stay fingerprint-consistent."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _ivf_index_path,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_verify,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_autocompact_idx"
+    )
+    for residue in (17, 67, 117):
+        ivf_index_append(
+            emb.where(F.col("vec_id") % 150 == residue),
+            index_name="t_autocompact_idx",
+            compact_after_files=1,
+        )
+    path = _ivf_index_path(spark, "t_autocompact_idx")
+    per_cell = [
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(path, "cell_id=*"))
+    ]
+    assert per_cell and max(per_cell) == 1
+    assert ivf_index_verify(spark, "t_autocompact_idx")["consistent"]
