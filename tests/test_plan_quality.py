@@ -454,6 +454,39 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir, queries):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ivf_rebalance_scan_is_partition_pruned(spark, sf_dir, queries):
+    # the rebalance re-split must cost O(rows in the chosen cells):
+    # its scan (mirrored here — similarity.ivf_index_rebalance builds the
+    # identical where-isin on the partition column) carries the cell list
+    # as a static PartitionFilter, so only those directories are listed
+    # and read, never the whole index
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _ivf_index_path,
+        ivf_index_built,
+    )
+
+    queries["embedding_ivf_rebalanced_topk"](spark, sf_dir)  # ensures built
+    import os
+
+    name = f"ivf_rebal_{os.path.basename(os.path.normpath(sf_dir))}"
+    assert ivf_index_built(spark, name)
+    path = _ivf_index_path(spark, name)
+    cells = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("cell_id=")
+    )[:2]
+    pruned = spark.read.parquet(path).where(F.col("cell_id").isin(cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan, plan
+    # the filter must actually reach the scan's partition filters, not
+    # survive as a post-scan Filter over all partitions
+    part_section = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "cell_id" in part_section, plan
+
+
 # -- registry-wide global-window sweep ---------------------------------------
 #
 # A WindowExec with an empty partition spec funnels its entire input through
