@@ -67,10 +67,12 @@ BENCH_QUERIES = [
     "embedding_ivf_index_append",
     "multimodal_phash_dedup",
     # round-8 additions: the rest of the stored-index lifecycle — drift
-    # audit, hot-cell rebalance + probe, and the compacted-append probe
+    # audit, hot-cell rebalance + probe, the compacted-append probe, and
+    # the per-dimension embedding-drift PSI monitor
     "embedding_ivf_cell_skew",
     "embedding_ivf_rebalanced_topk",
     "embedding_ivf_compacted_probe",
+    "embedding_drift_psi",
 ]
 
 
@@ -146,6 +148,10 @@ def main() -> None:
         "embedding_ivf_indexed_topk",
         "embedding_ivf_index_append",
         "multimodal_phash_dedup",
+        "embedding_ivf_cell_skew",
+        "embedding_ivf_rebalanced_topk",
+        "embedding_ivf_compacted_probe",
+        "embedding_drift_psi",
     }
     print(
         json.dumps(

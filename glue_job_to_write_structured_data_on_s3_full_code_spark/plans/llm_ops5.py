@@ -985,7 +985,75 @@ FROM documents
 GROUP BY 1
 """
 
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION population-stability index between the established
+    corpus and an incoming embedding batch — the observability twin of
+    the IVF cell-skew audit: cell skew says WHERE drifted vectors land,
+    PSI says WHICH dimensions moved (an embedding-model regression, a
+    domain shift, a pipeline bug each light up differently). The split
+    reuses the lifecycle's residue class (``vec_id % 50 == 17`` is the
+    batch). Each dimension's values are clamped into 8 fixed-width bins
+    over [-1, 1); PSI = Σ (pa − pb)·ln(pa/pb) over the observed buckets
+    with add-half Laplace smoothing, so a zero count never divides.
+
+    One posexplode pass (rows × 64 dims), one shuffle to (dim, bucket) —
+    512 groups regardless of corpus size; the per-dim totals come from
+    windows over that bounded frame, never a second corpus scan. At
+    100 TB: the explode is map-side, everything after is O(dims·bins)."""
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("vec_id") % 50 == 17).alias("is_batch"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    )
+    bucket = F.least(
+        F.greatest(F.floor((F.col("val").cast("double") + 1.0) * 4.0), F.lit(0)),
+        F.lit(7),
+    ).cast("int")
+    b = x.groupBy("dim", bucket.alias("bucket")).agg(
+        F.sum(F.when(F.col("is_batch"), 0).otherwise(1)).alias("ca"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0)).alias("cb"),
+    )
+    wd = Window.partitionBy("dim")
+    pa = (F.col("ca") + 0.5) / (F.sum("ca").over(wd) + 4.0)
+    pb = (F.col("cb") + 0.5) / (F.sum("cb").over(wd) + 4.0)
+    return (
+        b.withColumn("term", (pa - pb) * F.log(pa / pb))
+        .groupBy("dim")
+        .agg(
+            F.round(F.sum("term"), 6).alias("psi"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+
+
+EMBEDDING_DRIFT_PSI_ORACLE = """
+WITH x AS (
+    SELECT vec_id % 50 = 17 AS is_batch,
+           unnest(range(len(embedding))) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+), b AS (
+    SELECT dim,
+           CAST(least(greatest(floor((val + 1.0) * 4.0), 0), 7) AS INT) AS bucket,
+           sum(CASE WHEN is_batch THEN 0 ELSE 1 END) AS ca,
+           sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS cb
+    FROM x GROUP BY 1, 2
+), t AS (
+    SELECT dim, sum(ca) AS na, sum(cb) AS nb FROM b GROUP BY 1
+)
+SELECT CAST(b.dim AS INT) AS dim,
+       round(sum(((ca + 0.5) / (na + 4.0) - (cb + 0.5) / (nb + 4.0))
+                 * ln(((ca + 0.5) / (na + 4.0))
+                      / ((cb + 0.5) / (nb + 4.0)))), 6) AS psi,
+       count(*) AS n_buckets
+FROM b JOIN t USING (dim)
+GROUP BY b.dim
+"""
+
+
 REGISTRY: list[tuple] = [
+    ("embedding_drift_psi", embedding_drift_psi, EMBEDDING_DRIFT_PSI_ORACLE),
     ("embedding_kmeans", embedding_kmeans, EMBEDDING_KMEANS_ORACLE),
     ("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE),
     ("quality_linear_classifier", quality_linear_classifier, QUALITY_CLASSIFIER_ORACLE),
