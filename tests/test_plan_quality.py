@@ -448,10 +448,17 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir, queries):
     # the stored-index probe must reach the cell-partitioned parquet scan
     # with a dynamic partition pruning filter on cell_id — reading only
     # the probed cells, never the whole index (the 100 TB serving shape)
-    df = queries["embedding_ivf_indexed_topk"](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    # all three stored-index probe surfaces: plain, post-rebalance (re-
+    # split cells must still prune), and post-append+compaction
+    for name in (
+        "embedding_ivf_indexed_topk",
+        "embedding_ivf_rebalanced_topk",
+        "embedding_ivf_compacted_probe",
+    ):
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, f"{name}: {plan}"
+        assert "SortMergeJoin" not in plan, f"{name}: {plan}"
 
 
 def test_ivf_rebalance_scan_is_partition_pruned(spark, sf_dir, queries):
