@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "embedding_ivf_rebalanced_topk",
     "embedding_ivf_compacted_probe",
     "embedding_drift_psi",
+    "streaming_ivf_index_maintenance",
 ]
 
 
@@ -152,6 +153,7 @@ def main() -> None:
         "embedding_ivf_rebalanced_topk",
         "embedding_ivf_compacted_probe",
         "embedding_drift_psi",
+        "streaming_ivf_index_maintenance",
     }
     print(
         json.dumps(

@@ -628,3 +628,44 @@ def test_ivf_append_auto_compaction(spark, sf_dir):
     ]
     assert per_cell and max(per_cell) == 1
     assert ivf_index_verify(spark, "t_autocompact_idx")["consistent"]
+
+
+def test_ivf_rebalance_auto_selects_grown_cells(spark, sf_dir):
+    """cells=None must pick exactly the cells whose current rows exceed
+    growth_threshold x their build-time count. Building on the even half
+    and appending the odd half roughly doubles every cell, so the default
+    2.0 threshold auto-selects a nonempty set; after the re-split the
+    index is fingerprint-consistent and still serves."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_cell_skew_audit,
+        ivf_index_append,
+        ivf_index_probe,
+        ivf_index_rebalance,
+        ivf_index_verify,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # even half keeps the %50==0 centroid ids, so centroids are unchanged
+    build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), index_name="t_auto_idx")
+    ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), index_name="t_auto_idx")
+    expected = sorted(
+        int(r["cell_id"])
+        for r in ivf_cell_skew_audit(spark, "t_auto_idx")
+        .where(F.col("growth") >= 2.0)
+        .collect()
+    )
+    assert expected, "the doubled index should have >=1 grown cell"
+    split = ivf_index_rebalance(spark, "t_auto_idx")
+    assert split == expected
+    assert ivf_index_verify(spark, "t_auto_idx")["consistent"]
+    q = emb.where(F.col("vec_id") < 10)
+    assert (
+        ivf_index_probe(
+            q, k=5, index_name="t_auto_idx", expected_corpus=emb
+        ).count()
+        > 0
+    )
