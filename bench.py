@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "embedding_ivf_compacted_probe",
     "embedding_drift_psi",
     "streaming_ivf_index_maintenance",
+    "ann_recall_report",
 ]
 
 
@@ -154,6 +155,7 @@ def main() -> None:
         "embedding_ivf_compacted_probe",
         "embedding_drift_psi",
         "streaming_ivf_index_maintenance",
+        "ann_recall_report",
     }
     print(
         json.dumps(

@@ -411,11 +411,17 @@ def _ivf_centroids(
 
 
 def _ivf_assign(
-    df: DataFrame, cents: DataFrame, side_id: str, side_vec: str, keep: int
+    df: DataFrame,
+    cents: DataFrame,
+    side_id: str,
+    side_vec: str,
+    keep: int,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Max-cosine cell assignment against the broadcast centroid set —
     ``keep`` best cells (1 for corpus rows, nprobe for queries); ties on
-    cent_id."""
+    cent_id. ``rank_col`` retains the 1-based probe rank under that name
+    (ivf_topk_curve slices one shared candidate set by it)."""
     from pyspark.sql import Window
 
     scored = df.crossJoin(F.broadcast(cents)).select(
@@ -433,11 +439,14 @@ def _ivf_assign(
     w = Window.partitionBy(side_id).orderBy(
         F.col("cent_cos").desc(), F.col("cent_id")
     )
-    return (
+    assigned = (
         scored.withColumn("crk", F.row_number().over(w))
         .where(F.col("crk") <= keep)
-        .drop("crk", "cent_cos")
+        .drop("cent_cos")
     )
+    if rank_col is not None:
+        return assigned.withColumnRenamed("crk", rank_col)
+    return assigned.drop("crk")
 
 
 def ivf_topk(
@@ -507,6 +516,95 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").alias("rank"),
+        )
+    )
+
+
+def ivf_topk_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe_max: int = 3,
+    max_centroids: int = 256,
+) -> DataFrame:
+    """The nprobe tuning curve — :func:`ivf_topk` at every probe depth
+    1..``nprobe_max`` from ONE shared pass, for recall/cost telemetry
+    (``ann_recall_report``).
+
+    Running ivf_topk per depth repeats the expensive part — the
+    O(N·max_centroids) corpus assignment and the in-cell scoring join —
+    once per depth. Here both run once: corpus cells are depth-independent,
+    each query keeps its ``nprobe_max`` best cells WITH the probe rank,
+    and since every corpus row lives in exactly one cell, each scored
+    (query, neighbor) candidate carries the unique probe rank of its cell.
+    The depth-n result is then just candidates with ``probe_rank <= n``,
+    re-ranked per depth with ivf_topk's exact (cosine DESC, neighbor_id)
+    tie-break — row-identical to ivf_topk(nprobe=n) for every n (asserted
+    in tests/test_similarity.py). The depth fan-out is a 3-row broadcast
+    against the already-scored candidate frame, so the curve costs one
+    assignment + one join + one window regardless of nprobe_max.
+    """
+    from pyspark.sql import Window
+
+    cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = _ivf_assign(
+        corpus.repartition(par).select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        ),
+        cents,
+        "neighbor_id",
+        "cv",
+        keep=1,
+    )
+    q = _ivf_assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        cents,
+        "query_id",
+        "qv",
+        keep=nprobe_max,
+        rank_col="probe_rank",
+    )
+
+    pairs = (
+        c.join(F.broadcast(q), "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    levels = corpus.sparkSession.range(1, nprobe_max + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    leveled = pairs.join(
+        F.broadcast(levels), F.col("probe_rank") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        leveled.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "nprobe",
             "query_id",
             "neighbor_id",
             F.round("cosine", 6).alias("cosine"),
@@ -1586,13 +1684,25 @@ def ivfpq_topk(
         keep=1,
     ).select("cid", "cell", *residual_slices("cv", "s"))
 
-    # residual-space PQ codebook, shared across cells
-    pqcents = c_assigned.where(
-        (F.col("cid") % pq_mod == 0) & (F.col("cid") < pq_mod * max_centroids)
-    ).select(
-        F.col("cid").alias("pq_id"),
-        *[F.col(f"s{m}").alias(f"pq_s{m}") for m in range(num_subspaces)],
-    )
+    # residual-space PQ codebook, shared across cells. Coarse-assigned
+    # INDEPENDENTLY from the mod-filtered corpus rather than filtered out
+    # of c_assigned: assignment is row-local against the broadcast cents,
+    # so filter-then-assign is bit-identical to assign-then-filter — but
+    # deriving it from c_assigned would recompute the full corpus
+    # assignment (crossJoin + per-row window) a second time just to feed
+    # the eager broadcast job, while this pass touches only the
+    # ≤max_centroids codebook rows.
+    pqcents = coarse_assign(
+        corpus.where(
+            (F.col(id_col) % pq_mod == 0)
+            & (F.col(id_col) < pq_mod * max_centroids)
+        ).select(
+            F.col(id_col).alias("pq_id"), _as_double(F.col(vec_col)).alias("pv")
+        ),
+        "pq_id",
+        "pv",
+        keep=1,
+    ).select("pq_id", *residual_slices("pv", "pq_s"))
 
     codes = (
         c_assigned.crossJoin(F.broadcast(pqcents))

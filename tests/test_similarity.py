@@ -669,3 +669,59 @@ def test_ivf_rebalance_auto_selects_grown_cells(spark, sf_dir):
         ).count()
         > 0
     )
+
+
+def test_ivf_topk_curve_identical_to_per_nprobe_runs(spark, sf_dir):
+    """The shared-pass curve must be ROW-identical to an independent
+    ivf_topk at every depth — the whole point of carrying the probe rank
+    through one candidate join instead of re-running the assignment."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        ivf_topk_curve,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    curve = ivf_topk_curve(
+        emb, queries, k=5, centroid_mod=50, nprobe_max=3
+    ).collect()
+    by_depth: dict[int, set] = {}
+    for r in curve:
+        by_depth.setdefault(r.nprobe, set()).add(
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        )
+    assert sorted(by_depth) == [1, 2, 3]
+    for n in (1, 2, 3):
+        ref = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in ivf_topk(
+                emb, queries, k=5, centroid_mod=50, nprobe=n
+            ).collect()
+        }
+        assert by_depth[n] == ref, f"curve slice nprobe={n} drifted from ivf_topk"
+
+
+def test_ann_recall_report_matches_oracle_and_is_monotone(spark, sf_dir, duck):
+    """The scoreboard replays bit-for-bit in DuckDB (the driver-gate
+    contract, pinned locally so it can't rot while rotated out), and the
+    IVF recall curve is non-decreasing in nprobe — probing more cells can
+    only add candidates, never lose one."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops import (
+        ANN_RECALL_ORACLE,
+        ann_recall_report,
+    )
+
+    got = {
+        r.method: (r.n_queries, r.total_hits, r.recall_at_5)
+        for r in ann_recall_report(spark, sf_dir).collect()
+    }
+    want = {
+        m: (nq, hits, rec)
+        for m, nq, hits, rec in duck.execute(ANN_RECALL_ORACLE).fetchall()
+    }
+    assert got == want
+    assert (
+        got["ivf_np1"][1] <= got["ivf_np2"][1] <= got["ivf_np3"][1]
+    ), "IVF hits must be monotone in nprobe"
+    for method, (n_queries, hits, recall) in got.items():
+        assert 0 <= hits <= n_queries * 5, method
+        assert abs(recall - hits / (n_queries * 5.0)) < 1e-9, method
