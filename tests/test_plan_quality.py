@@ -626,3 +626,14 @@ def test_every_eager_checkpoint_is_observable():
         if p.name != "session.py" and ".localCheckpoint(" in p.read_text()
     ]
     assert not raw, f"raw localCheckpoint outside session.eager_checkpoint: {raw}"
+
+
+def test_ann_recall_report_broadcast_only(spark, sf_dir, queries):
+    """The scoreboard's joins are all broadcasts: family candidate joins
+    broadcast the tiny query/centroid/codebook side, the hit joins
+    broadcast the 50-row exact frame, and the final assembly broadcasts
+    the 1-row n_queries agg — a data-sized SortMergeJoin anywhere means a
+    family stopped broadcasting and the audit would shuffle the corpus."""
+    plan = _plan(queries["ann_recall_report"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 6
