@@ -421,7 +421,16 @@ def _ivf_assign(
     """Max-cosine cell assignment against the broadcast centroid set —
     ``keep`` best cells (1 for corpus rows, nprobe for queries); ties on
     cent_id. ``rank_col`` retains the 1-based probe rank under that name
-    (ivf_topk_curve slices one shared candidate set by it)."""
+    (ivf_topk_curve slices one shared candidate set by it).
+
+    The ``keep=1`` corpus path is an argmax, NOT a top-n, so it runs as a
+    ``max_by`` hash aggregate instead of a row_number window: the window
+    would shuffle all N·max_centroids scored rows to sort per id, while
+    the aggregate map-side-combines each id's candidates down to one row
+    BEFORE the exchange — a max_centroids× shuffle-volume cut on the path
+    every index build/append/topk corpus assignment takes. Tie-break
+    (max cosine, then min cent_id) matches the window ordering exactly:
+    the max_by key struct compares cosine first, then the negated id."""
     from pyspark.sql import Window
 
     scored = df.crossJoin(F.broadcast(cents)).select(
@@ -436,6 +445,24 @@ def _ivf_assign(
             )
         ).alias("cent_cos"),
     )
+    if keep == 1 and rank_col is None:
+        return (
+            scored.groupBy(side_id)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cent_id"), F.col(side_vec)),
+                    F.struct(
+                        F.col("cent_cos").alias("c"),
+                        (-F.col("cent_id")).alias("tb"),
+                    ),
+                ).alias("_best")
+            )
+            .select(
+                side_id,
+                F.col(f"_best.{side_vec}").alias(side_vec),
+                F.col("_best.cent_id").alias("cent_id"),
+            )
+        )
     w = Window.partitionBy(side_id).orderBy(
         F.col("cent_cos").desc(), F.col("cent_id")
     )
@@ -1659,6 +1686,28 @@ def ivfpq_topk(
             "cell_v",
             _dot(d, d).alias("cell_d2"),
         )
+        if keep == 1:
+            # argmin, not top-n: min_by hash aggregate map-side-combines
+            # each id's max_centroids candidates to one row BEFORE the
+            # exchange (same shuffle cut as _ivf_assign's keep=1 path);
+            # key struct (d2, cell) matches the window tie-break exactly
+            return (
+                scored.groupBy(side_id)
+                .agg(
+                    F.min_by(
+                        F.struct(F.col("cell"), F.col("cell_v"), F.col(side_vec)),
+                        F.struct(
+                            F.col("cell_d2").alias("d"), F.col("cell").alias("t")
+                        ),
+                    ).alias("_best")
+                )
+                .select(
+                    side_id,
+                    F.col(f"_best.{side_vec}").alias(side_vec),
+                    F.col("_best.cell").alias("cell"),
+                    F.col("_best.cell_v").alias("cell_v"),
+                )
+            )
         w = Window.partitionBy(side_id).orderBy(F.col("cell_d2").asc(), F.col("cell"))
         return (
             scored.withColumn("crk", F.row_number().over(w))
