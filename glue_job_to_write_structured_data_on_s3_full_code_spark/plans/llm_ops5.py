@@ -91,6 +91,32 @@ def _assign(vecs: DataFrame, cents: DataFrame, keep: int = 1) -> DataFrame:
         lambda acc, x: acc + x,
     )
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn("dist", dist)
+    if keep == 1:
+        # argmin, not top-n: a min_by hash aggregate map-side-combines
+        # each vector's K scored candidates to one row BEFORE the
+        # exchange, where the row_number window would shuffle all N·K
+        # rows to sort them per vec_id (same cut as the IVF assignment in
+        # operators/similarity._ivf_assign). The integer (dist, cid) key
+        # reproduces the window's ordering exactly — no float ties to
+        # worry about. Output columns/order are identical to the window
+        # path: every input column plus cid and dist, minus cvec.
+        out_cols = [c for c in scored.columns if c != "cvec"]
+        payload = [c for c in out_cols if c != "vec_id"]
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct(*payload),
+                    F.struct(F.col("dist"), F.col("cid")),
+                ).alias("_best")
+            )
+            .select(
+                *[
+                    F.col(c) if c == "vec_id" else F.col(f"_best.{c}").alias(c)
+                    for c in out_cols
+                ]
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     return (
         scored.withColumn("rk", F.row_number().over(w))
