@@ -694,6 +694,20 @@ def _read_fingerprint(path: str) -> dict:
         return json.load(fh)
 
 
+def _centroid_token(spark, path: str) -> dict:
+    """Identity of the stored centroid SET (count + bit_xor of cent_id
+    hashes, one scan of the ≤``max_centroids``-row meta table). An append
+    stages its assignment against the centroids it read BEFORE taking the
+    lock; if a rebalance swapped the centroid set in between, publishing
+    that assignment would land rows in parent cells that no longer exist
+    in the refined set — unreachable by probes (which only visit cells the
+    live centroids name) yet counted by the fingerprint. Appends re-check
+    this token under the lock and raise instead."""
+    return _corpus_fingerprint(
+        spark.read.parquet(f"{path}__meta/centroids"), "cent_id"
+    )
+
+
 def _write_fingerprint(path: str, fp: dict) -> None:
     """Atomic replace: write a temp file in the same dir and rename over
     the old fingerprint, so a reader never sees a torn/partial JSON and a
@@ -717,16 +731,23 @@ class ConcurrentIndexMutation(RuntimeError):
     interleaved appends could land both row batches while one batch's
     contribution is lost from the fingerprint — every later fingerprint
     check would then wrongly fail (or worse, pass against the wrong
-    corpus). Raising beats silently corrupting index metadata; the caller
-    serializes appends (retry after the holder finishes)."""
+    corpus). Compaction and rebalance read index state and rewrite whole
+    cell directories, so overlapping them with an append would double or
+    drop the overlapped batch's rows. Raising beats silently corrupting
+    index data or metadata; the caller serializes mutations (retry after
+    the holder finishes)."""
 
 
 class _index_write_lock:
-    """O_CREAT|O_EXCL lock file under ``<path>__meta`` guarding the
-    append critical section (publish staged files + advance fingerprint).
-    A crash while holding the lock leaves the lock file behind — the
-    error message names it so an operator can remove it after verifying
-    the index (see :func:`ivf_index_verify`)."""
+    """O_CREAT|O_EXCL lock file under ``<path>__meta`` guarding every
+    index MUTATION critical section: an append's publish+fingerprint
+    advance, and the full read-stage-swap span of compact and rebalance
+    (those two derive the rewritten cell contents from index reads, so
+    the reads must see the same files the swap later replaces — staging
+    outside the lock would let a concurrent append's files be merged
+    twice or deleted). A crash while holding the lock leaves the lock
+    file behind — the error message names it so an operator can remove
+    it after verifying the index (see :func:`ivf_index_verify`)."""
 
     def __init__(self, path: str):
         import os
@@ -847,6 +868,7 @@ def ivf_index_append(
     spark = batch.sparkSession
     path = _ivf_index_path(spark, index_name)
     cents = spark.read.parquet(f"{path}__meta/centroids")
+    cents_seen = _centroid_token(spark, path)
     par = spark.sparkContext.defaultParallelism
     assigned = _ivf_assign(
         batch.repartition(par).select(
@@ -863,6 +885,15 @@ def ivf_index_append(
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(staging)
         add = _corpus_fingerprint(batch, id_col)
         with _index_write_lock(path):
+            # the staged assignment is only valid against the centroid
+            # set it was computed from — a rebalance that swapped the
+            # centroids while we staged would make these cell ids stale
+            if _centroid_token(spark, path) != cents_seen:
+                raise ConcurrentIndexMutation(
+                    f"centroid set of '{index_name}' changed while this "
+                    "append was staging (a rebalance ran concurrently); "
+                    "re-run the append against the refined centroids"
+                )
             for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
                 dst_dir = os.path.join(path, os.path.basename(cell_dir))
                 os.makedirs(dst_dir, exist_ok=True)
@@ -914,13 +945,15 @@ def ivf_cell_skew_audit(spark, index_name: str = "ivf_index") -> DataFrame:
     NULL for a cell born after build). Feed the hot cells to
     :func:`ivf_index_rebalance`."""
     path = _ivf_index_path(spark, index_name)
+    # cell ids are LONG: after a rebalance the refined centroid ids are
+    # arbitrary member vec_ids, so an int cast would wrap above 2^31
     now = (
         spark.read.parquet(path)
-        .groupBy(F.col("cell_id").cast("int").alias("cell_id"))
+        .groupBy(F.col("cell_id").cast("long").alias("cell_id"))
         .agg(F.count(F.lit(1)).alias("rows_now"))
     )
     base = spark.read.parquet(f"{path}__meta/cell_stats").select(
-        F.col("cell_id").cast("int").alias("cell_id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
         F.col("rows_at_build").cast("long").alias("rows_at_build"),
     )
     # full_outer keeps cells that exist on only one side (born post-build /
@@ -964,12 +997,17 @@ def ivf_index_rebalance(
 
     ``cells=None`` selects cells whose current rows exceed
     ``growth_threshold ×`` their build-time count (the audit's growth
-    signal). Cost is O(rows in the chosen cells) — the scan is
-    partition-pruned to exactly those directories; the corpus fingerprint
-    is unchanged (same rows, new layout). Runs under the single-writer
-    lock; like append, the publish step is file renames, with
-    :func:`ivf_index_verify` as the post-crash audit. Returns the list of
-    parent cell ids actually split."""
+    signal); a cell born AFTER build (``rows_at_build`` 0, growth NULL —
+    infinite) qualifies whenever it holds rows. Cost is O(rows in the
+    chosen cells) — the scan is partition-pruned to exactly those
+    directories; the corpus fingerprint is unchanged (same rows, new
+    layout). The ENTIRE read-stage-swap span runs under the single-writer
+    lock (the staged reassignment must see the same cell files the swap
+    later deletes — staging outside the lock would silently drop a
+    concurrently-appended batch when the parent dir is removed); the
+    publish step is file renames, with :func:`ivf_index_verify` as the
+    post-crash audit. Returns the list of parent cell ids actually
+    split."""
     import glob
     import os
     import shutil
@@ -984,29 +1022,85 @@ def ivf_index_rebalance(
         cells = [
             int(r["cell_id"])
             for r in audit.where(
-                F.col("growth") >= growth_threshold
+                (F.col("growth") >= growth_threshold)
+                # growth is NULL for a cell born after build: its growth
+                # is infinite, so any populated newborn cell qualifies —
+                # a bare `NULL >= threshold` would silently drop exactly
+                # the fastest-growing cells from auto-selection
+                | (F.col("growth").isNull() & (F.col("rows_now") > 0))
             ).collect()  # bounded: ≤ max_centroids rows
         ]
     cells = sorted(int(c) for c in cells)
     if not cells:
         return []
 
-    # partition-pruned scan of ONLY the cells being split
-    sub_rows = (
-        spark.read.parquet(path)
-        .where(F.col("cell_id").isin(cells))
-        .select(F.col("cell_id").cast("long").alias("parent"), "neighbor_id", "cv")
-    )
-    w = Window.partitionBy("parent").orderBy("neighbor_id")
-    subcents = (
-        sub_rows.withColumn("srk", F.row_number().over(w))
-        .where(F.col("srk") <= factor)
-        .select(
-            "parent",
-            F.col("neighbor_id").alias("sub_id"),
-            F.col("cv").alias("sub_v"),
+    with _index_write_lock(path):
+        all_cent_ids = {
+            int(r["cent_id"])
+            for r in spark.read.parquet(os.path.join(meta, "centroids"))
+            .select("cent_id")
+            .collect()  # bounded: ≤ max_centroids rows
+        }
+        # Sub-centroid ids must not collide with a SURVIVING centroid id
+        # (a member row whose vec_id is also a kept centroid — possible
+        # when duplicate-direction vectors tie-broke into a sibling cell
+        # at build): a duplicate cent_id in the refined set would merge
+        # two cells' files and double-score that centroid. Such rows stay
+        # members but are excluded as sub-centroid CANDIDATES; a cell
+        # left with no candidates is dropped from the split set (deleting
+        # its dir with no sub-cells to land in would lose its rows).
+        # Dropping a cell returns its centroid to the kept set, so
+        # iterate to a fixpoint — ≤ |cells| tiny bounded passes, one in
+        # practice.
+        while True:
+            kept_ids = sorted(all_cent_ids - set(cells))
+            # partition-pruned scan of ONLY the cells being split
+            sub_rows = (
+                spark.read.parquet(path)
+                .where(F.col("cell_id").isin(cells))
+                .select(
+                    F.col("cell_id").cast("long").alias("parent"),
+                    "neighbor_id",
+                    "cv",
+                )
+            )
+            w = Window.partitionBy("parent").orderBy("neighbor_id")
+            subcents = (
+                sub_rows.where(~F.col("neighbor_id").isin(kept_ids))
+                .withColumn("srk", F.row_number().over(w))
+                .where(F.col("srk") <= factor)
+                .select(
+                    "parent",
+                    F.col("neighbor_id").alias("sub_id"),
+                    F.col("cv").alias("sub_v"),
+                )
+            )
+            splittable = sorted(
+                int(r["parent"])
+                for r in subcents.select("parent").distinct().collect()
+            )  # bounded: ≤ |cells| rows
+            if splittable == cells:
+                break
+            cells = splittable
+            if not cells:
+                return []
+        return _ivf_rebalance_locked(
+            spark, path, meta, cells, sub_rows, subcents
         )
-    )
+
+
+def _ivf_rebalance_locked(
+    spark, path, meta, cells, sub_rows, subcents
+) -> list[int]:
+    """The stage-and-swap half of :func:`ivf_index_rebalance`; the caller
+    holds the index write lock for the whole span."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
     scored = sub_rows.join(F.broadcast(subcents), "parent").select(
         "parent",
         "neighbor_id",
@@ -1059,26 +1153,34 @@ def ivf_index_rebalance(
         )
         new_stats.coalesce(1).write.mode("overwrite").parquet(stats_new_dir)
 
-        with _index_write_lock(path):
-            for cell in cells:
-                shutil.rmtree(os.path.join(path, f"cell_id={cell}"), True)
-            for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
-                dst_dir = os.path.join(path, os.path.basename(cell_dir))
-                os.makedirs(dst_dir, exist_ok=True)
-                for part in glob.glob(os.path.join(cell_dir, "*.parquet")):
-                    os.rename(
-                        part, os.path.join(dst_dir, os.path.basename(part))
-                    )
-            for name, new_dir in (
-                ("centroids", cents_new_dir),
-                ("cell_stats", stats_new_dir),
-            ):
-                live = os.path.join(meta, name)
-                old = f"{live}.old"
-                shutil.rmtree(old, ignore_errors=True)
-                os.rename(live, old)
+        # publish (caller holds the index write lock for this whole span)
+        for cell in cells:
+            shutil.rmtree(os.path.join(path, f"cell_id={cell}"), True)
+        for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
+            dst_dir = os.path.join(path, os.path.basename(cell_dir))
+            os.makedirs(dst_dir, exist_ok=True)
+            for part in glob.glob(os.path.join(cell_dir, "*.parquet")):
+                os.rename(
+                    part, os.path.join(dst_dir, os.path.basename(part))
+                )
+        for name, new_dir in (
+            ("centroids", cents_new_dir),
+            ("cell_stats", stats_new_dir),
+        ):
+            live = os.path.join(meta, name)
+            old = f"{live}.old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(live, old)
+            try:
                 os.rename(new_dir, live)
-                shutil.rmtree(old, ignore_errors=True)
+            except BaseException:
+                # restore the previous copy rather than leave NO live
+                # dir (the finally below would then delete the only new
+                # copy too); a process death between the two renames
+                # still leaves `<live>.old` on disk for manual recovery
+                os.rename(old, live)
+                raise
+            shutil.rmtree(old, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(cents_new_dir, ignore_errors=True)
@@ -1097,10 +1199,15 @@ def ivf_index_compact(
     N daily batches a probe opens N files per probed cell — at 100 TB
     scan cost becomes file-open/footer overhead, not bytes. Cells whose
     file count exceeds ``max_files_per_cell`` are rewritten (sized from
-    measured bytes, like operators/compaction.compact) and swapped in
-    under the single-writer lock; contents, fingerprint, and probe
-    results are unchanged. Returns ``{cell_id: new_file_count}`` for the
-    compacted cells."""
+    measured bytes, like operators/compaction.compact) and swapped in;
+    contents, fingerprint, and probe results are unchanged. The whole
+    list-read-swap span holds the single-writer lock: the staged rewrite
+    reads whatever files exist when the Spark job runs, so a concurrent
+    append landing a file between the read and the swap would leave that
+    file in place while its rows are ALSO in the rewrite — duplicated
+    rows, which the lock turns into a :class:`ConcurrentIndexMutation`
+    on the append side instead. Returns ``{cell_id: new_file_count}``
+    for the compacted cells."""
     import glob
     import math
     import os
@@ -1111,30 +1218,32 @@ def ivf_index_compact(
 
     path = _ivf_index_path(spark, index_name)
     done: dict[int, int] = {}
-    for cell_dir in sorted(glob.glob(os.path.join(path, "cell_id=*"))):
-        parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
-        if len(parts) <= max_files_per_cell:
-            continue
-        cell = int(os.path.basename(cell_dir).split("=", 1)[1])
-        n_files = max(1, math.ceil(dataset_bytes(spark, cell_dir) / target_file_bytes))
-        staging = f"{path}__staging_{uuid.uuid4().hex}"
-        try:
-            (
-                spark.read.parquet(cell_dir)
-                .coalesce(n_files)
-                .write.mode("overwrite")
-                .parquet(staging)
+    with _index_write_lock(path):
+        for cell_dir in sorted(glob.glob(os.path.join(path, "cell_id=*"))):
+            parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
+            if len(parts) <= max_files_per_cell:
+                continue
+            cell = int(os.path.basename(cell_dir).split("=", 1)[1])
+            n_files = max(
+                1, math.ceil(dataset_bytes(spark, cell_dir) / target_file_bytes)
             )
-            with _index_write_lock(path):
+            staging = f"{path}__staging_{uuid.uuid4().hex}"
+            try:
+                (
+                    spark.read.parquet(cell_dir)
+                    .coalesce(n_files)
+                    .write.mode("overwrite")
+                    .parquet(staging)
+                )
                 for part in parts:
                     os.unlink(part)
                 for part in glob.glob(os.path.join(staging, "*.parquet")):
                     os.rename(
                         part, os.path.join(cell_dir, os.path.basename(part))
                     )
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        done[cell] = n_files
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            done[cell] = n_files
     return done
 
 
@@ -1209,7 +1318,16 @@ def ivf_index_probe(
         "query_id",
         "qv",
         keep=nprobe,
-    ).select(F.col("cent_id").cast("int").alias("cell_id"), "query_id", "qv")
+    ).select(
+        # match the index's INFERRED partition-column dtype (int while
+        # dir values fit, long once rebalance installs vec_id-sized cell
+        # ids): a fixed int cast would wrap ids above 2^31 and a
+        # mismatched type would put a cast on the partition side of the
+        # join, risking the dynamic-partition-pruning shape
+        F.col("cent_id").cast(index.schema["cell_id"].dataType).alias("cell_id"),
+        "query_id",
+        "qv",
+    )
 
     scored = (
         index.join(F.broadcast(q), "cell_id")

@@ -657,7 +657,7 @@ assign AS (
 ),
 b AS (SELECT cent_id, count(*) AS n FROM assign WHERE vec_id % 50 <> 17 GROUP BY 1),
 f AS (SELECT cent_id, count(*) AS n FROM assign GROUP BY 1)
-SELECT CAST(f.cent_id AS INT) AS cell_id,
+SELECT CAST(f.cent_id AS BIGINT) AS cell_id,
        coalesce(b.n, 0) AS rows_at_build,
        f.n AS rows_now,
        f.n - coalesce(b.n, 0) AS added,
@@ -708,11 +708,18 @@ hot AS (
     ) WHERE rn = 1
 ),
 subcents AS (
+    -- a member row whose vec_id is a SURVIVING centroid id is not a
+    -- sub-centroid candidate (its id would collide in the refined set);
+    -- mirrors operators/similarity.ivf_index_rebalance
     SELECT cent_id AS parent, vec_id AS sub_id, cv AS sub_v FROM (
         SELECT a.*, row_number() OVER (
             PARTITION BY a.cent_id ORDER BY a.vec_id
         ) AS srk
         FROM assign a WHERE a.cent_id IN (SELECT cent_id FROM hot)
+          AND a.vec_id NOT IN (
+              SELECT cent_id FROM cents
+              WHERE cent_id NOT IN (SELECT cent_id FROM hot)
+          )
     ) WHERE srk <= {factor}
 ),
 resub AS (

@@ -725,3 +725,227 @@ def test_ann_recall_report_matches_oracle_and_is_monotone(spark, sf_dir, duck):
     for method, (n_queries, hits, recall) in got.items():
         assert 0 <= hits <= n_queries * 5, method
         assert abs(recall - hits / (n_queries * 5.0)) < 1e-9, method
+
+
+def test_ivf_rebalance_auto_selects_newborn_cells(spark, sf_dir):
+    """A cell with rows but NO build-time baseline (rows_at_build 0,
+    growth NULL — infinite) must be auto-selected by cells=None: the
+    review found `NULL >= threshold` silently dropped exactly the
+    fastest-growing cells. Simulated by erasing the hottest cell's
+    baseline row from __meta/cell_stats, the on-disk state a cell born
+    after build leaves behind."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _ivf_index_path,
+        build_ivf_index,
+        ivf_cell_skew_audit,
+        ivf_index_probe,
+        ivf_index_rebalance,
+        ivf_index_verify,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, index_name="t_newborn_idx")
+    path = _ivf_index_path(spark, "t_newborn_idx")
+    stats_path = f"{path}__meta/cell_stats"
+    hot = int(
+        ivf_cell_skew_audit(spark, "t_newborn_idx")
+        .orderBy(F.col("rows_now").desc(), "cell_id")
+        .first()["cell_id"]
+    )
+    trimmed = (
+        spark.read.parquet(stats_path)
+        .where(F.col("cell_id") != hot)
+        .collect()
+    )
+    spark.createDataFrame(
+        trimmed, "cell_id long, rows_at_build long"
+    ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+    audit = ivf_cell_skew_audit(spark, "t_newborn_idx").where(
+        F.col("cell_id") == hot
+    ).first()
+    assert audit["rows_at_build"] == 0 and audit["growth"] is None
+    # an impossible ratio threshold: ONLY the infinite-growth newborn
+    # cell can qualify
+    split = ivf_index_rebalance(
+        spark, "t_newborn_idx", growth_threshold=1e18
+    )
+    assert split == [hot]
+    assert ivf_index_verify(spark, "t_newborn_idx")["consistent"]
+    assert (
+        ivf_index_probe(
+            emb.where(F.col("vec_id") < 10), k=5, index_name="t_newborn_idx"
+        ).count()
+        > 0
+    )
+
+
+def test_ivf_rebalance_and_compact_hold_writer_lock(spark, sf_dir):
+    """Rebalance and compact derive rewritten cell contents from index
+    reads, so their WHOLE read-stage-swap span must hold the writer lock
+    (staging outside it would double or drop a concurrently-appended
+    batch): with the lock held by another writer, both must raise before
+    touching anything."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        ConcurrentIndexMutation,
+        _index_write_lock,
+        _ivf_index_path,
+        build_ivf_index,
+        ivf_index_compact,
+        ivf_index_rebalance,
+        ivf_index_verify,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, index_name="t_mutex_idx")
+    path = _ivf_index_path(spark, "t_mutex_idx")
+    with _index_write_lock(path):
+        with pytest.raises(ConcurrentIndexMutation):
+            ivf_index_rebalance(spark, "t_mutex_idx", cells=[0])
+        with pytest.raises(ConcurrentIndexMutation):
+            ivf_index_compact(spark, "t_mutex_idx", max_files_per_cell=0)
+    assert ivf_index_verify(spark, "t_mutex_idx")["consistent"]
+
+
+def test_ivf_append_raises_if_centroids_swapped_while_staging(spark, sf_dir):
+    """An append stages its assignment against the centroids it read
+    BEFORE taking the lock; if a rebalance swaps the centroid set in that
+    window, publishing would land rows in cells no live centroid names —
+    unreachable by probes yet counted by the fingerprint. The under-lock
+    centroid-token re-check must raise instead, leaving the index
+    untouched."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+
+    emb = __import__(
+        "glue_job_to_write_structured_data_on_s3_full_code_spark.sources", fromlist=["read_table"]
+    ).read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_swap_idx"
+    )
+    path = sim._ivf_index_path(spark, "t_swap_idx")
+    before = sim._read_fingerprint(path)
+
+    real = sim._centroid_token
+    calls = []
+
+    def drifting(spark_, path_):
+        calls.append(1)
+        tok = real(spark_, path_)
+        if len(calls) > 1:  # the under-lock re-check sees a swapped set
+            tok = {"rows": tok["rows"] + 1, "id_xor": tok["id_xor"] ^ 7}
+        return tok
+
+    sim._centroid_token = drifting
+    try:
+        with pytest.raises(sim.ConcurrentIndexMutation, match="centroid set"):
+            sim.ivf_index_append(
+                emb.where(F.col("vec_id") % 50 == 17), index_name="t_swap_idx"
+            )
+    finally:
+        sim._centroid_token = real
+    assert len(calls) == 2
+    assert sim._read_fingerprint(path) == before
+    assert sim.ivf_index_verify(spark, "t_swap_idx")["consistent"]
+    assert not os.path.exists(os.path.join(f"{path}__meta", "append.lock"))
+
+
+def test_ivf_rebalance_large_cell_ids_do_not_wrap(spark):
+    """Rebalance installs member vec_ids as cell ids — on a 64-bit-id
+    corpus those exceed int32, and the audit/probe paths must carry them
+    without wrapping (the review found fixed int casts that truncated
+    above 2^31). Synthetic corpus: centroid-eligible small ids plus
+    2^31+k members that become sub-centroids."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_cell_skew_audit,
+        ivf_index_probe,
+        ivf_index_rebalance,
+        ivf_index_verify,
+    )
+
+    big = 2**31
+    rows = [(0, [1.0, 0.0, 0.05, 0.0]), (50, [0.0, 1.0, 0.0, 0.05])]
+    rows += [
+        (big + i, [1.0, 0.0, 0.01 * i, 0.0]) for i in range(1, 5)
+    ]  # near centroid 0 -> all live in cell 0
+    rows += [(big + 10 + i, [0.0, 1.0, 0.01 * i, 0.0]) for i in range(1, 3)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    build_ivf_index(corpus, index_name="t_bigid_idx")
+    split = ivf_index_rebalance(spark, "t_bigid_idx", cells=[0], factor=2)
+    assert split == [0]
+    cell_ids = {
+        int(r["cell_id"])
+        for r in ivf_cell_skew_audit(spark, "t_bigid_idx").collect()
+    }
+    # sub-centroids = the two smallest member ids of cell 0: its own
+    # centroid row 0 and the first big id — EXACT, not wrapped negative
+    assert cell_ids == {0, big + 1, 50}
+    assert all(c >= 0 for c in cell_ids)
+    assert ivf_index_verify(spark, "t_bigid_idx")["consistent"]
+    got = ivf_index_probe(
+        corpus.where(F.col("vec_id") == 0),
+        k=3,
+        nprobe=2,
+        index_name="t_bigid_idx",
+        expected_corpus=corpus,
+    ).collect()
+    # query 0 carries third component .05: nearest members of its cell
+    # by cosine are .04, .03, .02 — i.e. big+4, big+3, big+2
+    assert [r["neighbor_id"] for r in got] == [big + 4, big + 3, big + 2]
+
+
+def test_ivf_rebalance_swap_failure_keeps_a_live_centroid_copy(spark, sf_dir):
+    """If the meta swap's second rename fails, the previous centroids
+    must be RESTORED — the review found a window where no live copy
+    existed and cleanup then deleted the only new one, bricking every
+    later probe/append on the index."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+
+    emb = __import__(
+        "glue_job_to_write_structured_data_on_s3_full_code_spark.sources", fromlist=["read_table"]
+    ).read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(emb, index_name="t_swapfail_idx")
+    path = sim._ivf_index_path(spark, "t_swapfail_idx")
+    live = os.path.join(f"{path}__meta", "centroids")
+    hot = int(
+        sim.ivf_cell_skew_audit(spark, "t_swapfail_idx")
+        .orderBy(F.col("rows_now").desc(), "cell_id")
+        .first()["cell_id"]
+    )
+
+    real_rename = os.rename
+
+    def failing(src, dst):
+        if dst == live and ".new" in src:
+            raise OSError("injected swap failure")
+        return real_rename(src, dst)
+
+    os.rename = failing
+    try:
+        with pytest.raises(OSError, match="injected swap failure"):
+            sim.ivf_index_rebalance(spark, "t_swapfail_idx", cells=[hot])
+    finally:
+        os.rename = real_rename
+    # the restore: a live centroids dir still exists and serves
+    assert os.path.isdir(live)
+    assert spark.read.parquet(live).count() > 0
+    # relayout never changes contents, so the fingerprint still verifies
+    assert sim.ivf_index_verify(spark, "t_swapfail_idx")["consistent"]
