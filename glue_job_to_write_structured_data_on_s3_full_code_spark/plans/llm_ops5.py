@@ -189,6 +189,96 @@ SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS sq_dist FROM (
 """
 
 
+#: Fraction of each cluster kept by the prototype selector — a parameter
+#: at scale (SSL-prototypes sweeps it per budget); fixed for the oracle.
+_PROTO_KEEP_FRAC = 0.25
+
+
+def cluster_prototype_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based data pruning (SSL-prototypes, Sorscher et al. 2022,
+    arXiv:2206.14486 — the selection step SemDeDup pipelines run after
+    clustering): k-means the embedding space, rank each cluster's members
+    by distance to their centroid, and keep the most PROTOTYPICAL
+    ``_PROTO_KEEP_FRAC`` of every cluster (per-cluster ceil quota, so no
+    cluster is emptied). Prototype-keep is the easy-data regime; the same
+    ranking inverted gives the hard-example regime — the returned
+    ``rank_in_cluster``/``cluster_size`` columns support either cut
+    downstream.
+
+    Reuses :func:`embedding_kmeans`'s two integer-exact Lloyd iterations
+    (same seeds, same floor-div centroid update), so distances and ranks
+    replay bit-identically in the DuckDB oracle — no float boundary
+    anywhere. Scale shape: the ranking is ONE window partitioned by
+    cluster over the assignment frame; per-task input is one cluster,
+    which the SemDeDup/K-scales-with-N contract bounds, and the quota
+    needs no second pass (count(*) rides the same window partition).
+
+    Reference parity: north-star extension (the reference has no
+    embedding surface); registered on the synthetic `embeddings` table.
+    """
+    tune(spark)
+    vecs = _qvecs(spark, sf_dir)
+    a1 = _assign(vecs, _init_centroids(vecs))
+    a2 = _assign(vecs, _recompute_centroids(a1))
+    assigned = a2.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("sq_dist")
+    )
+    wrk = Window.partitionBy("cluster").orderBy("sq_dist", "vec_id")
+    wn = Window.partitionBy("cluster")
+    return (
+        assigned.withColumn(
+            "rank_in_cluster", F.row_number().over(wrk).cast("long")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wn))
+        .where(
+            F.col("rank_in_cluster")
+            <= F.ceil(F.col("cluster_size") * F.lit(_PROTO_KEEP_FRAC))
+        )
+        .select(
+            "vec_id", "cluster", "sq_dist", "rank_in_cluster", "cluster_size"
+        )
+    )
+
+
+CLUSTER_PROTOTYPE_ORACLE = f"""
+WITH qv AS (
+    SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+), v AS (
+    SELECT vec_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val FROM qv
+), c0 AS (
+    SELECT vec_id AS cid, pos, val AS cval FROM v WHERE vec_id < {_K}
+), d1 AS (
+    SELECT v.vec_id, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+    FROM v JOIN c0 c USING (pos) GROUP BY 1, 2
+), a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d1) WHERE rk = 1
+), m1 AS (
+    SELECT a1.cid, v.pos,
+           CAST((sum(v.val) - ((sum(v.val) % count(*) + count(*)) % count(*)))
+                / count(*) AS BIGINT) AS cval
+    FROM a1 JOIN v USING (vec_id) GROUP BY 1, 2
+), d2 AS (
+    SELECT v.vec_id, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+    FROM v JOIN m1 c USING (pos) GROUP BY 1, 2
+), a2 AS (
+    SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS sq_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d2) WHERE rk = 1
+), ranked AS (
+    SELECT vec_id, cluster, sq_dist,
+           CAST(row_number() OVER (
+               PARTITION BY cluster ORDER BY sq_dist, vec_id
+           ) AS BIGINT) AS rank_in_cluster,
+           CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+    FROM a2
+)
+SELECT * FROM ranked
+WHERE rank_in_cluster <= CAST(ceil(cluster_size * {_PROTO_KEEP_FRAC}) AS BIGINT)
+"""
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     drop near-duplicates WITHIN each cluster only — the sub-quadratic
@@ -1081,6 +1171,11 @@ GROUP BY b.dim
 REGISTRY: list[tuple] = [
     ("embedding_drift_psi", embedding_drift_psi, EMBEDDING_DRIFT_PSI_ORACLE),
     ("embedding_kmeans", embedding_kmeans, EMBEDDING_KMEANS_ORACLE),
+    (
+        "cluster_prototype_selection",
+        cluster_prototype_selection,
+        CLUSTER_PROTOTYPE_ORACLE,
+    ),
     ("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE),
     ("quality_linear_classifier", quality_linear_classifier, QUALITY_CLASSIFIER_ORACLE),
     ("bpe_merge_induction", bpe_merge_induction, BPE_MERGE_ORACLE),
