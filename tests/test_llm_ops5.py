@@ -125,3 +125,44 @@ def test_contrastive_labels_are_disjoint(spark, sf_dir):
     assert dup.count() == 0  # a pair carries exactly one label
     labels = {r.label for r in out.select("label").distinct().collect()}
     assert labels <= {0, 1} and 0 in labels
+
+
+def test_cluster_prototype_selection_quota_and_prototypicality(spark, sf_dir):
+    """Per-cluster quota is exactly ceil(0.25 * size) rows (never an
+    emptied cluster), kept rows are the cluster's CLOSEST members (every
+    kept sq_dist <= every dropped sq_dist within the cluster, tie-broken
+    by vec_id), and the selection is a strict subset of the kmeans
+    assignment it claims to reuse."""
+    import math
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops5 import (
+        _PROTO_KEEP_FRAC,
+        cluster_prototype_selection,
+        embedding_kmeans,
+    )
+
+    kept = cluster_prototype_selection(spark, sf_dir).collect()
+    base = {
+        (r.vec_id, r.cluster, r.sq_dist)
+        for r in embedding_kmeans(spark, sf_dir).collect()
+    }
+    assert {(r.vec_id, r.cluster, r.sq_dist) for r in kept} <= base
+
+    by_cluster: dict[int, list] = {}
+    for r in kept:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    sizes = {}
+    for (v, c, d) in base:
+        sizes[c] = sizes.get(c, 0) + 1
+    assert set(by_cluster) == set(sizes)  # no cluster emptied
+    for c, rows in by_cluster.items():
+        quota = math.ceil(sizes[c] * _PROTO_KEEP_FRAC)
+        assert len(rows) == quota, (c, len(rows), quota)
+        assert rows and max(r.rank_in_cluster for r in rows) == quota
+        assert all(r.cluster_size == sizes[c] for r in rows)
+        # prototypicality: kept (sq_dist, vec_id) pairs are the quota
+        # smallest of the whole cluster
+        cluster_all = sorted(
+            (d, v) for (v, cc, d) in base if cc == c
+        )[:quota]
+        assert sorted((r.sq_dist, r.vec_id) for r in rows) == cluster_all
