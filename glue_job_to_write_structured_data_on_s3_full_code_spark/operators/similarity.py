@@ -686,6 +686,15 @@ def _corpus_fingerprint(df: DataFrame, id_col: str) -> dict:
     return {"rows": int(row["rows"]), "id_xor": int(row["id_xor"] or 0)}
 
 
+def _fp_core(fp: dict) -> dict:
+    """The corpus-identity projection of a stored fingerprint. The stored
+    JSON may carry bookkeeping beyond identity (``last_token`` for
+    at-least-once append replay detection); probe/verify must compare
+    identity only, or a token-carrying index would never match a freshly
+    computed corpus fingerprint."""
+    return {"rows": fp["rows"], "id_xor": fp["id_xor"]}
+
+
 def _read_fingerprint(path: str) -> dict:
     import json
     import os
@@ -736,6 +745,15 @@ class ConcurrentIndexMutation(RuntimeError):
     drop the overlapped batch's rows. Raising beats silently corrupting
     index data or metadata; the caller serializes mutations (retry after
     the holder finishes)."""
+
+
+class IndexMaintenanceError(RuntimeError):
+    """Post-publish maintenance (auto-compaction) failed AFTER the append
+    durably landed its batch and advanced the fingerprint. The batch is
+    IN the index: retrying the append would duplicate it in a way the
+    XOR fingerprint cannot see (dup ids XOR-cancel), so this is a
+    distinct type whose message says what to retry — the compaction, via
+    :func:`ivf_index_compact` — and what not to."""
 
 
 class _index_write_lock:
@@ -795,7 +813,14 @@ def build_ivf_index(
     instead of re-deriving from a possibly-drifted corpus — and (b) the
     corpus fingerprint that :func:`ivf_index_probe` checks so a stored
     index can never silently answer for a different corpus. Returns the
-    index path."""
+    index path.
+
+    The whole (re)build runs under the single-writer lock: a rebuild
+    overwrites cells, centroids, stats, and fingerprint in sequence, so
+    racing it against an append/compact/rebalance would interleave their
+    renames with the overwrite — rows present but uncounted, or counted
+    but deleted. Like every other mutation, concurrency raises
+    :class:`ConcurrentIndexMutation` instead."""
     spark = corpus.sparkSession
     path = _ivf_index_path(spark, index_name)
     cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
@@ -810,20 +835,23 @@ def build_ivf_index(
         "cv",
         keep=1,
     ).withColumnRenamed("cent_id", "cell_id")
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta/centroids")
-    # per-cell row counts AT BUILD TIME — the drift baseline
-    # ivf_cell_skew_audit compares against (appends deliberately do not
-    # touch this: growth since build IS the signal)
-    (
-        spark.read.parquet(path)
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("rows_at_build"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}__meta/cell_stats")
-    )
-    _write_fingerprint(path, _corpus_fingerprint(corpus, id_col))
+    with _index_write_lock(path):
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}__meta/centroids"
+        )
+        # per-cell row counts AT BUILD TIME — the drift baseline
+        # ivf_cell_skew_audit compares against (appends deliberately do not
+        # touch this: growth since build IS the signal)
+        (
+            spark.read.parquet(path)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("rows_at_build"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}__meta/cell_stats")
+        )
+        _write_fingerprint(path, _corpus_fingerprint(corpus, id_col))
     _BUILT_IVF_INDEXES.add(path)
     return path
 
@@ -834,6 +862,7 @@ def ivf_index_append(
     id_col: str = "vec_id",
     index_name: str = "ivf_index",
     compact_after_files: int | None = None,
+    idempotency_token: str | int | None = None,
 ) -> str:
     """Incrementally maintain a stored IVF index: assign ONLY the new
     batch against the FROZEN stored centroid set and append the rows to
@@ -857,9 +886,21 @@ def ivf_index_append(
     fingerprint from index CONTENTS to audit/repair after such a crash.
 
     ``compact_after_files`` wires maintenance into the lifecycle: after
-    the batch publishes, any cell that has accreted more than that many
-    files is compacted in place (:func:`ivf_index_compact`), so a daily
-    append job never lets probe cost degrade into file-open overhead."""
+    the batch publishes (same lock span, so no second writer can slip
+    between publish and compaction), any cell that has accreted more
+    than that many files is compacted in place (the
+    :func:`ivf_index_compact` machinery), so a daily append job never
+    lets probe cost degrade into file-open overhead. A compaction
+    failure at that point raises :class:`IndexMaintenanceError` — the
+    batch IS published and must not be re-appended.
+
+    ``idempotency_token`` makes the append exactly-once under
+    at-least-once delivery (Structured Streaming's foreachBatch replays
+    a micro-batch whose checkpoint didn't commit): the token is stored
+    atomically WITH the fingerprint advance, and an append whose token
+    equals the stored one is skipped as a duplicate delivery — the XOR
+    fingerprint alone cannot catch replays, because duplicate ids
+    XOR-cancel back to an apparently-consistent value."""
     import glob
     import os
     import shutil
@@ -894,6 +935,16 @@ def ivf_index_append(
                     "append was staging (a rebalance ran concurrently); "
                     "re-run the append against the refined centroids"
                 )
+            old = _read_fingerprint(path)
+            if (
+                idempotency_token is not None
+                and old.get("last_token") == idempotency_token
+            ):
+                # duplicate delivery of an already-applied batch: skip
+                # (the finally sweeps the staged copy); the index already
+                # holds these rows and the fingerprint already counts them
+                _BUILT_IVF_INDEXES.add(path)
+                return path
             for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
                 dst_dir = os.path.join(path, os.path.basename(cell_dir))
                 os.makedirs(dst_dir, exist_ok=True)
@@ -901,20 +952,32 @@ def ivf_index_append(
                     os.rename(
                         part, os.path.join(dst_dir, os.path.basename(part))
                     )
-            old = _read_fingerprint(path)
-            _write_fingerprint(
-                path,
-                {
-                    "rows": old["rows"] + add["rows"],
-                    "id_xor": old["id_xor"] ^ add["id_xor"],
-                },
-            )
+            fp = {
+                "rows": old["rows"] + add["rows"],
+                "id_xor": old["id_xor"] ^ add["id_xor"],
+            }
+            # the token rides the SAME atomic write as the identity — a
+            # separate file would reopen the replay window between them
+            if idempotency_token is not None:
+                fp["last_token"] = idempotency_token
+            elif "last_token" in old:
+                fp["last_token"] = old["last_token"]
+            _write_fingerprint(path, fp)
+            if compact_after_files is not None:
+                try:
+                    _compact_cells_locked(
+                        spark, path, max_files_per_cell=compact_after_files
+                    )
+                except BaseException as exc:
+                    raise IndexMaintenanceError(
+                        f"auto-compaction of '{index_name}' failed AFTER "
+                        "the batch was durably published and the "
+                        "fingerprint advanced — do NOT retry the append "
+                        "(it would silently duplicate the batch); retry "
+                        "the compaction via ivf_index_compact"
+                    ) from exc
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    if compact_after_files is not None:
-        ivf_index_compact(
-            spark, index_name, max_files_per_cell=compact_after_files
-        )
     _BUILT_IVF_INDEXES.add(path)
     return path
 
@@ -922,13 +985,40 @@ def ivf_index_append(
 def ivf_index_verify(spark, index_name: str = "ivf_index") -> dict:
     """Recompute the corpus fingerprint from the INDEX CONTENTS (one
     id-column-pruned scan) and compare with the stored fingerprint — the
-    audit/repair tool for a crash inside an append's publish window.
-    Returns ``{"stored": …, "actual": …, "consistent": bool}``; callers
-    finding ``consistent=False`` rebuild (or re-append the lost batch)."""
+    audit/repair tool for a crash inside a mutation's publish window.
+    Also checks REACHABILITY: every on-disk cell directory must be named
+    by a live centroid, because the count+XOR fingerprint is
+    layout-insensitive — a crash between a rebalance's data swap and its
+    centroid swap leaves every row present (fingerprint clean) yet the
+    split cells' rows in directories no probe is ever routed to. Returns
+    ``{"stored", "actual", "orphan_cells", "consistent"}``; callers
+    finding ``consistent=False`` rebuild (or re-append the lost
+    batch)."""
+    import os
+
     path = _ivf_index_path(spark, index_name)
     actual = _corpus_fingerprint(spark.read.parquet(path), "neighbor_id")
     stored = _read_fingerprint(path)
-    return {"stored": stored, "actual": actual, "consistent": stored == actual}
+    live = {
+        int(r["cent_id"])
+        for r in spark.read.parquet(f"{path}__meta/centroids")
+        .select("cent_id")
+        .collect()  # bounded: ≤ max_centroids rows
+    }
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("cell_id=")
+    }
+    # on_disk ⊆ live is the invariant (a live centroid MAY own zero rows
+    # after duplicate-vector tie-breaks, so live ⊆ on_disk is not)
+    orphans = sorted(on_disk - live)
+    return {
+        "stored": stored,
+        "actual": actual,
+        "orphan_cells": orphans,
+        "consistent": _fp_core(stored) == _fp_core(actual) and not orphans,
+    }
 
 
 def ivf_cell_skew_audit(spark, index_name: str = "ivf_index") -> DataFrame:
@@ -1008,10 +1098,7 @@ def ivf_index_rebalance(
     publish step is file renames, with :func:`ivf_index_verify` as the
     post-crash audit. Returns the list of parent cell ids actually
     split."""
-    import glob
     import os
-    import shutil
-    import uuid
 
     from pyspark.sql import Window
 
@@ -1153,34 +1240,77 @@ def _ivf_rebalance_locked(
         )
         new_stats.coalesce(1).write.mode("overwrite").parquet(stats_new_dir)
 
-        # publish (caller holds the index write lock for this whole span)
-        for cell in cells:
-            shutil.rmtree(os.path.join(path, f"cell_id={cell}"), True)
-        for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
-            dst_dir = os.path.join(path, os.path.basename(cell_dir))
-            os.makedirs(dst_dir, exist_ok=True)
-            for part in glob.glob(os.path.join(cell_dir, "*.parquet")):
-                os.rename(
-                    part, os.path.join(dst_dir, os.path.basename(part))
-                )
-        for name, new_dir in (
-            ("centroids", cents_new_dir),
-            ("cell_stats", stats_new_dir),
-        ):
-            live = os.path.join(meta, name)
-            old = f"{live}.old"
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(live, old)
-            try:
-                os.rename(new_dir, live)
-            except BaseException:
-                # restore the previous copy rather than leave NO live
-                # dir (the finally below would then delete the only new
-                # copy too); a process death between the two renames
-                # still leaves `<live>.old` on disk for manual recovery
-                os.rename(old, live)
-                raise
-            shutil.rmtree(old, ignore_errors=True)
+        # Publish (caller holds the index write lock for this whole
+        # span). The parents are RENAMED ASIDE — to a dot-prefixed name
+        # Spark's hidden-file filter ignores — never deleted, until every
+        # staged child and both meta swaps have landed: an exception
+        # anywhere undoes the children and restores the parents, so the
+        # original rows keep a live copy throughout (the staged children
+        # hold the SAME rows re-bucketed, so deleting them on undo loses
+        # nothing). The previous shape deleted parents first; a failure
+        # in the child renames then hit the staging sweep in the finally
+        # and destroyed the only remaining copy of the split cells' rows.
+        moved_aside: list[str] = []  # original parent dir paths
+        created_children: list[str] = []
+        swapped: list[tuple[str, str]] = []  # (live meta dir, its .old copy)
+        try:
+            for cell in cells:
+                src = os.path.join(path, f"cell_id={cell}")
+                os.rename(src, os.path.join(path, f".cell_id={cell}.old"))
+                moved_aside.append(src)
+            for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
+                dst_dir = os.path.join(path, os.path.basename(cell_dir))
+                if not os.path.isdir(dst_dir):
+                    os.makedirs(dst_dir)
+                    created_children.append(dst_dir)
+                for part in glob.glob(os.path.join(cell_dir, "*.parquet")):
+                    os.rename(
+                        part, os.path.join(dst_dir, os.path.basename(part))
+                    )
+            for name, new_dir in (
+                ("centroids", cents_new_dir),
+                ("cell_stats", stats_new_dir),
+            ):
+                live = os.path.join(meta, name)
+                old = f"{live}.old"
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(live, old)
+                try:
+                    os.rename(new_dir, live)
+                except BaseException:
+                    # restore the previous copy rather than leave NO
+                    # live dir (the finally below would then delete the
+                    # only new copy too); a process death between the
+                    # two renames still leaves `<live>.old` on disk
+                    os.rename(old, live)
+                    raise
+                swapped.append((live, old))
+            # every swap landed: only now drop the previous meta copies
+            # (dropping them per-swap would strand the FIRST swap in its
+            # new state when the SECOND fails and the data dirs revert)
+            for live, old in swapped:
+                shutil.rmtree(old, ignore_errors=True)
+        except BaseException:
+            # undo in reverse: completed meta swaps back (their .old
+            # copies still exist), then children (a sub-cell id may
+            # reuse a split parent's id when that parent tie-broke a
+            # member into a sibling cell), then the parents into place
+            for live, old in swapped:
+                if os.path.isdir(old):
+                    shutil.rmtree(live, ignore_errors=True)
+                    os.rename(old, live)
+            for d in created_children:
+                shutil.rmtree(d, ignore_errors=True)
+            for src in moved_aside:
+                aside = os.path.join(path, f".{os.path.basename(src)}.old")
+                if not os.path.exists(src) and os.path.isdir(aside):
+                    os.rename(aside, src)
+            raise
+        for src in moved_aside:
+            shutil.rmtree(
+                os.path.join(path, f".{os.path.basename(src)}.old"),
+                ignore_errors=True,
+            )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(cents_new_dir, ignore_errors=True)
@@ -1208,6 +1338,29 @@ def ivf_index_compact(
     rows, which the lock turns into a :class:`ConcurrentIndexMutation`
     on the append side instead. Returns ``{cell_id: new_file_count}``
     for the compacted cells."""
+    path = _ivf_index_path(spark, index_name)
+    with _index_write_lock(path):
+        return _compact_cells_locked(
+            spark, path, max_files_per_cell, target_file_bytes
+        )
+
+
+def _compact_cells_locked(
+    spark,
+    path: str,
+    max_files_per_cell: int = 1,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[int, int]:
+    """The per-cell rewrite half of :func:`ivf_index_compact`; the caller
+    holds the index write lock (``ivf_index_append`` runs this inside its
+    own lock span so no second writer can slip between publish and
+    compaction). Per cell, the original part files are RENAMED ASIDE to
+    dot-prefixed names Spark ignores — never unlinked — until every
+    staged replacement file has landed: an exception undoes the staged
+    files and restores the originals, so the cell's rows keep a live
+    copy throughout. (The previous shape unlinked originals first; a
+    failure in the staged renames then hit the staging sweep and
+    destroyed the only copy of the cell's rows.)"""
     import glob
     import math
     import os
@@ -1216,34 +1369,56 @@ def ivf_index_compact(
 
     from .compaction import dataset_bytes
 
-    path = _ivf_index_path(spark, index_name)
     done: dict[int, int] = {}
-    with _index_write_lock(path):
-        for cell_dir in sorted(glob.glob(os.path.join(path, "cell_id=*"))):
-            parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
-            if len(parts) <= max_files_per_cell:
-                continue
-            cell = int(os.path.basename(cell_dir).split("=", 1)[1])
-            n_files = max(
-                1, math.ceil(dataset_bytes(spark, cell_dir) / target_file_bytes)
+    for cell_dir in sorted(glob.glob(os.path.join(path, "cell_id=*"))):
+        parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
+        if len(parts) <= max_files_per_cell:
+            continue
+        cell = int(os.path.basename(cell_dir).split("=", 1)[1])
+        n_files = max(
+            1, math.ceil(dataset_bytes(spark, cell_dir) / target_file_bytes)
+        )
+        staging = f"{path}__staging_{uuid.uuid4().hex}"
+        hidden: list[tuple[str, str]] = []  # (original, aside)
+        landed: list[str] = []
+        try:
+            (
+                spark.read.parquet(cell_dir)
+                .coalesce(n_files)
+                .write.mode("overwrite")
+                .parquet(staging)
             )
-            staging = f"{path}__staging_{uuid.uuid4().hex}"
             try:
-                (
-                    spark.read.parquet(cell_dir)
-                    .coalesce(n_files)
-                    .write.mode("overwrite")
-                    .parquet(staging)
-                )
                 for part in parts:
-                    os.unlink(part)
-                for part in glob.glob(os.path.join(staging, "*.parquet")):
-                    os.rename(
-                        part, os.path.join(cell_dir, os.path.basename(part))
+                    aside = os.path.join(
+                        cell_dir, f".{os.path.basename(part)}.old"
                     )
-            finally:
-                shutil.rmtree(staging, ignore_errors=True)
-            done[cell] = n_files
+                    os.rename(part, aside)
+                    hidden.append((part, aside))
+                for part in glob.glob(os.path.join(staging, "*.parquet")):
+                    dst = os.path.join(cell_dir, os.path.basename(part))
+                    os.rename(part, dst)
+                    landed.append(dst)
+            except BaseException:
+                # undo: staged files out, originals back — the cell is
+                # byte-identical to before the call
+                for dst in landed:
+                    try:
+                        os.unlink(dst)
+                    except FileNotFoundError:
+                        pass
+                for part, aside in hidden:
+                    if os.path.exists(aside) and not os.path.exists(part):
+                        os.rename(aside, part)
+                raise
+            for _, aside in hidden:
+                try:
+                    os.unlink(aside)
+                except FileNotFoundError:
+                    pass
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        done[cell] = n_files
     return done
 
 
@@ -1299,8 +1474,8 @@ def ivf_index_probe(
     if expected_fingerprint is None and expected_corpus is not None:
         expected_fingerprint = _corpus_fingerprint_cached(expected_corpus, id_col)
     if expected_fingerprint is not None:
-        stored = _read_fingerprint(path)
-        actual = expected_fingerprint
+        stored = _fp_core(_read_fingerprint(path))
+        actual = _fp_core(expected_fingerprint)
         if stored != actual:
             raise ValueError(
                 f"stored IVF index '{index_name}' does not match the corpus "

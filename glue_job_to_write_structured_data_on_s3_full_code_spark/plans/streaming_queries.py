@@ -592,7 +592,17 @@ def streaming_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         def _append(batch_df, batch_id):
             if batch_df.isEmpty():
                 return
-            ivf_index_append(batch_df, index_name=name, compact_after_files=2)
+            # foreachBatch is at-least-once: a crash after the append
+            # publishes but before the checkpoint commits re-delivers
+            # this batch_id on restart — the token makes the re-delivery
+            # a no-op instead of a silent double-append (duplicate ids
+            # XOR-cancel, so the fingerprint alone cannot catch it)
+            ivf_index_append(
+                batch_df,
+                index_name=name,
+                compact_after_files=2,
+                idempotency_token=f"stream-batch-{batch_id}",
+            )
 
         try:
             (

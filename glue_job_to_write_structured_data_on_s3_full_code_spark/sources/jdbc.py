@@ -110,13 +110,14 @@ def replicate_tables(
 
     read = reader if reader is not None else read_jdbc
 
-    def _one(spec: dict) -> dict:
-        spec = dict(spec)
-        # resolve INSIDE the try: a malformed entry (missing "table") is
-        # itself a per-table error, not a reason to abort the whole run
-        table = spec.get("table")
+    def _one(spec) -> dict:
+        # resolve INSIDE the try: a malformed entry (missing "table",
+        # or not a mapping at all — None/str from a hand-edited
+        # manifest) is itself a per-table error, never a run abort
+        table = spec.get("table") if isinstance(spec, dict) else None
         dest = None
         try:
+            spec = dict(spec)
             table = spec.pop("table")
             dest = os.path.join(dest_root, spec.pop("dest", table))
             df = read(spark, dbtable=table, **spec)

@@ -617,9 +617,14 @@ def test_every_eager_checkpoint_is_observable():
     go through the parquet staging helpers, which also notify)."""
     import pathlib
 
-    pkg = pathlib.Path(
-        "glue_job_to_write_structured_data_on_s3_full_code_spark"
+    # anchored on this file, not the CWD: a CWD-relative path makes the
+    # ban pass vacuously (rglob of a missing dir yields nothing) when
+    # pytest runs from outside the repo root
+    pkg = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "glue_job_to_write_structured_data_on_s3_full_code_spark"
     )
+    assert pkg.is_dir(), pkg
     raw = [
         str(p)
         for p in pkg.rglob("*.py")

@@ -949,3 +949,199 @@ def test_ivf_rebalance_swap_failure_keeps_a_live_centroid_copy(spark, sf_dir):
     assert spark.read.parquet(live).count() > 0
     # relayout never changes contents, so the fingerprint still verifies
     assert sim.ivf_index_verify(spark, "t_swapfail_idx")["consistent"]
+
+
+def test_ivf_rebalance_publish_failure_loses_no_rows(spark, sf_dir):
+    """A failure while renaming staged children into place must leave the
+    index byte-equivalent to before the call: the review confirmed the
+    previous delete-parents-first publish destroyed the split cells' rows
+    (parents gone, staging swept by the finally). Parents are now renamed
+    aside and restored on undo."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(emb, index_name="t_pubfail_idx")
+    path = sim._ivf_index_path(spark, "t_pubfail_idx")
+    rows_before = spark.read.parquet(path).count()
+    hot = int(
+        sim.ivf_cell_skew_audit(spark, "t_pubfail_idx")
+        .orderBy(F.col("rows_now").desc(), "cell_id")
+        .first()["cell_id"]
+    )
+    probe_before = sorted(
+        tuple(r)
+        for r in sim.ivf_index_probe(
+            emb.where(F.col("vec_id") < 10), k=5, index_name="t_pubfail_idx"
+        ).collect()
+    )
+
+    real_rename = os.rename
+
+    def failing(src, dst):
+        # fail the first staged-child part-file move (src under staging,
+        # dst inside a cell dir)
+        if "__staging_" in src and "cell_id=" in dst:
+            raise OSError("injected publish failure")
+        return real_rename(src, dst)
+
+    os.rename = failing
+    try:
+        with pytest.raises(OSError, match="injected publish failure"):
+            sim.ivf_index_rebalance(spark, "t_pubfail_idx", cells=[hot])
+    finally:
+        os.rename = real_rename
+
+    assert spark.read.parquet(path).count() == rows_before
+    v = sim.ivf_index_verify(spark, "t_pubfail_idx")
+    assert v["consistent"] and v["orphan_cells"] == []
+    probe_after = sorted(
+        tuple(r)
+        for r in sim.ivf_index_probe(
+            emb.where(F.col("vec_id") < 10), k=5, index_name="t_pubfail_idx"
+        ).collect()
+    )
+    assert probe_after == probe_before
+    # no hidden .old parent dirs left behind
+    assert not [d for d in os.listdir(path) if d.endswith(".old")]
+
+
+def test_ivf_compact_failure_loses_no_rows(spark, sf_dir):
+    """A failure while swapping a cell's compacted files in must leave the
+    cell intact: the review confirmed the previous unlink-originals-first
+    swap destroyed the cell's rows on a mid-swap exception."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_cmpfail_idx"
+    )
+    sim.ivf_index_append(
+        emb.where(F.col("vec_id") % 50 == 17), index_name="t_cmpfail_idx"
+    )
+    path = sim._ivf_index_path(spark, "t_cmpfail_idx")
+    rows_before = spark.read.parquet(path).count()
+
+    real_rename = os.rename
+
+    def failing(src, dst):
+        if "__staging_" in src and dst.endswith(".parquet"):
+            raise OSError("injected compact failure")
+        return real_rename(src, dst)
+
+    os.rename = failing
+    try:
+        with pytest.raises(OSError, match="injected compact failure"):
+            sim.ivf_index_compact(spark, "t_cmpfail_idx", max_files_per_cell=1)
+    finally:
+        os.rename = real_rename
+
+    assert spark.read.parquet(path).count() == rows_before
+    assert sim.ivf_index_verify(spark, "t_cmpfail_idx")["consistent"]
+    # no hidden .old part files left behind in any cell
+    assert not glob.glob(os.path.join(path, "cell_id=*", ".*.old"))
+    # and the retry succeeds normally
+    assert sim.ivf_index_compact(spark, "t_cmpfail_idx", max_files_per_cell=1)
+
+
+def test_ivf_append_idempotency_token_skips_replay(spark, sf_dir):
+    """At-least-once delivery: re-appending the SAME batch with the same
+    token must be a no-op — the XOR fingerprint alone cannot catch the
+    replay (duplicate ids XOR-cancel to an apparently-consistent value),
+    which is exactly how the double-append would corrupt silently."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_token_idx"
+    )
+    path = sim._ivf_index_path(spark, "t_token_idx")
+    batch = emb.where(F.col("vec_id") % 150 == 17)
+    sim.ivf_index_append(batch, index_name="t_token_idx", idempotency_token="b0")
+    rows = spark.read.parquet(path).count()
+    fp = sim._read_fingerprint(path)
+    assert fp["last_token"] == "b0"
+    # replay: same token -> skipped entirely
+    sim.ivf_index_append(batch, index_name="t_token_idx", idempotency_token="b0")
+    assert spark.read.parquet(path).count() == rows
+    assert sim._read_fingerprint(path) == fp
+    # next batch with a new token applies
+    batch2 = emb.where(F.col("vec_id") % 150 == 67)
+    n2 = batch2.count()
+    sim.ivf_index_append(batch2, index_name="t_token_idx", idempotency_token="b1")
+    assert spark.read.parquet(path).count() == rows + n2
+    assert sim._read_fingerprint(path)["last_token"] == "b1"
+    # the token never leaks into identity comparisons: probe still verifies
+    assert (
+        sim.ivf_index_probe(
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            index_name="t_token_idx",
+            expected_corpus=emb.where(
+                (F.col("vec_id") % 50 != 17)
+                | (F.col("vec_id") % 150 == 17)
+                | (F.col("vec_id") % 150 == 67)
+            ),
+        ).count()
+        > 0
+    )
+
+
+def test_ivf_build_respects_writer_lock(spark, sf_dir):
+    """A rebuild overwrites cells, centroids, stats, and fingerprint —
+    racing it against another mutation interleaves renames with the
+    overwrite, so build must honor the same single-writer lock."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(emb, index_name="t_buildlock_idx")
+    path = sim._ivf_index_path(spark, "t_buildlock_idx")
+    with sim._index_write_lock(path):
+        with pytest.raises(sim.ConcurrentIndexMutation):
+            sim.build_ivf_index(emb, index_name="t_buildlock_idx")
+    assert sim.ivf_index_verify(spark, "t_buildlock_idx")["consistent"]
+
+
+def test_ivf_verify_flags_orphan_cells(spark, sf_dir):
+    """The count+XOR fingerprint is layout-insensitive: a cell directory
+    no live centroid names holds rows no probe can reach, yet the
+    fingerprint stays clean — verify's reachability check must flag it."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(emb, index_name="t_orphan_idx")
+    path = sim._ivf_index_path(spark, "t_orphan_idx")
+    assert sim.ivf_index_verify(spark, "t_orphan_idx")["consistent"]
+    # simulate the crash-between-swaps state: rows present under a cell
+    # id the centroid set does not name
+    cells = [d for d in os.listdir(path) if d.startswith("cell_id=")]
+    victim = os.path.join(path, sorted(cells)[0])
+    orphan_id = 10**9 + 7
+    os.rename(victim, os.path.join(path, f"cell_id={orphan_id}"))
+    v = sim.ivf_index_verify(spark, "t_orphan_idx")
+    assert v["orphan_cells"] == [orphan_id]
+    assert not v["consistent"]

@@ -610,6 +610,8 @@ def test_replicate_tables_isolates_per_table_failures(spark, sf_dir, tmp_path):
         {"table": "region"},
         {"table": "badtable"},
         {"dest": "orphan"},  # malformed: no "table" — isolated, not fatal
+        None,  # malformed: not a mapping at all — isolated, not fatal
+        "customer",  # malformed: a bare string from a hand-edited manifest
         {"table": "nation", "dest": "nationmigration"},  # per-table dest quirk
     ]
     report = replicate_tables(
@@ -619,9 +621,13 @@ def test_replicate_tables_isolates_per_table_failures(spark, sf_dir, tmp_path):
         snapshot_dt="20231122",
         reader=parquet_reader,
     )
-    assert [r["status"] for r in report] == ["ok", "error", "error", "ok"]
+    assert [r["status"] for r in report] == [
+        "ok", "error", "error", "error", "error", "ok",
+    ]
     assert "injected" in report[1]["error"]
     assert report[2]["table"] is None and "table" in report[2]["error"]
+    assert report[3]["table"] is None and report[3]["error"]
+    assert report[4]["table"] is None and report[4]["error"]
     landed = spark.read.parquet(str(tmp_path / "nationmigration"))
     assert landed.count() == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     assert str(landed.select("snapshot_dt").distinct().collect()[0][0]) == "20231122"
