@@ -851,7 +851,25 @@ def build_ivf_index(
             .write.mode("overwrite")
             .parquet(f"{path}__meta/cell_stats")
         )
-        _write_fingerprint(path, _corpus_fingerprint(corpus, id_col))
+        fp = _corpus_fingerprint(corpus, id_col)
+        # A REBUILD carries the previous append token forward: the
+        # documented repair flow rebuilds from the FULL current corpus,
+        # which already contains every tokened batch — dropping the token
+        # here would re-open the replay window the token exists to close
+        # (a replayed foreachBatch batch would re-append rows the rebuild
+        # already holds, and the XOR fingerprint cannot see duplicates:
+        # ids cancel back to an apparently-consistent value). Rebuilding
+        # from a corpus that does NOT include the last tokened batch is
+        # the one case this is wrong — there the operator deletes the
+        # index dir first (a fresh build has no prior fingerprint).
+        import os
+
+        prior = os.path.join(f"{path}__meta", "fingerprint.json")
+        if os.path.exists(prior):
+            token = _read_fingerprint(path).get("last_token")
+            if token is not None:
+                fp["last_token"] = token
+        _write_fingerprint(path, fp)
     _BUILT_IVF_INDEXES.add(path)
     return path
 
@@ -900,7 +918,14 @@ def ivf_index_append(
     atomically WITH the fingerprint advance, and an append whose token
     equals the stored one is skipped as a duplicate delivery — the XOR
     fingerprint alone cannot catch replays, because duplicate ids
-    XOR-cancel back to an apparently-consistent value."""
+    XOR-cancel back to an apparently-consistent value. The token must
+    identify the LOGICAL batch globally, not just within one run:
+    namespace it by the identity scope of your batch ids (e.g.
+    ``f"{checkpoint_location}:batch-{batch_id}"`` — a bare batch_id
+    collides when a new checkpoint restarts ids at 0 against the same
+    index and would silently drop that first real batch). A rebuild via
+    :func:`build_ivf_index` from the full current corpus carries the
+    stored token forward, so post-repair replays stay no-ops."""
     import glob
     import os
     import shutil
@@ -908,6 +933,18 @@ def ivf_index_append(
 
     spark = batch.sparkSession
     path = _ivf_index_path(spark, index_name)
+    if idempotency_token is not None:
+        # unlocked FAST PATH for the feature's target case: a replayed
+        # delivery should not pay the batch-sized assignment + staged
+        # parquet write just to be discarded at the locked check below
+        # (which stays — this read is advisory, the locked one decides)
+        try:
+            skip = _read_fingerprint(path).get("last_token") == idempotency_token
+        except FileNotFoundError:
+            skip = False
+        if skip:
+            _BUILT_IVF_INDEXES.add(path)
+            return path
     cents = spark.read.parquet(f"{path}__meta/centroids")
     cents_seen = _centroid_token(spark, path)
     par = spark.sparkContext.defaultParallelism
@@ -968,7 +1005,10 @@ def ivf_index_append(
                     _compact_cells_locked(
                         spark, path, max_files_per_cell=compact_after_files
                     )
-                except BaseException as exc:
+                except Exception as exc:
+                    # Exception, not BaseException: a KeyboardInterrupt /
+                    # SystemExit must propagate as itself, not be
+                    # laundered into a catchable application error
                     raise IndexMaintenanceError(
                         f"auto-compaction of '{index_name}' failed AFTER "
                         "the batch was durably published and the "
@@ -990,15 +1030,24 @@ def ivf_index_verify(spark, index_name: str = "ivf_index") -> dict:
     by a live centroid, because the count+XOR fingerprint is
     layout-insensitive — a crash between a rebalance's data swap and its
     centroid swap leaves every row present (fingerprint clean) yet the
-    split cells' rows in directories no probe is ever routed to. Returns
-    ``{"stored", "actual", "orphan_cells", "consistent"}``; callers
-    finding ``consistent=False`` rebuild (or re-append the lost
-    batch)."""
+    split cells' rows in directories no probe is ever routed to. Also
+    reports STALE ASIDES — the hidden ``.…old`` copies rebalance/compact
+    rename originals to during a swap: a crash can leave them behind,
+    where they hold duplicate (invisible) data forever and would
+    otherwise never surface in any audit. Returns ``{"stored", "actual",
+    "orphan_cells", "stale_asides", "consistent"}``; callers finding
+    ``consistent=False`` rebuild (or re-append the lost batch)."""
+    import glob as _glob
     import os
 
     path = _ivf_index_path(spark, index_name)
     actual = _corpus_fingerprint(spark.read.parquet(path), "neighbor_id")
     stored = _read_fingerprint(path)
+    stale = sorted(
+        os.path.relpath(p, path)
+        for p in _glob.glob(os.path.join(path, ".cell_id=*.old"))
+        + _glob.glob(os.path.join(path, "cell_id=*", ".*.old"))
+    )
     live = {
         int(r["cent_id"])
         for r in spark.read.parquet(f"{path}__meta/centroids")
@@ -1017,7 +1066,10 @@ def ivf_index_verify(spark, index_name: str = "ivf_index") -> dict:
         "stored": stored,
         "actual": actual,
         "orphan_cells": orphans,
-        "consistent": _fp_core(stored) == _fp_core(actual) and not orphans,
+        "stale_asides": stale,
+        "consistent": (
+            _fp_core(stored) == _fp_core(actual) and not orphans and not stale
+        ),
     }
 
 
@@ -1256,13 +1308,28 @@ def _ivf_rebalance_locked(
         try:
             for cell in cells:
                 src = os.path.join(path, f"cell_id={cell}")
-                os.rename(src, os.path.join(path, f".cell_id={cell}.old"))
+                aside = os.path.join(path, f".cell_id={cell}.old")
+                # a stale aside (crash residue a prior verify reported)
+                # would make this rename fail with ENOTEMPTY forever
+                shutil.rmtree(aside, ignore_errors=True)
+                os.rename(src, aside)
                 moved_aside.append(src)
             for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
                 dst_dir = os.path.join(path, os.path.basename(cell_dir))
-                if not os.path.isdir(dst_dir):
+                # unconditional, TRACKED create: a pre-existing dir here
+                # can only be orphan crash residue (verify flags those);
+                # renaming staged parts into an untracked live dir would
+                # break the undo's byte-identical-restore guarantee, so
+                # fail BEFORE anything moves and point at the repair
+                try:
                     os.makedirs(dst_dir)
-                    created_children.append(dst_dir)
+                except FileExistsError:
+                    raise RuntimeError(
+                        f"rebalance target {dst_dir} already exists — "
+                        "orphan residue from a crashed mutation; run "
+                        "ivf_index_verify and repair before rebalancing"
+                    ) from None
+                created_children.append(dst_dir)
                 for part in glob.glob(os.path.join(cell_dir, "*.parquet")):
                     os.rename(
                         part, os.path.join(dst_dir, os.path.basename(part))

@@ -589,6 +589,8 @@ def streaming_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             now = os.stat(dst).st_mtime
             os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
 
+        ckpt = os.path.join(work, "ckpt")
+
         def _append(batch_df, batch_id):
             if batch_df.isEmpty():
                 return
@@ -596,12 +598,18 @@ def streaming_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             # publishes but before the checkpoint commits re-delivers
             # this batch_id on restart — the token makes the re-delivery
             # a no-op instead of a silent double-append (duplicate ids
-            # XOR-cancel, so the fingerprint alone cannot catch it)
+            # XOR-cancel, so the fingerprint alone cannot catch it).
+            # The token is namespaced by the CHECKPOINT location, the
+            # identity batch_ids are scoped to: a restart from the same
+            # checkpoint reuses the token (replay caught), while a new
+            # checkpoint restarting ids at 0 yields a different token —
+            # a bare batch_id would collide and silently DROP that
+            # first real batch as a phantom duplicate
             ivf_index_append(
                 batch_df,
                 index_name=name,
                 compact_after_files=2,
-                idempotency_token=f"stream-batch-{batch_id}",
+                idempotency_token=f"{ckpt}:batch-{batch_id}",
             )
 
         try:
@@ -610,7 +618,7 @@ def streaming_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
                 .option("maxFilesPerTrigger", "1")
                 .parquet(in_dir)
                 .writeStream.foreachBatch(_append)
-                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
                 .awaitTermination()

@@ -1145,3 +1145,90 @@ def test_ivf_verify_flags_orphan_cells(spark, sf_dir):
     v = sim.ivf_index_verify(spark, "t_orphan_idx")
     assert v["orphan_cells"] == [orphan_id]
     assert not v["consistent"]
+
+
+def test_ivf_rebuild_carries_idempotency_token_forward(spark, sf_dir):
+    """The documented repair flow rebuilds from the FULL current corpus —
+    which already holds every tokened batch. A rebuild that dropped the
+    stored token would re-open the replay window: the replayed batch
+    would re-append rows the rebuild already contains, and the XOR
+    fingerprint cannot see duplicates (ids cancel). The rebuild must
+    carry the token forward so post-repair replays stay no-ops."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    sim.build_ivf_index(base, index_name="t_rebuild_tok_idx")
+    sim.ivf_index_append(
+        batch, index_name="t_rebuild_tok_idx", idempotency_token="b7"
+    )
+    path = sim._ivf_index_path(spark, "t_rebuild_tok_idx")
+    # repair: rebuild from the FULL corpus (base ∪ batch)
+    sim.build_ivf_index(emb, index_name="t_rebuild_tok_idx")
+    assert sim._read_fingerprint(path)["last_token"] == "b7"
+    rows = spark.read.parquet(path).count()
+    # the stream replays the uncommitted batch after the repair
+    sim.ivf_index_append(
+        batch, index_name="t_rebuild_tok_idx", idempotency_token="b7"
+    )
+    assert spark.read.parquet(path).count() == rows
+    assert sim.ivf_index_verify(spark, "t_rebuild_tok_idx")["consistent"]
+
+
+def test_ivf_append_replay_fast_path_runs_no_assignment(spark, sf_dir):
+    """A replayed delivery must be discarded BEFORE the batch-sized
+    assignment and staged parquet write — the whole point of exactly-once
+    is that replays are near-free, not full Spark jobs swept at the
+    locked check."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_fastpath_idx"
+    )
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    sim.ivf_index_append(
+        batch, index_name="t_fastpath_idx", idempotency_token="b0"
+    )
+
+    real = sim._ivf_assign
+
+    def forbidden(*a, **k):
+        raise AssertionError("replay ran the assignment job")
+
+    sim._ivf_assign = forbidden
+    try:
+        sim.ivf_index_append(
+            batch, index_name="t_fastpath_idx", idempotency_token="b0"
+        )
+    finally:
+        sim._ivf_assign = real
+    assert sim.ivf_index_verify(spark, "t_fastpath_idx")["consistent"]
+
+
+def test_ivf_verify_flags_stale_asides(spark, sf_dir):
+    """Crash residue: the hidden `.…old` copies rebalance/compact rename
+    originals to are invisible to the fingerprint scan AND the orphan
+    check (Spark ignores dot-files), so verify must surface them — they
+    hold duplicate data forever and block a later rebalance of a reused
+    cell id."""
+    import os
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(emb, index_name="t_aside_idx")
+    path = sim._ivf_index_path(spark, "t_aside_idx")
+    assert sim.ivf_index_verify(spark, "t_aside_idx")["consistent"]
+    os.makedirs(os.path.join(path, ".cell_id=0.old"))
+    v = sim.ivf_index_verify(spark, "t_aside_idx")
+    assert v["stale_asides"] == [".cell_id=0.old"]
+    assert not v["consistent"]
