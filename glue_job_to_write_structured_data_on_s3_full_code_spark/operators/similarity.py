@@ -703,6 +703,16 @@ def _read_fingerprint(path: str) -> dict:
         return json.load(fh)
 
 
+def _read_fingerprint_or_none(path: str) -> dict | None:
+    """One behavior for every 'if the index has a fingerprint' site
+    (build's rebuild detection, append's replay fast path) — hand-rolled
+    variants of this drift."""
+    try:
+        return _read_fingerprint(path)
+    except FileNotFoundError:
+        return None
+
+
 def _centroid_token(spark, path: str) -> dict:
     """Identity of the stored centroid SET (count + bit_xor of cent_id
     hashes, one scan of the ≤``max_centroids``-row meta table). An append
@@ -821,8 +831,17 @@ def build_ivf_index(
     renames with the overwrite — rows present but uncounted, or counted
     but deleted. Like every other mutation, concurrency raises
     :class:`ConcurrentIndexMutation` instead."""
+    import os
+
     spark = corpus.sparkSession
     path = _ivf_index_path(spark, index_name)
+    # captured BEFORE the overwrite below recreates the data dir: a
+    # REBUILD (live data exists) carries the append token forward; a
+    # fresh build — including one where the operator deleted the data
+    # dir to discard the token — must not (checking only the
+    # fingerprint file would mis-detect, since __meta is a SIBLING dir
+    # that deleting the data dir leaves behind)
+    is_rebuild = os.path.isdir(path)
     cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
     par = spark.sparkContext.defaultParallelism
     assigned = _ivf_assign(
@@ -861,14 +880,11 @@ def build_ivf_index(
         # ids cancel back to an apparently-consistent value). Rebuilding
         # from a corpus that does NOT include the last tokened batch is
         # the one case this is wrong — there the operator deletes the
-        # index dir first (a fresh build has no prior fingerprint).
-        import os
-
-        prior = os.path.join(f"{path}__meta", "fingerprint.json")
-        if os.path.exists(prior):
-            token = _read_fingerprint(path).get("last_token")
-            if token is not None:
-                fp["last_token"] = token
+        # index DATA dir first, which makes this a fresh build
+        # (is_rebuild was captured before the overwrite above).
+        prior = _read_fingerprint_or_none(path) if is_rebuild else None
+        if prior is not None and prior.get("last_token") is not None:
+            fp["last_token"] = prior["last_token"]
         _write_fingerprint(path, fp)
     _BUILT_IVF_INDEXES.add(path)
     return path
@@ -937,12 +953,16 @@ def ivf_index_append(
         # unlocked FAST PATH for the feature's target case: a replayed
         # delivery should not pay the batch-sized assignment + staged
         # parquet write just to be discarded at the locked check below
-        # (which stays — this read is advisory, the locked one decides)
-        try:
-            skip = _read_fingerprint(path).get("last_token") == idempotency_token
-        except FileNotFoundError:
-            skip = False
-        if skip:
+        # (which stays — this read is advisory, the locked one decides).
+        # The data-dir check keeps the skip honest: a stale fingerprint
+        # surviving next to a deleted index must not declare the replay
+        # served
+        fp = _read_fingerprint_or_none(path)
+        if (
+            fp is not None
+            and fp.get("last_token") == idempotency_token
+            and os.path.isdir(path)
+        ):
             _BUILT_IVF_INDEXES.add(path)
             return path
     cents = spark.read.parquet(f"{path}__meta/centroids")
@@ -1309,9 +1329,18 @@ def _ivf_rebalance_locked(
             for cell in cells:
                 src = os.path.join(path, f"cell_id={cell}")
                 aside = os.path.join(path, f".cell_id={cell}.old")
-                # a stale aside (crash residue a prior verify reported)
-                # would make this rename fail with ENOTEMPTY forever
-                shutil.rmtree(aside, ignore_errors=True)
+                # a stale aside is crash residue that can hold the ONLY
+                # copy of this cell's rows (death right after the
+                # rename-aside, before any staged child landed) — refuse
+                # loudly rather than delete it or fail with a bare
+                # ENOTEMPTY; verify reports these as stale_asides
+                if os.path.exists(aside):
+                    raise RuntimeError(
+                        f"stale aside {aside} exists — crash residue "
+                        "that may hold the only copy of the cell's "
+                        "rows; run ivf_index_verify and repair "
+                        "(restore or remove it) before rebalancing"
+                    )
                 os.rename(src, aside)
                 moved_aside.append(src)
             for cell_dir in glob.glob(os.path.join(staging, "cell_id=*")):
@@ -1460,6 +1489,15 @@ def _compact_cells_locked(
                     aside = os.path.join(
                         cell_dir, f".{os.path.basename(part)}.old"
                     )
+                    # same refusal policy as rebalance: a stale aside is
+                    # crash residue possibly holding the only copy of
+                    # rows — rename-over-file would silently replace it
+                    if os.path.exists(aside):
+                        raise RuntimeError(
+                            f"stale aside {aside} exists — crash residue; "
+                            "run ivf_index_verify and repair before "
+                            "compacting"
+                        )
                     os.rename(part, aside)
                     hidden.append((part, aside))
                 for part in glob.glob(os.path.join(staging, "*.parquet")):

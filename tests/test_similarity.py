@@ -1232,3 +1232,76 @@ def test_ivf_verify_flags_stale_asides(spark, sf_dir):
     v = sim.ivf_index_verify(spark, "t_aside_idx")
     assert v["stale_asides"] == [".cell_id=0.old"]
     assert not v["consistent"]
+
+
+def test_ivf_fresh_build_after_data_dir_delete_drops_token(spark, sf_dir):
+    """The discard-the-token escape hatch: rebuilding from a corpus that
+    does NOT include the tokened batch requires deleting the index DATA
+    dir first. The rebuild detection must key off the data dir — the
+    sibling __meta dir survives the delete, and carrying its token
+    forward would make the re-delivered (now REAL) batch silently
+    dropped as a phantom duplicate."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    n_batch = batch.count()
+    sim.build_ivf_index(base, index_name="t_fresh_tok_idx")
+    sim.ivf_index_append(
+        batch, index_name="t_fresh_tok_idx", idempotency_token="b9"
+    )
+    path = sim._ivf_index_path(spark, "t_fresh_tok_idx")
+    # upstream rolled the batch back: operator deletes the DATA dir and
+    # rebuilds from base only (__meta survives, as it would in practice)
+    shutil.rmtree(path)
+    sim.build_ivf_index(base, index_name="t_fresh_tok_idx")
+    assert "last_token" not in sim._read_fingerprint(path)
+    rows = spark.read.parquet(path).count()
+    # the batch is re-delivered and is REAL now — it must apply
+    sim.ivf_index_append(
+        batch, index_name="t_fresh_tok_idx", idempotency_token="b9"
+    )
+    assert spark.read.parquet(path).count() == rows + n_batch
+    assert sim.ivf_index_verify(spark, "t_fresh_tok_idx")["consistent"]
+
+
+def test_ivf_rebalance_refuses_stale_aside(spark, sf_dir):
+    """A stale aside can hold the ONLY copy of a cell's rows (crash right
+    after the rename-aside): rebalance must refuse loudly — deleting it
+    would be silent permanent data loss, and a bare ENOTEMPTY points at
+    nothing."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(emb, index_name="t_staleaside_idx")
+    path = sim._ivf_index_path(spark, "t_staleaside_idx")
+    hot = int(
+        sim.ivf_cell_skew_audit(spark, "t_staleaside_idx")
+        .orderBy(F.col("rows_now").desc(), "cell_id")
+        .first()["cell_id"]
+    )
+    marker = os.path.join(path, f".cell_id={hot}.old")
+    os.makedirs(marker)
+    with open(os.path.join(marker, "residue"), "w") as fh:
+        fh.write("x")
+    with pytest.raises(RuntimeError, match="stale aside"):
+        sim.ivf_index_rebalance(spark, "t_staleaside_idx", cells=[hot])
+    # the residue is untouched and the index data is intact
+    assert os.path.exists(os.path.join(marker, "residue"))
+    v = sim.ivf_index_verify(spark, "t_staleaside_idx")
+    assert v["stale_asides"] and not v["consistent"]
+    os.remove(os.path.join(marker, "residue"))
+    os.rmdir(marker)
+    assert sim.ivf_index_verify(spark, "t_staleaside_idx")["consistent"]
