@@ -26,14 +26,45 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(
-    target: DataFrame, source: DataFrame, key_cols: list[str]
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    validate_unique_source: bool = False,
 ) -> DataFrame:
     """Rows of ``source`` replace same-key rows of ``target``; target rows
-    without a source match survive. Schemas must align by name."""
+    without a source match survive. Schemas must align by name.
+
+    The source must be key-unique — SQL MERGE raises on multiple source
+    matches, and a duplicated delta here would land BOTH rows in the
+    output (every downstream key-unique consumer then sees corrupt
+    state, silently). The default trusts the caller's CDC dedup;
+    ``validate_unique_source=True`` enforces it in-plan (a count window
+    over the source + per-row assert — one extra shuffle of the
+    delta-sized source, none of the big target)."""
     assert set(target.columns) == set(source.columns), (
         "merge_upsert: schemas must match by name; got "
         f"{sorted(set(target.columns) ^ set(source.columns))} unmatched"
     )
+    if validate_unique_source:
+        from pyspark.sql import Window
+
+        # assert folded into a filter (assert_true yields NULL on pass →
+        # isNull() is a tautological predicate) so column pruning cannot
+        # eliminate it — same pattern as lsh_bucketed_topk's dim check
+        n = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        source = (
+            source.withColumn("_kn", n)
+            .where(
+                F.assert_true(
+                    F.col("_kn") == 1,
+                    F.lit(
+                        "merge_upsert: duplicate source keys — SQL MERGE "
+                        "semantics require a key-unique source"
+                    ),
+                ).isNull()
+            )
+            .drop("_kn")
+        )
     # no broadcast hint: the delta is usually small enough that AQE picks
     # a broadcast anti join on its own, but a backfill-sized source must
     # be allowed to shuffle
@@ -50,9 +81,17 @@ def merge_upsert_columns(
     """Column-subset MERGE: matched rows take ``update_cols`` from the
     source and keep every other column from the target; unmatched source
     rows insert (non-updated columns null); unmatched target rows
-    survive unchanged."""
+    survive unchanged.
+
+    Matched rows take the source value EVEN WHEN IT IS NULL — the
+    ``UPDATE SET c = s.c`` semantics of SQL MERGE ("clear the amount" is
+    a legitimate update). A per-column coalesce cannot express that (it
+    reads a NULL update as "no match"), so matching is decided by an
+    explicit indicator column instead."""
     t = target.alias("t")
-    s = source.select(*key_cols, *update_cols).alias("s")
+    s = source.select(
+        *key_cols, *update_cols, F.lit(True).alias("_matched")
+    ).alias("s")
     joined = t.join(s, key_cols, "full_outer")
     out_cols = []
     for c in target.columns:
@@ -60,7 +99,11 @@ def merge_upsert_columns(
             # full_outer on the key list coalesces the key automatically
             out_cols.append(F.col(c))
         elif c in update_cols:
-            out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+            out_cols.append(
+                F.when(F.col("s._matched").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
     return joined.select(*out_cols)

@@ -20,11 +20,17 @@ from pyspark.sql import functions as F
 
 
 def row_hash(cols: list[str]) -> Column:
-    """Canonical md5 over the compared columns. NULL → sentinel so
-    (NULL) and ('') hash differently; unit separator avoids gluing
-    adjacent values ('ab','c' vs 'a','bc')."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
-    return F.md5(F.concat_ws("\x1f", *parts))
+    """Canonical md5 over the compared columns: md5 of the concatenated
+    PER-COLUMN md5s. Hash-of-hashes, not delimiter-joined values — the
+    inner digests are fixed-width, so no value can collide across column
+    boundaries (a plain separator join makes ('a\\x1fb','c') and
+    ('a','b\\x1fc') equal, silently missing a real change). NULL hashes
+    to a distinct constant so (NULL) and ('') differ."""
+    parts = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("0" * 32))
+        for c in cols
+    ]
+    return F.md5(F.concat(*parts))
 
 
 def scd2_merge(
@@ -53,16 +59,31 @@ def scd2_merge(
     Closed historical rows (``valid_to`` not NULL) never join — they are
     filtered out of the comparison and unioned back, so reruns are
     idempotent: re-merging the same snapshot is a no-op.
+
+    Business columns OUTSIDE ``compare_cols`` are carried through, not
+    compared (type-0 payload alongside the type-2 history): a changed
+    row's new version takes them from the update snapshot, the
+    closed-out version keeps the historical values, and a change in
+    ONLY a carried column neither opens a new version nor rewrites the
+    open one. The update snapshot must carry every business column of
+    ``current``.
     """
-    biz_cols = [key, *compare_cols]
+    biz_cols = [
+        c for c in current.columns if c not in (open_date_col, close_date_col)
+    ]
+    missing = [c for c in biz_cols if c not in updates.columns]
+    assert not missing, (
+        f"scd2_merge: updates snapshot lacks business columns {missing}"
+    )
+    hash_cols = [key, *compare_cols]
     closed = current.where(F.col(close_date_col).isNotNull())
     open_cur = current.where(F.col(close_date_col).isNull())
 
     upd = updates.select(
         *[F.col(c).alias(f"_u_{c}") for c in biz_cols],
-        row_hash(biz_cols).alias("_u_hash"),
+        row_hash(hash_cols).alias("_u_hash"),
     )
-    cur = open_cur.withColumn("_c_hash", row_hash(biz_cols))
+    cur = open_cur.withColumn("_c_hash", row_hash(hash_cols))
     j = cur.join(upd, cur[key] == F.col(f"_u_{key}"), "full_outer")
 
     unchanged = j.where(

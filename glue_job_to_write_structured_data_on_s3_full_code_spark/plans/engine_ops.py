@@ -105,10 +105,15 @@ def merge_update_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MERGE_UPDATE_COLUMNS_ORACLE = f"""
 WITH delta AS ({_DELTA_SQL})
+-- match decided by the join key, not per-column coalesce: a matched
+-- row takes the delta value even when it is NULL (UPDATE SET c = s.c),
+-- mirroring operators/merge.merge_upsert_columns' _matched indicator
 SELECT coalesce(o.o_orderkey, d.o_orderkey) AS o_orderkey,
        o.o_custkey,
-       coalesce(d.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
-       coalesce(d.o_totalprice, o.o_totalprice) AS o_totalprice,
+       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus
+            ELSE o.o_orderstatus END AS o_orderstatus,
+       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+            ELSE o.o_totalprice END AS o_totalprice,
        o.o_orderdate,
        o.o_orderpriority
 FROM orders o FULL OUTER JOIN delta d USING (o_orderkey)

@@ -109,12 +109,20 @@ FROM events
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min idle timeout): lag + running sum —
     the batch equivalent of a streaming session window. One shuffle on
-    user_id; event_id breaks ordering ties deterministically."""
+    user_id; event_id breaks ordering ties deterministically.
+
+    The gap compares exact integer MICROSECONDS (`unix_micros`, the
+    timestamp's native precision): the fixture's timestamps are all
+    sub-second, and the previously-used `unix_timestamp` TRUNCATES to
+    seconds — a 1800.5 s true gap would read as 1800 and not split,
+    while the streaming twin (and DuckDB's fractional `epoch`) would
+    split. Integer micros make the batch query, the stateful streaming
+    operator, and the oracle decide every boundary identically."""
     tune(spark)
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         ev.withColumn("is_new", new_session)
         .withColumn(
@@ -131,7 +139,7 @@ EVENTS_SESSION_ORACLE = """
 WITH g AS (
     SELECT event_id, user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -90,24 +90,11 @@ def run_anomaly_stream(
     output_dir: str,
     schema: str = "event_id long, ts timestamp, user_id long, value_cents long",
 ) -> None:
-    """Drive :func:`stateful_anomaly` over a directory of parquet files,
-    one micro-batch per file (cross-batch state is actually exercised),
-    appending update-mode emissions to ``output_dir``."""
-    events = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(input_dir)
-    )
-    alerts = stateful_anomaly(events)
+    """Drive :func:`stateful_anomaly` over a directory of parquet files
+    via the shared idempotent runner (one micro-batch per file, per-batch
+    overwrite sink — see streaming/runner.py). Returns when caught up."""
+    from .runner import run_file_stream
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
-
-    (
-        alerts.writeStream.foreachBatch(_sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    run_file_stream(
+        spark, input_dir, checkpoint_dir, output_dir, schema, stateful_anomaly
     )

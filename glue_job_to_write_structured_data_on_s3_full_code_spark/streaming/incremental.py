@@ -42,12 +42,23 @@ def stream_incremental_load(
     Runs as an available-now catch-up and returns when caught up."""
 
     def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         out = transform(batch_df) if transform is not None else batch_df
         try:
             existing = spark.read.parquet(target_path)
-        except Exception:
+        except AnalysisException as exc:
+            # ONLY the first-ever-batch case (target not created yet) may
+            # fall back to empty — treating ANY read failure (transient
+            # storage error, permissions, corrupt footer) as "target is
+            # empty" would defeat the anti-join and append the whole
+            # batch as duplicates
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             existing = spark.createDataFrame([], out.schema)
         new_rows = anti_join_new_rows(out, existing, key)
+        # the anti-join itself makes batch REPLAY idempotent: re-delivered
+        # rows already in the target are filtered out by key
         new_rows.write.mode("append").parquet(target_path)
 
     (
@@ -101,11 +112,14 @@ def stream_stream_interval_join(
     asserts exact agreement."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
+    # side-qualified time refs, like the key: bare F.col(ts) is ambiguous
+    # the moment both streams name their event time identically ('ts' ==
+    # 'ts'), which is the natural case
     return lw.join(
         rw,
         (lw[key] == rw[key])
-        & (F.col(right_ts) >= F.col(left_ts))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {within}")),
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {within}")),
     ).drop(rw[key])
 
 
@@ -114,16 +128,21 @@ def stream_static_enrich(
     dim: DataFrame,
     key: str,
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static join: enrich a stream against a batch dimension.
 
     The static side is re-planned per micro-batch (so a dim refreshed
-    between batches is picked up) and broadcast when small — the stream
-    side never shuffles and carries no join state, unlike stream-stream
-    joins. This is the streaming twin of the reference's lookup
-    enrichment (FULL.py:411-475); at 100 TB/day of events the dim
-    broadcast is what keeps the hot path map-only."""
-    return stream.join(F.broadcast(dim), key, how)
+    between batches is picked up). ``broadcast=True`` (default) forces
+    the map-only shape for genuinely small dims — the stream side never
+    shuffles and carries no join state, unlike stream-stream joins. The
+    hint OVERRIDES Spark's size-based planning and cannot be demoted, so
+    pass ``broadcast=False`` for a dimension near or over executor
+    memory and let AQE plan the per-micro-batch join instead. This is
+    the streaming twin of the reference's lookup enrichment
+    (FULL.py:411-475); at 100 TB/day of events the dim broadcast is what
+    keeps the hot path map-only."""
+    return stream.join(F.broadcast(dim) if broadcast else dim, key, how)
 
 
 def watermarked_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

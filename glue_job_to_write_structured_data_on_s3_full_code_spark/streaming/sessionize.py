@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 OUTPUT_SCHEMA = "event_id long, user_id long, ts timestamp, session_num long"
-STATE_SCHEMA = "last_epoch double, session_num long"
+STATE_SCHEMA = "last_epoch_us long, session_num long"
 
 
 def stateful_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
@@ -42,12 +42,18 @@ def stateful_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         if batch.empty:
             return
         batch = batch.sort_values(["ts", "event_id"])
-        epochs = batch["ts"].astype("int64") / 1e9
+        # exact integer MICROSECONDS (ns → us is lossless int division):
+        # a float-seconds epoch both loses ~ns precision and disagrees
+        # with the batch twin's integer unix_micros gap on sub-second
+        # timestamps (e.g. a true 1800.5 s gap), breaking the documented
+        # row-for-row parity exactly at session boundaries
+        epochs = batch["ts"].astype("int64") // 1_000
+        gap_us = gap_sec * 1_000_000
         out_sessions = []
         for ep in epochs:
-            if last_epoch is None or ep - last_epoch > gap_sec:
+            if last_epoch is None or ep - last_epoch > gap_us:
                 session_num += 1
-            last_epoch = ep
+            last_epoch = int(ep)
             out_sessions.append(session_num)
         state.update((last_epoch, session_num))
         yield pd.DataFrame(
@@ -80,26 +86,16 @@ def run_sessionize_stream(
     schema: str = "event_id long, ts timestamp, user_id long",
     gap_sec: int = 1800,
 ) -> None:
-    """Drive :func:`stateful_sessionize` over a directory of parquet files,
-    one micro-batch per file (so cross-batch state is actually exercised),
-    appending update-mode emissions to ``output_dir``. Returns when caught
-    up (available-now)."""
+    """Drive :func:`stateful_sessionize` over a directory of parquet files
+    via the shared idempotent runner (one micro-batch per file, per-batch
+    overwrite sink — see streaming/runner.py). Returns when caught up."""
+    from .runner import run_file_stream
 
-    events = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(input_dir)
-    )
-    sessions = stateful_sessionize(events, gap_sec=gap_sec)
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
-
-    (
-        sessions.writeStream.foreachBatch(_sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    run_file_stream(
+        spark,
+        input_dir,
+        checkpoint_dir,
+        output_dir,
+        schema,
+        lambda events: stateful_sessionize(events, gap_sec=gap_sec),
     )

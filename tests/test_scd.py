@@ -75,3 +75,50 @@ def test_snapshot_diff_drops_unchanged(spark):
     new = spark.createDataFrame([(2, 2.0), (3, 9.0), (4, 4.0)], "k int, v double")
     got = {(r.k, r.status) for r in snapshot_diff(old, new, "k", ["v"]).collect()}
     assert got == {(1, "removed"), (3, "changed"), (4, "added")}
+
+
+def test_row_hash_no_cross_column_collisions(spark):
+    """Hash-of-hashes: values containing the old join separator must not
+    collide across column boundaries — ('a\\x1fb','c') vs ('a','b\\x1fc')
+    previously hashed equal and scd2 silently missed the change."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.scd import row_hash
+
+    df = spark.createDataFrame(
+        [("a\x1fb", "c"), ("a", "b\x1fc"), (None, "x"), ("", "x")],
+        "c1 string, c2 string",
+    )
+    hashes = [r.h for r in df.select(row_hash(["c1", "c2"]).alias("h")).collect()]
+    assert len(set(hashes)) == 4  # all four rows distinct
+
+
+def test_scd2_merge_carries_non_compared_columns(spark):
+    """A business column outside compare_cols is carried through (type-0
+    payload): previously its mere presence crashed the closing union."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [(1, "alice", 100.0, "addr-1", "2023-01-01", None),
+         (2, "bob", 50.0, "addr-2", "2023-01-01", None)],
+        "id int, name string, bal double, address string, "
+        "valid_from string, valid_to string",
+    ).selectExpr(
+        "id", "name", "bal", "address",
+        "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+    )
+    updates = spark.createDataFrame(
+        [(1, "alice", 175.0, "addr-1-new"),   # bal changed -> new version
+         (2, "bob", 50.0, "addr-2-new")],     # only carried col changed -> no-op
+        "id int, name string, bal double, address string",
+    )
+    out = scd2_merge(current, updates, "id", ["name", "bal"], "2023-06-01")
+    rows = {(r.id, str(r.valid_from), r.valid_to and str(r.valid_to)): r
+            for r in out.collect()}
+    # id=1: closed-out keeps the HISTORICAL address; new version takes the new one
+    closed = rows[(1, "2023-01-01", "2023-06-01")]
+    assert closed.address == "addr-1" and closed.bal == 100.0
+    opened = rows[(1, "2023-06-01", None)]
+    assert opened.address == "addr-1-new" and opened.bal == 175.0
+    # id=2: carried-only change neither opens a version nor rewrites
+    assert rows[(2, "2023-01-01", None)].address == "addr-2"
+    assert len(rows) == 3

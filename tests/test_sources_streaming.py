@@ -688,3 +688,131 @@ def test_replicate_tables_concurrent_with_isolated_failure(spark, sf_dir, tmp_pa
         assert got.count() == spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
         assert str(got.select("snapshot_dt").distinct().collect()[0][0]) == "20231122"
     assert not (tmp_path / "badtable").exists()
+
+
+def test_sessionization_subsecond_gap_parity(spark, tmp_path):
+    """Session boundaries decided in exact integer MICROSECONDS by batch
+    and streaming alike: a true 1800.5 s gap must open a new session in
+    BOTH (the old truncated-seconds batch gap read it as 1800 and kept
+    the session; the old float-seconds streaming epoch disagreed with
+    the batch twin exactly at boundaries)."""
+    import datetime
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.events_queries import (
+        events_sessionization,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.streaming.sessionize import (
+        run_sessionize_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0, 250000)
+    rows = [
+        (1, 7, base),
+        # +1800.500000 s: > 30 min by half a second -> NEW session
+        (2, 7, base + datetime.timedelta(seconds=1800, microseconds=500_000)),
+        # +1799.5 s after the previous event -> same session
+        (3, 7, base + datetime.timedelta(seconds=3600)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    ev.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got_batch = {
+        r.event_id: r.session_num
+        for r in events_sessionization(spark, str(tmp_path)).collect()
+    }
+    assert got_batch == {1: 1, 2: 2, 3: 2}
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    import os
+    import shutil
+
+    os.makedirs(in_dir)
+    src = [
+        f
+        for f in os.listdir(str(tmp_path / "events.parquet"))
+        if f.endswith(".parquet")
+    ][0]
+    shutil.copy(
+        os.path.join(str(tmp_path / "events.parquet"), src),
+        os.path.join(in_dir, "part-000.parquet"),
+    )
+    run_sessionize_stream(spark, in_dir, str(tmp_path / "ck"), out_dir)
+    got_stream = {
+        r.event_id: r.session_num
+        for r in spark.read.parquet(out_dir)
+        .select("event_id", "session_num")
+        .collect()
+    }
+    assert got_stream == got_batch
+
+
+def test_interval_join_same_named_timestamps(spark, sf_dir, tmp_path):
+    """Both streams naming their event time 'ts' is the natural case —
+    the join condition must qualify the time refs per side (a bare
+    F.col('ts') was ambiguous and failed at plan time)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("buy_id")
+    )
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    clicks.coalesce(1).write.parquet(cdir)
+    buys.coalesce(1).write.parquet(bdir)
+    cs = spark.readStream.schema(
+        "user_id bigint, ts timestamp, click_id bigint"
+    ).parquet(cdir)
+    bs = spark.readStream.schema(
+        "user_id bigint, ts timestamp, buy_id bigint"
+    ).parquet(bdir)
+    joined = stream_stream_interval_join(
+        cs, bs, "user_id", left_ts="ts", right_ts="ts",
+        within="1 hour", watermark="3650 days",
+    )
+    (
+        joined.writeStream.format("memory")
+        .queryName("ssj_same_ts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.sql("SELECT click_id, buy_id FROM ssj_same_ts")
+    batch = clicks.alias("c").join(
+        buys.alias("b"),
+        (F.col("c.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("c.ts"))
+        & (F.col("b.ts") <= F.col("c.ts") + F.expr("interval 1 hour")),
+    ).select("click_id", "buy_id")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_incremental_load_raises_on_unreadable_target(spark, sf_dir, tmp_path):
+    """Only a MISSING target may fall back to 'empty' — any other read
+    failure (corrupt footer, permissions) must abort the batch, because
+    treating it as empty defeats the anti-join and appends the whole
+    batch as duplicates."""
+    import pytest
+
+    inp, tgt, ck = str(tmp_path / "in"), str(tmp_path / "tgt"), str(tmp_path / "ck")
+    read_table(spark, sf_dir, "region").coalesce(1).write.parquet(inp)
+    # a target that EXISTS but is unreadable: one corrupt parquet file
+    import os
+
+    os.makedirs(tgt)
+    with open(os.path.join(tgt, "part-000.parquet"), "wb") as fh:
+        fh.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        stream_incremental_load(
+            spark, inp, "r_regionkey bigint, r_name string, r_comment string",
+            "r_regionkey", tgt, ck,
+        )
+    # the corrupt file is untouched — nothing was appended as duplicates
+    assert os.listdir(tgt) == ["part-000.parquet"]
