@@ -38,9 +38,18 @@ def build_bloom_bits(
             F.array(
                 *[
                     # seed cast long: xxhash64 hashes the input TYPE too,
-                    # and the probe expression writes the seed as `{n}L`
+                    # and the probe expression writes the seed as `{n}L`.
+                    # The KEY is hashed through a string cast for the same
+                    # reason: build and probe hash DIFFERENT columns, and
+                    # xxhash64(1 as int) != xxhash64(1 as long) — an
+                    # int/bigint key-type mismatch would silently fail
+                    # every probe; the canonical string form is
+                    # type-insensitive on both sides
                     F.pmod(
-                        F.xxhash64(F.lit(seed).cast("long"), F.col(key_col)),
+                        F.xxhash64(
+                            F.lit(seed).cast("long"),
+                            F.col(key_col).cast("string"),
+                        ),
                         F.lit(m_bits),
                     )
                     for seed in range(k_hashes)
@@ -74,7 +83,8 @@ def bloom_might_contain(
     arr_sql = "array(" + ",".join(f"{w}L" for w in bitset) + ")"
     terms = []
     for seed in range(k_hashes):
-        p = f"pmod(xxhash64({seed}L, {key_name}), {m_bits})"
+        # string-cast to match build_bloom_bits' type-insensitive hashing
+        p = f"pmod(xxhash64({seed}L, cast({key_name} as string)), {m_bits})"
         word = f"element_at({arr_sql}, cast({p} / 64 as int) + 1)"
         bit = f"shiftleft(1L, cast({p} % 64 as int))"
         terms.append(f"(({word} & {bit}) != 0)")
@@ -90,10 +100,22 @@ def bloom_prefiltered_join(
     m_bits: int = 1 << 15,
     k_hashes: int = 3,
 ) -> DataFrame:
-    """Equi-join with a Bloom pre-filter on the fact side. Result is
-    bit-identical to ``fact.join(dim, fact[fact_key]==dim[dim_key])`` —
-    the filter only prunes probe rows before the shuffle; the exact join
-    removes Bloom false positives."""
+    """INNER equi-join with a Bloom pre-filter on the fact side. Result
+    is bit-identical to ``fact.join(dim, fact[fact_key]==dim[dim_key])``
+    — the filter only prunes probe rows before the shuffle; the exact
+    join removes Bloom false positives.
+
+    Inner (and the fact-preserving semi) joins are the ONLY types where
+    pre-filtering the fact side is sound: under a left/full join the
+    filter deletes exactly the rows the join should null-extend, and
+    under an anti join it deletes exactly the rows the join should
+    RETURN — both silently. Unsupported types raise."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefiltered_join: how={how!r} is unsound with a "
+            "fact-side pre-filter (dropped rows would be null-extended "
+            "or returned by the plain join); use a plain join"
+        )
     bitset = build_bloom_bits(dim, dim_key, m_bits=m_bits, k_hashes=k_hashes)
     pre = fact.where(bloom_might_contain(bitset, fact_key, k_hashes=k_hashes))
     return pre.join(dim, pre[fact_key] == dim[dim_key], how)

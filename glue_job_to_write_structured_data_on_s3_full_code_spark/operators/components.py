@@ -3,11 +3,14 @@ near-duplicate PAIRS (Jaccard / MinHash-LSH / embedding-cosine edges) into
 dedup GROUPS: every doc in a component keeps the component's minimum id as
 its canonical representative.
 
-Why iterative: transitive closure is not expressible in one SQL pass, and
-at 100 TB the right shape is the classic large-star/small-star family —
-each round is one equality-shuffle join + one min-aggregate, both
-map-side-combinable, and the number of rounds is O(log(largest component
-diameter)), tiny for dedup graphs (near-dup components are shallow).
+Why iterative: transitive closure is not expressible in one SQL pass.
+Each round combines ONE-HOP propagation (min over neighbors' labels)
+with POINTER JUMPING (adopt my current label's own label — the
+Shiloach-Vishkin / large-star move), so the distance a label still has
+to travel halves every round: O(log diameter) rounds even for chain
+graphs, where plain one-hop propagation needs O(diameter) and would
+blow the iteration bound on e.g. a 30-revision near-dup chain. Both
+steps are equality-shuffle joins + a min-aggregate, map-side-combinable.
 
 Driver involvement per round is a single `count()` convergence probe, and
 `localCheckpoint` truncates the lineage each round so the plan doesn't
@@ -36,9 +39,14 @@ def connected_components(
     """Label every node with min(node id) of its undirected component.
 
     `nodes` — one column `node_col` (isolated nodes become their own
-    component); `edges` — `src_col`/`dst_col`. Returns (node, component).
-    Raises if not converged within `max_iter` rounds (diameter bound).
-    """
+    component); `edges` — `src_col`/`dst_col`. Edge endpoints are
+    auto-included even when absent from `nodes`: a labeled-nodes-only
+    view would both mislabel THROUGH-nodes and — worse — let the
+    convergence probe's inner join silently ignore them, declaring
+    convergence while two nodes connected through an unlisted endpoint
+    still carry different components. Returns (node, component). Raises
+    if not converged within `max_iter` rounds (log-diameter bound, see
+    module docstring)."""
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -46,10 +54,14 @@ def connected_components(
         sym.where(F.col("a") != F.col("b")).distinct(), "components_edges"
     )
 
+    base = (
+        nodes.select(F.col(node_col).alias("node"))
+        # sym is symmetric, so its `a` column covers every endpoint
+        .union(sym.select(F.col("a").alias("node")))
+        .distinct()
+    )
     labels = eager_checkpoint(
-        nodes.select(
-            F.col(node_col).alias("node"), F.col(node_col).alias("component")
-        ),
+        base.select("node", F.col("node").alias("component")),
         "components_labels_init",
     )
 
@@ -57,8 +69,21 @@ def connected_components(
         neighbor_labels = sym.join(
             labels, sym.b == labels.node
         ).select(F.col("a").alias("node"), "component")
+        # pointer jumping: adopt my current component's OWN current label
+        # (component values are node ids, and every one is in `labels`
+        # by the endpoint-complete init) — this is what turns chain
+        # convergence from O(diameter) rounds into O(log diameter)
+        jumped = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
+            .select(
+                F.col("l1.node").alias("node"),
+                F.col("l2.component").alias("component"),
+            )
+        )
         new_labels = eager_checkpoint(
             labels.union(neighbor_labels)
+            .union(jumped)
             .groupBy("node")
             .agg(F.min("component").alias("component")),
             "components_labels_round",

@@ -282,11 +282,19 @@ def _jaccard_arrow_pairs(
         blk.alias("blk"),
         F.array_distinct(tokens(normalized_text(text_col))).alias("toks"),
     ).where(F.size("toks") > 0)
+    if block_col is not None:
+        # NULL-block docs never pair in the join strategies (equality on
+        # blk drops nulls) but groupBy KEEPS the null group — pairing
+        # them here would break the strategies' result-identity contract
+        d = d.where(F.col("blk").isNotNull())
 
-    # loose prefilter only — the exact `round(jacc,6) >= threshold` runs
+    # Loose prefilter only — the exact `round(jacc,6) >= threshold` runs
     # JVM-side below, so borderline pairs are decided by the same float
-    # path in every strategy
-    loose = threshold - 1e-9
+    # path in every strategy. Slack must cover the round-to-6-decimals
+    # half-step (5e-7): a raw jaccard as low as threshold - 5e-7 still
+    # rounds UP to pass the JVM filter, so a tighter slack (the old 1e-9)
+    # dropped borderline pairs the other strategies keep.
+    loose = threshold - 1e-6
 
     def score_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -355,6 +363,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     bit of hex nibble j of ``md5(token)`` — expressible identically in
     DuckDB, so the fingerprint itself is oracle-checkable. One explode +
     one groupBy; the 32 conditional sums are map-side combined."""
+    if not 1 <= bits <= 32:
+        # md5 hex has exactly 32 nibbles: substring past the end returns
+        # '' (never a high nibble), so bits > 32 would SILENTLY emit
+        # constant-'0' tail bits — fingerprints that look wider but carry
+        # 32 bits of signal, inflating Hamming collisions
+        raise ValueError(f"simhash: bits must be in [1, 32], got {bits}")
     # hoist md5 into one projection: inside 32 aggregate expressions it is
     # not subexpression-eliminated and would hash every token 32× (measured
     # 2.0 s → 1.1 s at sf0.1). Spread a single-partition scan so the

@@ -97,11 +97,74 @@ def fallback_join(
     dim = dim.distinct()  # reference: select distinct * from dealermaster
     dim_cols = [c for c in dim.columns]
 
+    if all(t.equi_on is not None for t in tiers):
+        # All-equi cascade: ONE pass over the fact — each tier's dim is
+        # pre-reduced to its top-1 row per key and chained as a broadcast
+        # left join; the winning tier per row is a priority when-chain on
+        # per-tier match flags. No synthetic row id, no windows over the
+        # fact, no union of branches (whose T+1 arms would each recompute
+        # the preceding tiers), and nothing to checkpoint. The when-chain
+        # keys on the MATCH FLAG, not coalesce of values: a matched
+        # tier's NULL payload column must win over a later tier's value.
+        out = fact
+        match_flags: list[Column] = []
+        for i, tier in enumerate(tiers):
+            tier_dim = dim.where(tier.dim_filter) if tier.dim_filter is not None else dim
+            fact_col, dim_col = tier.equi_on
+            tier_dim = top1_per_group(tier_dim, [dim_col], order_cols).select(
+                F.col(dim_col).alias(f"_t{i}_key"),
+                *[F.col(c).alias(f"_t{i}_{c}") for c in dim_cols],
+            )
+            out = out.join(
+                F.broadcast(tier_dim),
+                out[fact_col] == tier_dim[f"_t{i}_key"],
+                "left",
+            )
+            match_flags.append(F.col(f"_t{i}_{matched_probe}").isNotNull())
+
+        def pick(values: list[Column], default: Column) -> Column:
+            expr = default
+            for flag, val in zip(reversed(match_flags), reversed(values)):
+                expr = F.when(flag, val).otherwise(expr)
+            return expr
+
+        proj = [F.col(c) for c in fact.columns]
+        for c in dim_cols:
+            proj.append(
+                pick(
+                    [F.col(f"_t{i}_{c}") for i in range(len(tiers))],
+                    defaults[c],
+                ).alias(c)
+            )
+        if tier_col:
+            proj.append(
+                pick(
+                    [
+                        F.lit(tier.name or f"tier{i}")
+                        for i, tier in enumerate(tiers)
+                    ],
+                    F.lit("default"),
+                ).alias(tier_col)
+            )
+        return out.select(*proj)
+
+    from ..session import eager_checkpoint
+
     # Synthetic per-row id: the theta path's top-1 window partitions on it,
     # so two fact rows that happen to share every column still each keep
     # their own best match (the equi fast path preserves them trivially).
+    # Checkpointed — with plain lineage each of the T+1 union branches
+    # would re-execute every preceding tier's join+window from its own
+    # fact scan (O(T²) joins, T+1 fact scans at 100 TB), and
+    # monotonically_increasing_id would be re-evaluated per branch, which
+    # is only accidentally consistent. Each tier's miss split is likewise
+    # materialized, so the cascade is linear in T and the rid is minted
+    # exactly once.
     rid = "__fallback_rid"
-    remaining = fact.withColumn(rid, F.monotonically_increasing_id())
+    remaining = eager_checkpoint(
+        fact.withColumn(rid, F.monotonically_increasing_id()),
+        "fallback_rid_base",
+    )
     matched_parts: list[DataFrame] = []
     for i, tier in enumerate(tiers):
         tier_dim = dim.where(tier.dim_filter) if tier.dim_filter is not None else dim
@@ -128,7 +191,10 @@ def fallback_join(
         if tier_col:
             hit = hit.withColumn(tier_col, F.lit(tier.name or f"tier{i}"))
         matched_parts.append(hit)
-        remaining = best.where(F.col(matched_probe).isNull()).drop(*dim_cols)
+        remaining = eager_checkpoint(
+            best.where(F.col(matched_probe).isNull()).drop(*dim_cols),
+            f"fallback_tier{i}_miss",
+        )
 
     fallback = remaining
     for c in dim_cols:

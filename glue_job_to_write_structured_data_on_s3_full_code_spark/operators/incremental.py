@@ -24,7 +24,15 @@ def anti_join_new_rows(src: DataFrame, target: DataFrame, key: str) -> DataFrame
 
     Handles the empty/first-run target (key column missing) like
     OUTBOUND.py:206: everything is new.
+
+    NULL-keyed SOURCE rows are dropped, matching the reference's NOT-IN
+    (``NULL NOT IN (…)`` is NULL → filtered). A bare left_anti would
+    instead treat them as always-new — NULL never equals NULL, so every
+    incremental run would re-insert the same NULL-keyed rows, silently
+    accumulating duplicates and breaking the replay idempotence the
+    streaming loader builds on this function.
     """
+    src = src.where(F.col(key).isNotNull())
     if key not in target.columns:
         return src
     existing = target.select(key).where(F.col(key).isNotNull()).distinct()

@@ -38,7 +38,11 @@ def reconcile(
         f.dataType for f in tgt.schema.fields
     ] and cols_match
 
-    if cols_match:
+    if schema_match:
+        # gated on SCHEMA match, not just names: exceptAll on same-named
+        # but differently-typed columns fails analysis with a raw Spark
+        # exception, which would break the raise_on_failure=False
+        # "return the summary for inspection" contract
         src_minus_tgt = src.exceptAll(tgt.select(*src.columns)).count()
         tgt_minus_src = tgt.select(*src.columns).exceptAll(src).count()
     else:

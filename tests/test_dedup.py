@@ -144,3 +144,81 @@ def test_jaccard_bitset_unblocked_and_empty_docs(spark):
         )
         assert a == b, strat
         assert {(r[0], r[1]) for r in b} == {(1, 2)}
+
+
+def test_connected_components_through_node_and_chain(spark):
+    """Two review-confirmed hazards: (a) an edge endpoint absent from
+    `nodes` previously let the convergence probe declare victory while
+    nodes connected THROUGH it still carried different components;
+    (b) plain one-hop propagation needed O(diameter) rounds, so a
+    30-revision near-dup chain blew the iteration bound — pointer
+    jumping converges it in O(log diameter)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.components import (
+        connected_components,
+    )
+
+    # (a) through-node: 1-X-2 where X is not in `nodes`
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    edges = spark.createDataFrame([(1, 99), (99, 2)], "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got[1] == got[2] == got[99] == 1
+
+    # (b) chain of 31 nodes: diameter 30 > the old max_iter=25
+    chain_nodes = spark.createDataFrame([(i,) for i in range(31)], "node long")
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(chain_nodes, chain_edges).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_jaccard_strategies_agree_on_null_blocks_and_borderline(spark):
+    """Cross-strategy identity at its two confirmed cracks: NULL-block
+    docs (groupBy keeps the null group, equality joins drop it — all
+    strategies must now EXCLUDE them) and a borderline pair whose raw
+    jaccard sits just under the threshold but rounds up to meet it (the
+    arrow prefilter's old 1e-9 slack dropped it)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
+        jaccard_similar_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "en"),     # 3 tokens
+        (2, "alpha delta epsilon zeta", "en"),  # 4 tokens, 1 shared -> j=1/6
+        (3, "alpha beta gamma", None),     # NULL block
+        (4, "alpha beta gamma", None),     # NULL block (identical text)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # round(1/6, 6) = 0.166667 >= 0.166667 — kept only via round-up
+    thr = 0.166667
+    results = {}
+    for strategy in ("postings", "bitset", "arrow"):
+        pairs = sorted(
+            (r.doc_a, r.doc_b)
+            for r in jaccard_similar_pairs(
+                df, "text", "doc_id", block_col="lang",
+                threshold=thr, strategy=strategy,
+            ).collect()
+        )
+        results[strategy] = pairs
+    assert results["postings"] == results["bitset"] == results["arrow"]
+    assert (1, 2) in results["postings"]       # borderline pair kept
+    assert (3, 4) not in results["postings"]   # NULL-block docs excluded
+
+
+def test_simhash_rejects_unsupported_widths(spark):
+    """md5 hex has 32 nibbles: bits > 32 would silently emit constant-'0'
+    tail bits (32 bits of signal masquerading as more)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bits must be in"):
+        from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import simhash
+
+        simhash(df, "text", "doc_id", bits=64)
