@@ -4,6 +4,8 @@ from .text import (
     bpe_ish_tokens,
     normalized_text,
     doc_fingerprint,
+    token_sort_key,
+    consonant_skeleton,
     md5_hash60,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "bpe_ish_tokens",
     "normalized_text",
     "doc_fingerprint",
+    "token_sort_key",
+    "consonant_skeleton",
     "md5_hash60",
 ]

@@ -21,9 +21,15 @@ from pyspark.sql import functions as F
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization; empty string → empty array (both engines
-    agree only if the empty case is handled explicitly)."""
+    agree only if the empty case is handled explicitly).
+
+    Edge-trimming is regexp-based because ``F.trim`` strips ONLY ASCII
+    spaces: raw text ending in a newline (almost all real text) would
+    otherwise split into a spurious trailing '' token, silently
+    over-counting tokens in every downstream packing/budget computation.
+    Raw-text DuckDB oracles mirror this with the same regexp."""
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
+    trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

@@ -98,6 +98,13 @@ def write_zorder_clustered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:
+        # empty input: min/max are NULL and bucket16 would crash on
+        # float(None) — write the empty dataset like write_range_clustered
+        # does, so a scheduled re-cluster over many tables survives an
+        # empty one
+        df.write.mode("overwrite").parquet(path)
+        return
     z = zorder_value(F.col(col_a), F.col(col_b), (lo_a, hi_a), (lo_b, hi_b))
     (
         df.withColumn("_z", z)

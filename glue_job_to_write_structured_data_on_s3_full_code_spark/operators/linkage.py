@@ -64,8 +64,15 @@ def blocked_levenshtein_pairs(
                 <= F.lit(max_dist)
             )
         )
-        .withColumn("lev_dist", F.levenshtein("name_a", "name_b"))
-        .where(F.col("lev_dist") <= max_dist)
+        # threshold-bounded kernel (Spark 3.5+): O(len·max_dist) with
+        # early exit, returning -1 past the bound — vs the unbounded
+        # O(len_a·len_b) DP per length-band-surviving pair; kept rows
+        # carry their true distance (-1 only marks over-threshold pairs,
+        # which the filter drops)
+        .withColumn(
+            "lev_dist", F.levenshtein("name_a", "name_b", int(max_dist))
+        )
+        .where((F.col("lev_dist") >= 0) & (F.col("lev_dist") <= max_dist))
         .select("id_a", "id_b", "name_a", "name_b", "lev_dist")
     )
 
@@ -106,7 +113,16 @@ def _jaro(s1: str, s2: str) -> float:
 def jaro_winkler(s1: str, s2: str) -> float:
     """Standard Jaro-Winkler: boost applied only when jaro > 0.7, common
     prefix capped at 4, scaling 0.1 — the same variant DuckDB implements
-    (value-exact, see module docstring)."""
+    (value-exact, see module docstring).
+
+    NULL names score 0.0 (below any sensible threshold → pair dropped),
+    matching both DuckDB's NULL-propagating jaro_winkler_similarity
+    inside a `>= threshold` filter and the null-safe Levenshtein tier —
+    this module is for dirty CRM names, where NULLs are routine, and a
+    bare ``len(None)`` would abort the whole job from inside the Arrow
+    worker."""
+    if s1 is None or s2 is None:
+        return 0.0
     j = _jaro(s1, s2)
     if j <= 0.7:
         return j

@@ -53,8 +53,12 @@ def _fake_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
 
     for pdf in batches:
-        n = pdf["payload"].map(len)
-        digest = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+        # NULL payload == empty payload, the same convention
+        # perceptual_hash documents — a bare len(None)/md5(None) would
+        # abort the whole job from inside the Arrow worker
+        payload = pdf["payload"].map(lambda b: b if b is not None else b"")
+        n = payload.map(len)
+        digest = payload.map(lambda b: hashlib.md5(b).hexdigest())
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -100,7 +104,7 @@ def resize_media(
         target = width * height
 
         def tile(b: bytes) -> bytes:
-            if len(b) == 0:
+            if b is None or len(b) == 0:  # NULL payload == empty
                 return bytes(target)
             reps = target // len(b) + 1
             return (b * reps)[:target]
@@ -142,6 +146,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload == empty
+                    payload = b""
                 n_frames = max(1, len(payload) // frame_bytes)
                 for i in range(0, n_frames, every_nth):
                     ids.append(doc_id)
@@ -258,6 +264,8 @@ def audio_frame_energy(
         for pdf in batches:
             ids, idxs, ns, rms = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload == empty
+                    payload = b""
                 a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
                     np.float64
                 ) - 128.0

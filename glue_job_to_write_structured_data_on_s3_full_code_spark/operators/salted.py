@@ -31,8 +31,23 @@ def salted_join(
     fact row appears exactly once per dim match (inner/left)."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    # The salt mixes PER-ROW components (partition id + per-partition
+    # counter), not just a hash of the row's columns: fully-duplicate
+    # rows — key-only projections, dup-heavy event logs, i.e. exactly the
+    # degenerate-skew inputs this operator exists for — would otherwise
+    # all hash to ONE salt bucket and the hot key would still land on a
+    # single reducer. Both components are deterministic per task, so a
+    # retry re-derives the same salt.
     fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(
+            F.xxhash64(
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+                *[F.col(c) for c in fact.columns],
+            ),
+            F.lit(salt_buckets),
+        ),
     )
     dim_exploded = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))

@@ -24,8 +24,8 @@ SAMPLE_PER_STRATUM = 20
 # DuckDB spelling of token_count(): whitespace split of trimmed text, with
 # the empty-string → 0 case made explicit (len(string_split('', ..)) is 1).
 _TOKCNT = (
-    "CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+    "ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
 )
 
 
@@ -238,8 +238,8 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEMPERATURE_MIX_ORACLE = """
 WITH per_source AS (
     SELECT source,
-           CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(string_split_regex(trim(text), '\\s+')) END)
+           CAST(sum(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)
                 AS BIGINT) AS n_tokens
     FROM documents GROUP BY 1
 )

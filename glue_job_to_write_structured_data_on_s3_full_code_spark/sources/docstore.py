@@ -40,6 +40,13 @@ def read_document_store(
     opts.update(options or {})
     if fmt == "parquet_store":  # sandbox stand-in
         return spark.read.options(**opts).parquet(path_or_uri)
+    if fmt == "mongodb":
+        # the Mongo Spark connector takes its target from the
+        # connection.uri OPTION — load(path) only sets an unused "path"
+        # option and the connector would silently fall back to the
+        # session-level uri (a different database than the one named)
+        opts.setdefault("connection.uri", path_or_uri)
+        return spark.read.format(fmt).options(**opts).load()
     return spark.read.format(fmt).options(**opts).load(path_or_uri)
 
 
@@ -54,5 +61,11 @@ def write_document_store(
     opts.update(options or {})
     if fmt == "parquet_store":
         df.write.mode(mode).options(**opts).parquet(path_or_uri)
+        return
+    if fmt == "mongodb":
+        # connection target rides the connection.uri option, not the
+        # save() path (see read_document_store)
+        opts.setdefault("connection.uri", path_or_uri)
+        df.write.format(fmt).mode(mode).options(**opts).save()
         return
     df.write.format(fmt).mode(mode).options(**opts).save(path_or_uri)

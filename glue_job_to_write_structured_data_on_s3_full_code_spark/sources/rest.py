@@ -62,6 +62,14 @@ def ingest_api(
         records.extend(fetch_records(fetcher, url, data_key, validate=validate))
     if schema is not None:
         return spark.createDataFrame(records, schema)
+    if not records:
+        # a quiet-day all-empty response is legitimate, but a schema
+        # cannot be inferred from zero dicts — createDataFrame([]) would
+        # raise a cryptic "can not infer schema"; say what to do instead
+        raise RestIngestionError(
+            "ingest_api: every endpoint returned zero records and no "
+            "schema was given — pass schema= to get an empty DataFrame"
+        )
     return spark.createDataFrame(records)
 
 
@@ -73,7 +81,14 @@ def stage_and_read_json(
     records_per_file: int = 50_000,
 ) -> DataFrame:
     """Scale path: write JSONL to storage, read distributed. At 100 TB the
-    fetch tier writes here (S3) and Spark never sees the HTTP layer."""
+    fetch tier writes here (S3) and Spark never sees the HTTP layer.
+
+    ``stage_dir`` is cleared first: a re-run staging FEWER files than the
+    previous run would otherwise overwrite only a prefix of the old part
+    files and silently read the stale remainder back into the result."""
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
     os.makedirs(stage_dir, exist_ok=True)
     buf: list[str] = []
     file_no = 0

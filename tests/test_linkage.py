@@ -106,3 +106,47 @@ def test_name_level_pairs_conserve_row_pair_counts(spark, sf_dir):
         jaro_winkler_linkage(spark, sf_dir).agg(F.sum("n_pairs")).first()[0]
     )
     assert jw_agg == jw_rows
+
+
+def test_jaro_winkler_null_names_score_zero(spark):
+    """NULL names are routine in dirty CRM data: they must score 0.0
+    (pair dropped by any threshold) instead of aborting the Arrow worker
+    on len(None) — matching DuckDB's NULL-propagating similarity inside
+    a >= threshold filter."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.linkage import (
+        jaro_winkler,
+        jw_similarity,
+    )
+
+    assert jaro_winkler(None, "smith") == 0.0
+    assert jaro_winkler("smith", None) == 0.0
+    df = spark.createDataFrame(
+        [("smith", "smyth"), (None, "smith"), ("smith", None)],
+        "a string, b string",
+    )
+    got = df.select(jw_similarity(F.col("a"), F.col("b")).alias("jw")).collect()
+    assert got[0].jw > 0.8 and got[1].jw == 0.0 and got[2].jw == 0.0
+
+
+def test_levenshtein_threshold_bound_keeps_exact_distances(spark):
+    """The threshold-bounded kernel returns -1 past the bound; kept rows
+    must still carry their TRUE distance and the pair set must equal the
+    unbounded filter's."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.linkage import (
+        blocked_levenshtein_pairs,
+    )
+
+    rows = [
+        (1, "jonathan", "j"),
+        (2, "jonathon", "j"),   # dist 1 from jonathan
+        (3, "jon", "j"),        # dist 5 from jonathan — over max_dist
+        (4, "jonatham", "j"),   # dist 1 from jonathan, 2 from jonathon
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = {
+        (r.id_a, r.id_b): r.lev_dist
+        for r in blocked_levenshtein_pairs(
+            df, "name", "id", block_col="blk", max_dist=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 4): 1, (2, 4): 2}

@@ -321,3 +321,22 @@ def test_largest_remainder_quotas_match_model(spark, counts, total):
     want = _model_largest_remainder(dict(counts), total)
     assert got == want
     assert sum(got.values()) == total
+
+
+def test_tokens_trim_all_whitespace(spark):
+    """F.trim strips only ASCII spaces: raw text ending in a newline
+    (almost all real text) previously split into a spurious trailing ''
+    token, over-counting tokens in every packing/budget computation."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.functions import (
+        token_count,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("line1\nline2\n",), ("\t",), ("  a b  ",), ("",)], "text string"
+    )
+    got = df.select(
+        token_count("text").alias("n"), tokens("text").alias("t")
+    ).collect()
+    assert [r.n for r in got] == [2, 0, 2, 0]
+    assert got[1].t == [] and got[0].t == ["line1", "line2"]

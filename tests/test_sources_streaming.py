@@ -816,3 +816,106 @@ def test_stream_incremental_load_raises_on_unreadable_target(spark, sf_dir, tmp_
         )
     # the corrupt file is untouched — nothing was appended as duplicates
     assert os.listdir(tgt) == ["part-000.parquet"]
+
+
+def test_stage_and_read_json_clears_stale_files(spark, tmp_path):
+    """A re-run staging FEWER files than the previous run must not read
+    the stale remainder back (the old exist_ok=True dir kept them)."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.rest import (
+        stage_and_read_json,
+    )
+
+    stage = str(tmp_path / "stage")
+    df1 = stage_and_read_json(
+        spark, ({"id": i} for i in range(90)), stage,
+        schema="id long", records_per_file=30,
+    )
+    assert df1.count() == 90
+    df2 = stage_and_read_json(
+        spark, ({"id": i} for i in range(10)), stage,
+        schema="id long", records_per_file=30,
+    )
+    assert df2.count() == 10  # was 70: one new file + two stale ones
+
+
+def test_ingest_api_empty_results(spark):
+    """All-empty responses: with a schema → empty frame; without → a
+    clear RestIngestionError, not a cryptic createDataFrame failure."""
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.rest import (
+        RestIngestionError,
+        ingest_api,
+    )
+
+    fetcher = lambda url: {"data": []}  # noqa: E731
+    got = ingest_api(spark, fetcher, ["http://fake/a"], schema="id long")
+    assert got.count() == 0 and got.columns == ["id"]
+    with pytest.raises(RestIngestionError, match="pass schema="):
+        ingest_api(spark, fetcher, ["http://fake/a"])
+
+
+def test_multimodal_ops_handle_null_payloads(spark):
+    """NULL payload == empty payload across EVERY multimodal operator
+    (perceptual_hash already documented it; the other four crashed the
+    Arrow worker on len(None))."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        audio_frame_energy,
+        extract_media_features,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abcdef"), (2, None)], "doc_id long, payload binary"
+    )
+    feats = {r.doc_id: r for r in extract_media_features(df).collect()}
+    assert feats[2].n_bytes == 0
+    resized = {r.doc_id: r for r in resize_media(df, 4, 4).collect()}
+    assert resized[2].payload == bytes(16)
+    frames = sample_frames(df, frame_bytes=4, every_nth=1).collect()
+    assert {r.doc_id for r in frames} == {1, 2}
+    energy = {r.doc_id: r for r in audio_frame_energy(df).collect()}
+    assert energy[2].rms == 0.0
+
+
+def test_zorder_write_handles_empty_input(spark, tmp_path):
+    """A scheduled re-cluster over many tables must survive an empty one
+    (min/max are NULL; bucket16 crashed on float(None))."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.compaction import (
+        write_zorder_clustered,
+    )
+
+    empty = spark.createDataFrame([], "a double, b double, v long")
+    out = str(tmp_path / "z")
+    write_zorder_clustered(empty, out, "a", "b")
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_salted_join_spreads_duplicate_rows(spark):
+    """Fully-duplicate fact rows are the degenerate-skew input salting
+    exists for: a column-hash salt sent them ALL to one bucket (the skew
+    survived); the per-row salt must both spread them and keep results
+    identical to the plain join."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.salted import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([(1,)] * 1000, "k long").repartition(8)
+    dim = spark.createDataFrame([(1, "hot")], "k long, v string")
+    got = salted_join(fact, dim, "k", salt_buckets=8)
+    assert got.count() == 1000
+    assert got.where(F.col("v") == "hot").count() == 1000
+    # observe the spread directly with the same salt expression
+    salted = fact.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+                F.col("k"),
+            ),
+            F.lit(8),
+        ),
+    )
+    assert salted.select("_salt").distinct().count() > 1
