@@ -492,27 +492,32 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head_fp",
     )
     incoming = keyed.where(F.col("source") == _INCOMING_SOURCE).unionByName(recrawl)
-    # Broadcast the SMALL (incoming) side: semi-filter each corpus digest
-    # column against the broadcast batch digests (map-side, corpus never
-    # shuffles wholesale), distinct only the ≤|batch| survivors, and
-    # broadcast those back for the verdict join.
+    # Semi-filter each corpus digest column against the batch digests,
+    # distinct only the ≤|batch| survivors, and join those back for the
+    # verdict. NO forced broadcast hints: the hint is absolute (it
+    # bypasses autoBroadcastJoinThreshold and the 8 GB broadcast cap), and
+    # a daily batch for a 100 TB corpus can be 10^8-10^9 digests — several
+    # GB that would OOM the driver instead of falling back to a shuffled
+    # semi join. At fixture scale AQE still picks broadcast on its own
+    # (plan-gated), so nothing changes below the cliff; above it the plan
+    # degrades gracefully to a digest-only shuffle, never a failure.
     inc_fp = incoming.select("fp").distinct()
     inc_head = incoming.select("head_fp").distinct()
     corpus_fp = (
         corpus.select("fp")
-        .join(F.broadcast(inc_fp), "fp", "semi")
+        .join(inc_fp, "fp", "semi")
         .distinct()
         .withColumn("is_exact", F.lit(True))
     )
     corpus_head = (
         corpus.select("head_fp")
-        .join(F.broadcast(inc_head), "head_fp", "semi")
+        .join(inc_head, "head_fp", "semi")
         .distinct()
         .withColumn("is_head", F.lit(True))
     )
     return (
-        incoming.join(F.broadcast(corpus_fp), "fp", "left")
-        .join(F.broadcast(corpus_head), "head_fp", "left")
+        incoming.join(corpus_fp, "fp", "left")
+        .join(corpus_head, "head_fp", "left")
         .select(
             "doc_id",
             F.coalesce("is_exact", F.lit(False)).alias("exact_dup"),

@@ -35,13 +35,19 @@ from ..sources import read_table
 
 # Dup-fraction thresholds calibrated on the sf0.01 fixture so the verdict
 # splits the corpus non-trivially (keeps ~2/3): dup-bigram p75 ≈ 0.047,
-# dup-trigram p95 ≈ 0.011, entropy p10 ≈ 3.82. The top-bigram-share cap is
-# the published-style 0.20 and only applies when the top bigram actually
-# REPEATS — a single-occurrence maximum is a length artifact (every
-# all-distinct short doc has share 1/n_bigrams), not a repetition signal.
+# dup-trigram p95 ≈ 0.011, entropy p10 ≈ 3.82. The top-bigram cap is the
+# Gopher/MassiveText CHARACTER-fraction form (Rae et al. 2021, Table A1:
+# "fraction of characters in most common 2-gram" > 0.20): an occurrence
+# share (top_cnt/n_bigrams) is provably DEAD next to the dup-bigram gate
+# (share > 0.2 with dup_frac <= 0.05 forces n_bi <= 6, where any repeat
+# already means dup_frac >= 1/6), while the char form catches a LONG
+# bigram repeated a few times in an otherwise-diverse doc — the
+# keyword-stuffing signal the clause exists for. It only applies when
+# the top bigram actually REPEATS — a single-occurrence maximum is a
+# length artifact, not repetition.
 DUP_BIGRAM_MAX = 0.05
 DUP_TRIGRAM_MAX = 0.02
-TOP_BIGRAM_SHARE_MAX = 0.20
+TOP_BIGRAM_CHAR_FRAC_MAX = 0.20
 ENTROPY_MIN = 3.8
 _MIN_TOKENS = 3  # metrics undefined below one trigram
 
@@ -85,17 +91,38 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top_share = F.when(long_enough, F.round(top_cnt / n_bi, 6))
+    # chars covered by occurrences of the best REPEATED bigram over the
+    # doc's normalized chars — max of cnt·len over repeated bigrams, so
+    # no tie-break is needed on equal counts; NULL (no repeats) passes
+    norm_len = F.length(normalized_text("text"))
+    top_chars = F.array_max(
+        F.transform(
+            F.filter(
+                F.array_distinct(bi),
+                lambda d: F.size(F.filter(bi, lambda x: x == d)) >= 2,
+            ),
+            lambda d: F.size(F.filter(bi, lambda x: x == d)) * F.length(d),
+        )
+    )
+    top_char_frac = F.when(
+        long_enough & top_chars.isNotNull(),
+        F.round(top_chars / norm_len, 6),
+    )
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
         dup_bi.alias("dup_bigram_frac"),
         dup_tri.alias("dup_trigram_frac"),
         top_share.alias("top_bigram_share"),
+        top_char_frac.alias("top_bigram_char_frac"),
         (
             long_enough
             & (dup_bi <= DUP_BIGRAM_MAX)
             & (dup_tri <= DUP_TRIGRAM_MAX)
-            & ((top_cnt == 1) | (top_share <= TOP_BIGRAM_SHARE_MAX))
+            & (
+                top_char_frac.isNull()
+                | (top_char_frac <= TOP_BIGRAM_CHAR_FRAC_MAX)
+            )
         ).alias("keep"),
     )
 
@@ -119,8 +146,6 @@ WITH base AS (
     FROM base
 ), m AS (
     SELECT doc_id, n,
-           list_max(list_transform(list_distinct(bi),
-                    d -> len(list_filter(bi, x -> x = d)))) AS top_cnt,
            CASE WHEN n >= {_MIN_TOKENS} THEN
                round((len(bi) - len(list_distinct(bi))) * 1.0 / len(bi), 6)
            END AS dup_bigram_frac,
@@ -131,16 +156,26 @@ WITH base AS (
                round(list_max(list_transform(list_distinct(bi),
                          d -> len(list_filter(bi, x -> x = d))))
                      * 1.0 / len(bi), 6)
-           END AS top_bigram_share
-    FROM g
+           END AS top_bigram_share,
+           -- chars covered by the best REPEATED bigram / normalized
+           -- chars; NULL (no repeats) passes — mirrors the Spark side
+           CASE WHEN n >= {_MIN_TOKENS} THEN
+               round(list_max(list_transform(
+                         list_filter(list_distinct(bi),
+                             d -> len(list_filter(bi, x -> x = d)) >= 2),
+                         d -> len(list_filter(bi, x -> x = d)) * length(d)))
+                     * 1.0 / length({_NORM}), 6)
+           END AS top_bigram_char_frac
+    FROM g JOIN documents USING (doc_id)
 )
 SELECT doc_id, CAST(n AS INT) AS n_tokens,
        dup_bigram_frac, dup_trigram_frac, top_bigram_share,
+       top_bigram_char_frac,
        coalesce(n >= {_MIN_TOKENS}
                 AND dup_bigram_frac <= {DUP_BIGRAM_MAX}
                 AND dup_trigram_frac <= {DUP_TRIGRAM_MAX}
-                AND (top_cnt = 1
-                     OR top_bigram_share <= {TOP_BIGRAM_SHARE_MAX}),
+                AND (top_bigram_char_frac IS NULL
+                     OR top_bigram_char_frac <= {TOP_BIGRAM_CHAR_FRAC_MAX}),
             false) AS keep
 FROM m
 """

@@ -184,11 +184,22 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.sqrt("q_nrm") * F.sqrt("nrm")), 6),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "doc_id", "chunk_id"
+    # Scalable exact top-k: a single window partitioned by the (tiny)
+    # query set would funnel the ENTIRE scored corpus through ≤_NQUERIES
+    # sort tasks — at 100 TB each task sorts ~|chunks| rows. Exact top-k
+    # decomposes: every input partition keeps its local top-k first
+    # (bounded by partition size), then the global rank sees only
+    # ≤ k·partitions survivors. Same values, same tie-break.
+    order = [F.col("cosine").desc(), F.col("doc_id"), F.col("chunk_id")]
+    w_local = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    survivors = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(w_local))
+        .where(F.col("lrk") <= _TOPK)
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w_global))
         .where(F.col("rk") <= _TOPK)
         .select(
             "query_id", F.col("rk").alias("rank"), "doc_id", "chunk_id", "cosine"
@@ -284,11 +295,17 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the query's LANGUAGE — the coarser label the hashed embedder
     actually recovers, so the metric is non-degenerate where the
     source-match precision floor sits at zero). DCG discounts each hit
-    by log2(rank+1); IDCG is the ideal prefix
+    by log2(rank+1), crediting each relevant DOCUMENT only once — the
+    retrieved list is chunks, and without per-doc dedup a query whose
+    top-k held several chunks of one relevant doc accumulated more gain
+    than the doc-count-capped ideal allows (NDCG > 1, an invalid value
+    both engines agreed on, so the parity gate could never catch it).
+    IDCG is the ideal prefix
     ``sum_{i<=min(k, R)} 1/log2(i+1)`` with R = the query's total
     relevant-doc count in the corpus (own doc excluded), so a query
     whose language has fewer than k foreign docs is not penalized for
-    physics. A query with ZERO relevant docs (singleton language) has an
+    physics; first-occurrence gains at ranks r_1<r_2<… are bounded by
+    that prefix term-by-term (r_i >= i), so ndcg <= 1 always. A query with ZERO relevant docs (singleton language) has an
     undefined ideal ranking, so its ndcg is NULL — guarded explicitly,
     because under ANSI mode an unguarded ``1/log2(0+1)`` in the IDCG
     fold throws DIVIDE_BY_ZERO (and DuckDB's empty ``generate_series``
@@ -314,8 +331,17 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_lang") == F.col("lang"),
         )
         .withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("query_id", "doc_id").orderBy("rank")
+            ),
+        )
+        .withColumn(
             "gain",
-            F.when(F.col("q_lang") == F.col("c_lang"), 1.0).otherwise(0.0),
+            F.when(
+                (F.col("q_lang") == F.col("c_lang")) & (F.col("occ") == 1),
+                1.0,
+            ).otherwise(0.0),
         )
     )
     per_q = rel.groupBy("query_id").agg(
@@ -346,8 +372,15 @@ RETRIEVAL_NDCG_ORACLE = f"""
 WITH rag AS (
     SELECT * FROM ({{rag}})
 ), rel AS (
+    -- each relevant DOCUMENT credited once (occ = 1), mirroring the
+    -- Spark side: repeat chunks of one doc must not inflate DCG past
+    -- the doc-count-capped ideal
     SELECT r.query_id, r.rank,
-           CASE WHEN dq.lang = dc.lang THEN 1.0 ELSE 0.0 END AS gain,
+           CASE WHEN dq.lang = dc.lang
+                     AND row_number() OVER (
+                         PARTITION BY r.query_id, r.doc_id ORDER BY r.rank
+                     ) = 1
+                THEN 1.0 ELSE 0.0 END AS gain,
            (SELECT count(*) FROM documents s WHERE s.lang = dq.lang) - 1
                AS n_relevant
     FROM rag r

@@ -36,13 +36,17 @@ def test_repetition_metrics_hand_checked(spark, tmp_path):
     assert r0["n_tokens"] == 6
     assert r0["dup_bigram_frac"] == round((5 - 2) / 5, 6)
     assert r0["top_bigram_share"] == round(3 / 5, 6)  # "a b" occurs 3x
+    # "a b" covers 3 occurrences x 3 chars over 11 normalized chars
+    assert r0["top_bigram_char_frac"] == round(9 / 11, 6)
     assert r0["keep"] is False
     r1 = out[1]
     assert r1["dup_bigram_frac"] == 0.0
     assert r1["dup_trigram_frac"] == 0.0
-    # all bigrams distinct: share 1/4 > cap, but top_cnt == 1 is a length
-    # artifact, not repetition — the doc must survive
+    # all bigrams distinct: share 1/4, but no bigram REPEATS — a
+    # single-occurrence maximum is a length artifact, not repetition —
+    # so the char-fraction metric is NULL and the doc must survive
     assert r1["top_bigram_share"] == 0.25
+    assert r1["top_bigram_char_frac"] is None
     assert r1["keep"] is True
     r2 = out[2]
     assert r2["dup_bigram_frac"] is None and r2["keep"] is False
