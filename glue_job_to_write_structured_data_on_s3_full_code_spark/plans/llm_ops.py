@@ -1039,7 +1039,11 @@ _ANN_RECALL_METHODS = (
 )
 
 
-def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    methods: tuple[str, ...] = _ANN_RECALL_METHODS,
+) -> DataFrame:
     """Recall@5 telemetry for EVERY approximate ANN family vs the exact
     brute-force baseline — the serving-quality dial the round-7 verdict
     called out as unmeasured ("probe cost rises and recall falls, and
@@ -1058,10 +1062,19 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     family top-ks themselves. Fully deterministic end to end, so the whole
     scoreboard — including each family's candidate generation — is replayed
     by the DuckDB oracle and hash-verified.
+
+    ``methods`` narrows the scoreboard to a subset of the family labels —
+    the report's cost is dominated by re-running each family's candidate
+    generation, so a scheduled audit that only tracks (say) the deployed
+    IVF curve pays only for those pipelines. The registered gate query
+    always runs the FULL default set.
     """
     from ..operators.similarity import ivf_topk_curve
     from ..session import eager_checkpoint
 
+    unknown = set(methods) - set(_ANN_RECALL_METHODS)
+    if unknown:
+        raise ValueError(f"unknown ANN recall methods: {sorted(unknown)}")
     tune(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1070,25 +1083,47 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_recall_exact_topk",
     )
 
-    curve = ivf_topk_curve(emb, queries, k=5, centroid_mod=50, nprobe_max=3)
-    approx = curve.select(
-        F.concat(F.lit("ivf_np"), F.col("nprobe").cast("string")).alias("method"),
-        "query_id",
-        "neighbor_id",
-    )
-    for label, fam in (
-        (
-            "lsh_p4",
-            lsh_bucketed_topk(
-                emb, queries, k=5, num_planes=4, dim=64, quantize_scale=10_000
-            ),
-        ),
-        ("pq_m4", pq_topk(emb, queries, k=5, num_subspaces=4, centroid_mod=25, dim=64)),
-        ("ivfpq_np3", ivfpq_topk(emb, queries, k=5, coarse_mod=50, nprobe=3)),
-    ):
-        approx = approx.unionByName(
-            fam.select(F.lit(label).alias("method"), "query_id", "neighbor_id")
+    ivf_depths = [
+        int(m.removeprefix("ivf_np")) for m in methods if m.startswith("ivf_np")
+    ]
+    parts = []
+    if ivf_depths:
+        curve = ivf_topk_curve(
+            emb, queries, k=5, centroid_mod=50, nprobe_max=max(ivf_depths)
         )
+        parts.append(
+            curve.where(F.col("nprobe").isin(ivf_depths)).select(
+                F.concat(F.lit("ivf_np"), F.col("nprobe").cast("string")).alias(
+                    "method"
+                ),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+    # each family is built only when requested: the report's cost IS the
+    # families' candidate generation, so an unrequested family must not
+    # even construct its plan
+    family_builders = {
+        "lsh_p4": lambda: lsh_bucketed_topk(
+            emb, queries, k=5, num_planes=4, dim=64, quantize_scale=10_000
+        ),
+        "pq_m4": lambda: pq_topk(
+            emb, queries, k=5, num_subspaces=4, centroid_mod=25, dim=64
+        ),
+        "ivfpq_np3": lambda: ivfpq_topk(
+            emb, queries, k=5, coarse_mod=50, nprobe=3
+        ),
+    }
+    for label in _ANN_RECALL_METHODS:
+        if label in family_builders and label in methods:
+            parts.append(
+                family_builders[label]().select(
+                    F.lit(label).alias("method"), "query_id", "neighbor_id"
+                )
+            )
+    approx = parts[0]
+    for p in parts[1:]:
+        approx = approx.unionByName(p)
 
     hits = (
         approx.join(F.broadcast(exact), ["query_id", "neighbor_id"])
@@ -1096,11 +1131,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("hits"))
     )
     nq = exact.agg(F.countDistinct("query_id").alias("n_queries"))
-    methods = spark.createDataFrame(
-        [(m,) for m in _ANN_RECALL_METHODS], "method string"
+    method_rows = spark.createDataFrame(
+        [(m,) for m in _ANN_RECALL_METHODS if m in methods], "method string"
     )
     return (
-        methods.crossJoin(F.broadcast(nq))
+        method_rows.crossJoin(F.broadcast(nq))
         .join(F.broadcast(hits), "method", "left")
         .select(
             "method",

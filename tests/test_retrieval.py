@@ -130,3 +130,37 @@ def test_ndcg_null_for_zero_relevant_query(spark, tmp_path):
         for q, r in rows.items()
     }
     assert got == want
+
+
+def test_ann_recall_fast_subset_matches_full_report(spark, sf_dir):
+    """The reduced (bench-shaped) ann_recall_report must be a row-subset of
+    the full default report: same recall figures for the shared methods,
+    nothing else — so benching the cheap variant still tracks the numbers
+    the full gate query verifies."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops import (
+        ann_recall_report,
+    )
+
+    fast_methods = ("ivf_np1", "ivf_np2", "ivf_np3", "lsh_p4")
+    full = {
+        r.method: (r.n_queries, r.total_hits, r.recall_at_5)
+        for r in ann_recall_report(spark, sf_dir).collect()
+    }
+    fast = {
+        r.method: (r.n_queries, r.total_hits, r.recall_at_5)
+        for r in ann_recall_report(spark, sf_dir, methods=fast_methods).collect()
+    }
+    assert set(fast) == set(fast_methods)
+    for mth in fast_methods:
+        assert fast[mth] == full[mth], mth
+
+
+def test_ann_recall_unknown_method_raises(spark, sf_dir):
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops import (
+        ann_recall_report,
+    )
+
+    with pytest.raises(ValueError, match="unknown ANN recall"):
+        ann_recall_report(spark, sf_dir, methods=("ivf_np1", "bogus"))
