@@ -109,12 +109,38 @@ def bloom_prefiltered_join(
     pre-filtering the fact side is sound: under a left/full join the
     filter deletes exactly the rows the join should null-extend, and
     under an anti join it deletes exactly the rows the join should
-    RETURN — both silently. Unsupported types raise."""
+    RETURN — both silently. Unsupported types raise.
+
+    Key DTYPES must hash identically on both sides. The canonical
+    string-cast makes the whole integer family safe (1 casts to "1" at
+    every width), but across numeric families the string forms diverge
+    while the exact join still matches under numeric coercion (int 1 vs
+    double 1.0 → "1" vs "1.0"): every such row would be dropped by the
+    Bloom pass and silently violate the bit-identical contract. Rather
+    than guess a coercion (a double cast loses int64 precision above
+    2^53), mixed-family keys raise — cast one side explicitly to the
+    other's type first."""
     if how not in ("inner", "semi", "left_semi", "leftsemi"):
         raise ValueError(
             f"bloom_prefiltered_join: how={how!r} is unsound with a "
             "fact-side pre-filter (dropped rows would be null-extended "
             "or returned by the plain join); use a plain join"
+        )
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    f_type = fact.schema[fact_key].dataType
+    d_type = dim.schema[dim_key].dataType
+    if f_type != d_type and not (
+        isinstance(f_type, integral) and isinstance(d_type, integral)
+    ):
+        raise ValueError(
+            f"bloom_prefiltered_join: fact key {fact_key!r} ({f_type.simpleString()}) "
+            f"and dim key {dim_key!r} ({d_type.simpleString()}) are different "
+            "numeric families — their canonical string forms hash differently "
+            "while the exact join coerces them (e.g. 1 vs 1.0), so the Bloom "
+            "pass would silently drop matching rows; cast one side to the "
+            "other's type first"
         )
     bitset = build_bloom_bits(dim, dim_key, m_bits=m_bits, k_hashes=k_hashes)
     pre = fact.where(bloom_might_contain(bitset, fact_key, k_hashes=k_hashes))

@@ -834,6 +834,7 @@ def build_ivf_index(
     import os
 
     spark = corpus.sparkSession
+    _invalidate_fp_cache(spark)
     path = _ivf_index_path(spark, index_name)
     # captured BEFORE the overwrite below recreates the data dir: a
     # REBUILD (live data exists) carries the append token forward; a
@@ -941,13 +942,30 @@ def ivf_index_append(
     collides when a new checkpoint restarts ids at 0 against the same
     index and would silently drop that first real batch). A rebuild via
     :func:`build_ivf_index` from the full current corpus carries the
-    stored token forward, so post-repair replays stay no-ops."""
+    stored token forward, so post-repair replays stay no-ops.
+
+    ORDERING ASSUMPTION: only the MOST RECENT token is remembered
+    (``last_token``), so replay detection covers exactly one batch of
+    lookback — a re-delivery of an OLDER batch after a newer one landed
+    (b0 replayed after b1) is NOT detected and re-appends b0's rows.
+    That single-token contract is sufficient for the target producer,
+    Structured Streaming's foreachBatch, which replays only the latest
+    uncommitted batch and never re-delivers an already-committed one.
+    A hand-rolled caller with CONCURRENT or out-of-order producers must
+    serialize batches itself (or keep its own applied-token ledger) —
+    the token is a replay guard, not a general dedup log
+    (tests/test_similarity.py pins this limitation explicitly)."""
     import glob
     import os
     import shutil
     import uuid
 
     spark = batch.sparkSession
+    # the caller's corpus is moving (that's why it's appending): drop this
+    # session's memoized corpus fingerprints so a later cached probe can't
+    # compare against a pre-append fingerprint (ADVICE r8: the plan hash
+    # can't see file-level growth behind the same corpus plan)
+    _invalidate_fp_cache(spark)
     path = _ivf_index_path(spark, index_name)
     if idempotency_token is not None:
         # unlocked FAST PATH for the feature's target case: a replayed
@@ -1536,16 +1554,34 @@ def _compact_cells_locked(
 _CORPUS_FP_CACHE: dict[tuple, dict] = {}
 
 
-def _corpus_fingerprint_cached(df: DataFrame, id_col: str) -> dict:
+def _corpus_fingerprint_cached(
+    df: DataFrame, id_col: str, fresh: bool = False
+) -> dict:
     key = (
         df.sparkSession.sparkContext.applicationId,
         df._jdf.queryExecution().analyzed().semanticHash(),
         id_col,
     )
-    fp = _CORPUS_FP_CACHE.get(key)
+    fp = None if fresh else _CORPUS_FP_CACHE.get(key)
     if fp is None:
+        # a fresh recompute REPLACES the memo entry: later cached probes
+        # of the same plan see the corrected fingerprint, not the stale one
         fp = _CORPUS_FP_CACHE[key] = _corpus_fingerprint(df, id_col)
     return fp
+
+
+def _invalidate_fp_cache(spark) -> None:
+    """Drop this session's memoized corpus fingerprints. Called by every
+    index MUTATION entry point (build/append): a mutation is the signal
+    that the caller's corpus is moving — e.g. a parquet directory that a
+    batch was just appended to — and a plan's semantic hash does not see
+    file-level growth, so a memoized fingerprint computed before the
+    mutation would keep matching the PRE-mutation stored fingerprint and
+    let a probe silently serve neighbors from a different corpus (the
+    exact misuse the guard exists to catch)."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _CORPUS_FP_CACHE if k[0] == app]:
+        del _CORPUS_FP_CACHE[key]
 
 
 def ivf_index_probe(
@@ -1557,6 +1593,7 @@ def ivf_index_probe(
     index_name: str = "ivf_index",
     expected_corpus: DataFrame | None = None,
     expected_fingerprint: dict | None = None,
+    verify_fresh: bool = False,
 ) -> DataFrame:
     """Serve top-k from a stored IVF index: queries are assigned to their
     ``nprobe`` best cells against the FROZEN stored centroids, then joined
@@ -1569,15 +1606,35 @@ def ivf_index_probe(
     serves and the stored fingerprint is compared (count + id-hash XOR,
     one column-pruned scan, MEMOIZED per session+corpus-plan so a probe
     loop pays it once); a mismatch raises instead of silently returning
-    neighbors from a different corpus. Callers that persist their corpus
-    fingerprint alongside the corpus can pass ``expected_fingerprint``
-    directly and skip the scan entirely — the zero-scan serving shape."""
+    neighbors from a different corpus. The memo assumes the files a
+    corpus plan reads are IMMUTABLE between probes — the same contract
+    the stored fingerprint itself rests on; index mutations
+    (build/append) invalidate the session's memo, but files changed
+    OUTSIDE this module (a parquet dir that grew behind the same plan)
+    are invisible to the plan hash — pass ``verify_fresh=True`` to
+    recompute the fingerprint for this probe. Callers that persist their
+    corpus fingerprint alongside the corpus can pass
+    ``expected_fingerprint`` directly and skip the scan entirely — the
+    zero-scan serving shape.
+
+    READER EXCLUSION: probes take no lock, so a probe that overlaps a
+    :func:`ivf_index_rebalance` / :func:`ivf_index_compact` publish
+    window can list the index mid-swap (split parents renamed aside
+    before their staged children land) and silently return top-k missing
+    those cells' rows. The single-writer lock serializes WRITERS only —
+    schedule probes and structural maintenance apart (maintenance
+    windows), or route probes through a session that calls
+    :func:`ivf_index_verify` after maintenance. Plain appends are safe
+    to overlap: cell files are only ever ADDED, so a concurrent reader
+    sees a consistent (possibly pre-append) corpus."""
     from pyspark.sql import Window
 
     spark = queries.sparkSession
     path = _ivf_index_path(spark, index_name)
     if expected_fingerprint is None and expected_corpus is not None:
-        expected_fingerprint = _corpus_fingerprint_cached(expected_corpus, id_col)
+        expected_fingerprint = _corpus_fingerprint_cached(
+            expected_corpus, id_col, fresh=verify_fresh
+        )
     if expected_fingerprint is not None:
         stored = _fp_core(_read_fingerprint(path))
         actual = _fp_core(expected_fingerprint)

@@ -43,8 +43,12 @@ def run_file_stream(
     out = transform(events)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-check: that extra action evaluated the whole
+        # micro-batch plan TWICE per batch (including the
+        # applyInPandasWithState transform) since the frame isn't
+        # persisted. Writing an empty batch's directory is harmless —
+        # readers discover it as an empty batch_id partition — and one
+        # evaluation per batch is the contract stateful transforms expect
         batch_df.write.mode("overwrite").parquet(
             os.path.join(output_dir, f"batch_id={batch_id}")
         )

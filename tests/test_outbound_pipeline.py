@@ -50,6 +50,21 @@ def test_bloom_join_type_safety_and_key_type_mismatch(spark, sf_dir):
     got = bloom_prefiltered_join(li, hi, "l_orderkey", "o_orderkey").count()
     want = li.join(hi, li.l_orderkey == hi.o_orderkey).count()
     assert got == want > 0  # bigint fact key vs int dim key: identical
+    # (c) CROSS-family mismatch (int vs double) must raise, not silently
+    # drop rows: "1" vs "1.0" hash differently while the exact join
+    # matches them under numeric coercion
+    hi_dbl = hi.select(F.col("o_orderkey").cast("double").alias("o_orderkey"))
+    with pytest.raises(ValueError, match="numeric families"):
+        bloom_prefiltered_join(li, hi_dbl, "l_orderkey", "o_orderkey")
+    # casting one side explicitly (the documented remedy) works and is
+    # exact
+    got_dbl = bloom_prefiltered_join(
+        li.select(F.col("l_orderkey").cast("double").alias("l_orderkey")),
+        hi_dbl,
+        "l_orderkey",
+        "o_orderkey",
+    ).count()
+    assert got_dbl == want
 
 
 def test_reconcile_type_mismatch_returns_summary(spark):

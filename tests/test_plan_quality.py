@@ -642,3 +642,25 @@ def test_ann_recall_report_broadcast_only(spark, sf_dir, queries):
     plan = _plan(queries["ann_recall_report"](spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 6
+
+
+def test_drift_psi_single_scan_bounded_exchanges(spark, sf_dir, queries):
+    # the PSI monitor claims "map-side posexplode → 512 (dim,bucket)
+    # groups regardless of corpus size": one corpus scan, no joins, and
+    # the only data-sized exchange is the partial-aggregated (dim,bucket)
+    # shuffle — the window + final agg reshuffle the bounded 512-row
+    # frame. A second scan or a pre-aggregation exchange of raw exploded
+    # rows would break the 100 TB shape
+    df = queries["embedding_drift_psi"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+    # map-side combine: a partial HashAggregate must sit below the first
+    # exchange, so what shuffles is ≤512 groups per task, not rows×64 dims
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
+    partial_before = plan[first_exchange:].count("partial_sum") or (
+        "partial" in plan[first_exchange:]
+    )
+    assert partial_before, plan

@@ -1305,3 +1305,131 @@ def test_ivf_rebalance_refuses_stale_aside(spark, sf_dir):
     os.remove(os.path.join(marker, "residue"))
     os.rmdir(marker)
     assert sim.ivf_index_verify(spark, "t_staleaside_idx")["consistent"]
+
+
+def test_fp_cache_invalidated_by_index_mutations(spark, sf_dir, tmp_path):
+    """The probe's fingerprint memo is keyed by corpus-plan semantic hash,
+    which cannot see file-level growth behind the same plan. An append is
+    the in-module signal that the corpus is moving, so it must drop the
+    session's memo: the canonical append workflow — batch lands in BOTH
+    the corpus dir and the index — would otherwise fail its next probe
+    against a pre-append cached fingerprint (spurious mismatch)."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus_dir = str(tmp_path / "corpus")
+    emb.where(F.col("vec_id") % 50 != 17).write.parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    sim.build_ivf_index(corpus, index_name="t_inval_idx")
+    assert (
+        sim.ivf_index_probe(
+            q, k=5, index_name="t_inval_idx", expected_corpus=corpus
+        ).count()
+        > 0
+    )  # memoizes fp(base) for this corpus plan
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    batch.write.mode("append").parquet(corpus_dir)  # corpus dir grows...
+    sim.ivf_index_append(batch, index_name="t_inval_idx")  # ...and the index
+    # same path → same plan semantic hash as the memoized entry; the probe
+    # must verify against a FRESH fingerprint (base ∪ batch), not the
+    # pre-append memo — a stale memo would raise a spurious mismatch here
+    assert (
+        sim.ivf_index_probe(
+            q,
+            k=5,
+            index_name="t_inval_idx",
+            expected_corpus=spark.read.parquet(corpus_dir),
+        ).count()
+        > 0
+    )
+
+
+def test_probe_verify_fresh_detects_external_corpus_growth(spark, sf_dir, tmp_path):
+    """Corpus files that grow OUTSIDE any index mutation are invisible to
+    both the plan-hash memo and any in-module invalidation hook: the
+    default (memoized) probe keeps passing against the stale fingerprint —
+    the documented immutability assumption — and ``verify_fresh=True`` is
+    the remedy, recomputing the fingerprint and refusing the drifted
+    corpus. The fresh value also REPLACES the memo entry, so subsequent
+    default probes refuse too."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus_dir = str(tmp_path / "corpus")
+    emb.where(F.col("vec_id") % 50 != 17).write.parquet(corpus_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    sim.build_ivf_index(spark.read.parquet(corpus_dir), index_name="t_fresh_idx")
+    assert (
+        sim.ivf_index_probe(
+            q,
+            k=5,
+            index_name="t_fresh_idx",
+            expected_corpus=spark.read.parquet(corpus_dir),
+        ).count()
+        > 0
+    )  # memoizes fp(base)
+    # the dir grows with NO index mutation: the memoized probe cannot see it
+    emb.where(F.col("vec_id") % 50 == 17).write.mode("append").parquet(corpus_dir)
+    grown = spark.read.parquet(corpus_dir)
+    assert (
+        sim.ivf_index_probe(
+            q, k=5, index_name="t_fresh_idx", expected_corpus=grown
+        ).count()
+        > 0
+    )  # documented hazard: stale memo still matches the stored fp
+    with pytest.raises(ValueError, match="does not match the corpus"):
+        sim.ivf_index_probe(
+            q,
+            k=5,
+            index_name="t_fresh_idx",
+            expected_corpus=grown,
+            verify_fresh=True,
+        ).count()
+    # the fresh recompute replaced the memo entry: default probes now refuse
+    with pytest.raises(ValueError, match="does not match the corpus"):
+        sim.ivf_index_probe(
+            q, k=5, index_name="t_fresh_idx", expected_corpus=grown
+        ).count()
+
+
+def test_ivf_append_token_out_of_order_replay_limitation(spark, sf_dir):
+    """Pins the documented ORDERING ASSUMPTION of the idempotency token:
+    only the most recent token is remembered, so re-delivering an OLDER
+    batch after a newer one landed re-appends it (rows double, and the
+    XOR fingerprint cannot see it — duplicate ids cancel). Structured
+    Streaming's foreachBatch never does this; a hand-rolled caller with
+    out-of-order producers must not rely on the token as a dedup log."""
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    b0 = emb.where(F.col("vec_id") % 150 == 17)
+    b1 = emb.where(F.col("vec_id") % 150 == 67)
+    sim.build_ivf_index(base, index_name="t_ooo_idx")
+    path = sim._ivf_index_path(spark, "t_ooo_idx")
+    sim.ivf_index_append(b0, index_name="t_ooo_idx", idempotency_token="cp:b0")
+    sim.ivf_index_append(b1, index_name="t_ooo_idx", idempotency_token="cp:b1")
+    n_after_both = spark.read.parquet(path).count()
+    fp_after_both = sim._read_fingerprint(path)
+    # out-of-order replay of the OLDER batch: NOT detected — re-appends
+    sim.ivf_index_append(b0, index_name="t_ooo_idx", idempotency_token="cp:b0")
+    assert spark.read.parquet(path).count() == n_after_both + b0.count()
+    fp = sim._read_fingerprint(path)
+    assert fp["last_token"] == "cp:b0"
+    # the duplicate ids XOR-cancel: identity hash reverts to the pre-b0
+    # value even though the rows are physically duplicated — exactly why
+    # the fingerprint alone can never stand in for ordered delivery
+    assert fp["id_xor"] == fp_after_both["id_xor"] ^ sim._corpus_fingerprint(
+        b0, "vec_id"
+    )["id_xor"]
