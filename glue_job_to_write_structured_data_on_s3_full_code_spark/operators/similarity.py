@@ -743,6 +743,33 @@ def _write_fingerprint(path: str, fp: dict) -> None:
     os.replace(tmp, os.path.join(meta, "fingerprint.json"))
 
 
+def _write_append_manifest(
+    staging: str, batch_fp: dict, token, centroid_token: dict
+) -> None:
+    """Write the append's write-ahead manifest into the staging dir (see
+    :func:`ivf_index_append`). Temp-file + rename so a crash mid-write
+    leaves no torn manifest — repair treats a manifest-less staging dir
+    as a pre-publish crash and sweeps it."""
+    import glob
+    import json
+    import os
+
+    manifest = {
+        "kind": "append",
+        "files": sorted(
+            os.path.relpath(p, staging)
+            for p in glob.glob(os.path.join(staging, "cell_id=*", "*.parquet"))
+        ),
+        "batch_fp": dict(batch_fp),
+        "token": token,
+        "centroid_token": dict(centroid_token),
+    }
+    tmp = os.path.join(staging, ".manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(staging, "manifest.json"))
+
+
 class ConcurrentIndexMutation(RuntimeError):
     """A second writer tried to mutate a stored IVF index while another
     mutation held the lock. The index maintains a SINGLE-WRITER contract:
@@ -792,8 +819,9 @@ class _index_write_lock:
         except FileExistsError:
             raise ConcurrentIndexMutation(
                 f"another append holds {self._lock}; retry after it "
-                "finishes (if its process died, verify the index with "
-                "ivf_index_verify and remove the lock file)"
+                "finishes (if its process died, run "
+                "ivf_index_repair(break_lock=True) to audit and restore "
+                "the index)"
             ) from None
         os.close(fd)
         return self
@@ -1000,6 +1028,14 @@ def ivf_index_append(
     try:
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(staging)
         add = _corpus_fingerprint(batch, id_col)
+        # WRITE-AHEAD MANIFEST: everything :func:`ivf_index_repair` needs
+        # to roll a crashed publish forward — the staged file list, the
+        # batch's fingerprint delta, the token, and the centroid set the
+        # assignment was computed against (a repair must discard the
+        # staging if a rebalance swapped centroids before the crash).
+        # Written BEFORE the lock/rename span so no crash window exists
+        # between "files started moving" and "repair knows what moved"
+        _write_append_manifest(staging, add, idempotency_token, cents_seen)
         with _index_write_lock(path):
             # the staged assignment is only valid against the centroid
             # set it was computed from — a rebalance that swapped the
@@ -1074,7 +1110,8 @@ def ivf_index_verify(spark, index_name: str = "ivf_index") -> dict:
     where they hold duplicate (invisible) data forever and would
     otherwise never surface in any audit. Returns ``{"stored", "actual",
     "orphan_cells", "stale_asides", "consistent"}``; callers finding
-    ``consistent=False`` rebuild (or re-append the lost batch)."""
+    ``consistent=False`` run :func:`ivf_index_repair` (automated
+    restore-or-discard) or rebuild."""
     import glob as _glob
     import os
 
@@ -1109,6 +1146,380 @@ def ivf_index_verify(spark, index_name: str = "ivf_index") -> dict:
             _fp_core(stored) == _fp_core(actual) and not orphans and not stale
         ),
     }
+
+
+def ivf_index_repair(
+    spark, index_name: str = "ivf_index", break_lock: bool = False
+) -> dict:
+    """Automated crash recovery for a stored IVF index — consumes the
+    damage classes :func:`ivf_index_verify` reports (orphan cells, stale
+    asides, fingerprint drift) and restores consistency under the writer
+    lock, closing the loop that used to end at a manual runbook. Safe to
+    run on a healthy index (no-op). Every decision is derived from
+    durable on-disk state, never from guessing which files "look" staged:
+
+    - **Crashed append** (staging dir with a write-ahead manifest): rolled
+      FORWARD — the manifest lists exactly which part files belong to the
+      batch, so the remaining moves complete, and the fingerprint advances
+      by the manifest's batch delta (validated against a content
+      recompute). A staging whose token already equals the stored token
+      (crash after the fingerprint write) or whose centroid set was
+      swapped while it staged is discarded instead; a manifest-LESS
+      staging dir is a pre-publish crash — swept, the batch was never
+      applied and re-delivery (the token's job) supplies it again.
+    - **Crashed rebalance, not yet published** (parent asides whose cell
+      id is still in the LIVE centroid set): rolled BACK — parents are
+      restored from their asides (deleting any same-crash child that
+      reused a split parent's id) and the orphaned child cells are
+      removed after a fingerprint check proves the live-centroid cells
+      alone already hold every fingerprinted row.
+    - **Crashed rebalance, published** (parent asides whose id is NOT in
+      the live centroid set): the children are canonical — the duplicate
+      parent asides are discarded; a cell_stats baseline still naming
+      dead cells is rolled forward from the crash's staged copy when one
+      survives, else recomputed from current contents (baseline resets
+      are reported in ``actions``).
+    - **Crashed compaction** (in-cell ``.part….old`` asides): the asides
+      are the pre-compaction originals. Live files whose rows are ALL
+      contained in the asides are the landed half of the crashed rewrite
+      and are deleted; disjoint live files are un-hidden originals and
+      kept. Either way the asides are restored — the cell is
+      byte-equivalent to before the compaction.
+    - **Meta leftovers**: a missing live ``centroids``/``cell_stats`` dir
+      is restored from its ``.old`` copy; completed-swap ``.old`` and
+      staged ``.new`` residues are swept.
+
+    ``break_lock=True`` removes a leftover writer lock first — pass it
+    ONLY after confirming the crashed writer's process is dead (a live
+    writer's lock must win; that is the single-writer contract).
+    Returns ``{"actions": [...], **ivf_index_verify(...)}`` and raises
+    :class:`IndexMaintenanceError` if consistency could not be restored
+    (the remaining remedy is :func:`build_ivf_index` from the full
+    current corpus, which carries the stored token forward)."""
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    path = _ivf_index_path(spark, index_name)
+    meta = f"{path}__meta"
+    actions: list[str] = []
+    lock_file = os.path.join(meta, "append.lock")
+    if break_lock and os.path.exists(lock_file):
+        os.unlink(lock_file)
+        actions.append("removed leftover writer lock (caller confirmed dead)")
+    with _index_write_lock(path):
+        # any repair invalidates this session's memoized fingerprints:
+        # contents and/or the stored fingerprint may change below
+        _invalidate_fp_cache(spark)
+
+        # -- 1. live meta dirs: restore from .old if a swap died midway
+        for name in ("centroids", "cell_stats"):
+            live = os.path.join(meta, name)
+            old = f"{live}.old"
+            if not os.path.isdir(live) and os.path.isdir(old):
+                os.rename(old, live)
+                actions.append(f"restored __meta/{name} from its .old copy")
+        if not os.path.isdir(os.path.join(meta, "centroids")):
+            raise IndexMaintenanceError(
+                f"index '{index_name}' has no centroid set and no .old "
+                "copy to restore — rebuild via build_ivf_index"
+            )
+
+        # -- 2. crashed appends: roll forward by manifest, sweep the rest
+        for staging in sorted(glob.glob(f"{path}__staging_*")):
+            mpath = os.path.join(staging, "manifest.json")
+            if not os.path.isfile(mpath):
+                # pre-manifest crash (or a rebalance/compact staging):
+                # nothing was published from it, and append batches are
+                # re-delivered by the at-least-once producer
+                shutil.rmtree(staging)
+                actions.append(
+                    f"swept manifest-less staging {os.path.basename(staging)}"
+                )
+                continue
+            with open(mpath) as fh:
+                manifest = json.load(fh)
+            stored = _read_fingerprint(path)
+            tok = manifest.get("token")
+            if tok is not None and stored.get("last_token") == tok:
+                # crash AFTER the fingerprint advance: batch fully applied
+                shutil.rmtree(staging)
+                actions.append(
+                    f"discarded staging of already-applied batch {tok!r}"
+                )
+                continue
+            if _centroid_token(spark, path) != manifest["centroid_token"]:
+                shutil.rmtree(staging)
+                actions.append(
+                    "discarded staging assigned against a superseded "
+                    "centroid set — re-deliver the batch"
+                )
+                continue
+            for rel in manifest["files"]:
+                src = os.path.join(staging, rel)
+                dst = os.path.join(path, rel)
+                if os.path.exists(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+                elif not os.path.exists(dst):
+                    raise IndexMaintenanceError(
+                        f"append manifest names {rel} but it exists in "
+                        "neither staging nor the index — cannot roll "
+                        "forward; rebuild via build_ivf_index"
+                    )
+            expected = {
+                "rows": stored["rows"] + manifest["batch_fp"]["rows"],
+                "id_xor": stored["id_xor"] ^ manifest["batch_fp"]["id_xor"],
+            }
+            actual = _corpus_fingerprint(spark.read.parquet(path), "neighbor_id")
+            if actual == _fp_core(stored):
+                # a token-LESS append that crashed after its fingerprint
+                # write: contents already match the stored fingerprint, so
+                # the batch is fully applied — advancing again would
+                # double-count it
+                shutil.rmtree(staging)
+                actions.append(
+                    "discarded staging of already-applied token-less batch"
+                )
+                continue
+            if actual != expected:
+                raise IndexMaintenanceError(
+                    "rolled-forward contents match neither the pre- nor "
+                    f"post-append fingerprint (actual {actual}, expected "
+                    f"{expected}) — rebuild via build_ivf_index"
+                )
+            if tok is not None:
+                expected["last_token"] = tok
+            elif "last_token" in stored:
+                expected["last_token"] = stored["last_token"]
+            _write_fingerprint(path, expected)
+            shutil.rmtree(staging)
+            actions.append(
+                f"rolled crashed append forward ({manifest['batch_fp']['rows']} "
+                "rows; fingerprint advanced)"
+            )
+
+        live_ids = {
+            int(r["cent_id"])
+            for r in spark.read.parquet(f"{path}__meta/centroids")
+            .select("cent_id")
+            .collect()  # bounded: ≤ max_centroids rows
+        }
+
+        # -- 3. rebalance parent asides: roll back or discard by whether
+        #       the centroid swap (the publish point) landed
+        published_rebalance = False
+        for aside in sorted(glob.glob(os.path.join(path, ".cell_id=*.old"))):
+            cell = int(os.path.basename(aside)[len(".cell_id=") : -len(".old")])
+            target = os.path.join(path, f"cell_id={cell}")
+            if cell in live_ids:
+                # centroids still name the parent: the rebalance never
+                # became probe-visible — roll it back. A live dir with
+                # this id can only be a same-crash child that reused a
+                # split parent's id (the parent itself was renamed aside
+                # first); its rows are duplicates of the parents' union
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                os.rename(aside, target)
+                actions.append(f"restored split parent cell {cell} from aside")
+            else:
+                published_rebalance = True
+                shutil.rmtree(aside)
+                actions.append(
+                    f"discarded duplicate parent aside of published "
+                    f"rebalance (cell {cell})"
+                )
+
+        # -- 4. orphan cells (dirs no live centroid routes to): delete
+        #       only if the live-centroid cells alone account for every
+        #       fingerprinted row — otherwise deleting would lose data
+        on_disk = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("cell_id=")
+        }
+        orphans = sorted(on_disk - live_ids)
+        if orphans:
+            stored = _read_fingerprint(path)
+            pruned_fp = _corpus_fingerprint(
+                spark.read.parquet(path).where(
+                    F.col("cell_id").cast("long").isin(sorted(live_ids))
+                ),
+                "neighbor_id",
+            )
+            if pruned_fp != _fp_core(stored):
+                raise IndexMaintenanceError(
+                    f"orphan cells {orphans} hold rows the fingerprint "
+                    "counts (live cells alone do not reproduce it) — the "
+                    "centroid swap is missing; rebuild via build_ivf_index"
+                )
+            for cell in orphans:
+                shutil.rmtree(os.path.join(path, f"cell_id={cell}"))
+            actions.append(f"removed duplicate orphan cells {orphans}")
+
+        # -- 5a. residue of a crashed REPAIR: step 5b stages asides into a
+        #        visible sibling temp dir to read them; a repair killed
+        #        mid-step would strand the ONLY copy of those rows there.
+        #        Each temp dir carries a marker naming its cell, so the
+        #        files are moved back as asides (pre-repair state) first
+        for tmp in sorted(glob.glob(f"{path}__repair_*")):
+            marker = os.path.join(tmp, ".cell_dir")
+            if not os.path.isfile(marker):
+                raise IndexMaintenanceError(
+                    f"unmarked repair residue {tmp} — inspect manually "
+                    "before re-running repair"
+                )
+            with open(marker) as fh:
+                cell_dir = os.path.join(path, fh.read().strip())
+            os.makedirs(cell_dir, exist_ok=True)
+            moved_back = 0
+            for p in glob.glob(os.path.join(tmp, "*.parquet")):
+                os.rename(
+                    p,
+                    os.path.join(cell_dir, f".{os.path.basename(p)}.old"),
+                )
+                moved_back += 1
+            shutil.rmtree(tmp)
+            actions.append(
+                f"recovered {moved_back} aside files from a crashed "
+                f"earlier repair into {os.path.basename(cell_dir)}"
+            )
+
+        # -- 5b. compaction asides: restore originals; drop live files the
+        #        asides already contain (the landed half of the rewrite)
+        for cell_dir in sorted(glob.glob(os.path.join(path, "cell_id=*"))):
+            asides = sorted(glob.glob(os.path.join(cell_dir, ".*.old")))
+            if not asides:
+                continue
+            # Spark's hidden-file filter skips dot-files even when named
+            # explicitly, so stage the asides into a visible temp dir
+            # (same-fs renames) to read them. The marker file makes this
+            # span itself crash-recoverable (step 5a); on any failure the
+            # files move back to their aside names — never deleted
+            tmp = f"{path}__repair_{uuid.uuid4().hex}"
+            os.makedirs(tmp)
+            with open(os.path.join(tmp, ".cell_dir"), "w") as fh:
+                fh.write(os.path.basename(cell_dir))
+            restore: list[tuple[str, str]] = []
+            try:
+                for a in asides:
+                    orig = os.path.basename(a)[1 : -len(".old")]
+                    os.rename(a, os.path.join(tmp, orig))
+                    restore.append(
+                        (os.path.join(tmp, orig), os.path.join(cell_dir, orig))
+                    )
+                live_parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
+                extra = 0
+                if live_parts:
+                    extra = (
+                        spark.read.parquet(cell_dir)
+                        .select("neighbor_id")
+                        .join(
+                            spark.read.parquet(tmp).select("neighbor_id"),
+                            "neighbor_id",
+                            "left_anti",
+                        )
+                        .count()
+                    )
+                if live_parts and extra == 0:
+                    # every live row already exists in the asides: the
+                    # live files are the crashed rewrite's landed output
+                    for p in live_parts:
+                        os.unlink(p)
+                    actions.append(
+                        f"dropped {len(live_parts)} landed rewrite files in "
+                        f"{os.path.basename(cell_dir)}"
+                    )
+                for src, dst in restore:
+                    os.rename(src, dst)
+            except BaseException:
+                # undo: staged asides back to their hidden names — the
+                # temp dir must NEVER be deleted while it holds the only
+                # copy of the cell's rows
+                for src, _ in restore:
+                    if os.path.exists(src):
+                        os.rename(
+                            src,
+                            os.path.join(
+                                cell_dir, f".{os.path.basename(src)}.old"
+                            ),
+                        )
+                raise
+            shutil.rmtree(tmp)
+            actions.append(
+                f"restored {len(restore)} pre-compaction originals in "
+                f"{os.path.basename(cell_dir)}"
+            )
+
+        # -- 6. cell_stats naming dead cells (stats swap died after the
+        #       centroid swap): roll the crash's staged copy forward when
+        #       exactly one survives and matches the live centroids, else
+        #       recompute (which RESETS the drift baseline — reported)
+        stats_path = os.path.join(meta, "cell_stats")
+        stats_ids = {
+            int(r["cell_id"])
+            for r in spark.read.parquet(stats_path)
+            .select(F.col("cell_id").cast("long").alias("cell_id"))
+            .collect()  # bounded: ≤ max_centroids rows
+        }
+        if published_rebalance or not stats_ids <= live_ids:
+            staged = glob.glob(os.path.join(meta, ".cell_stats.*.new"))
+            rolled = False
+            if len(staged) == 1:
+                staged_ids = {
+                    int(r["cell_id"])
+                    for r in spark.read.parquet(staged[0])
+                    .select(F.col("cell_id").cast("long").alias("cell_id"))
+                    .collect()
+                }
+                if staged_ids <= live_ids:
+                    bak = f"{stats_path}.old"
+                    shutil.rmtree(bak, ignore_errors=True)
+                    os.rename(stats_path, bak)
+                    os.rename(staged[0], stats_path)
+                    shutil.rmtree(bak)
+                    actions.append("rolled staged cell_stats forward")
+                    rolled = True
+            if not rolled and not stats_ids <= live_ids:
+                new_dir = os.path.join(meta, f".cell_stats.{uuid.uuid4().hex}.new")
+                (
+                    spark.read.parquet(path)
+                    .groupBy(F.col("cell_id").cast("long").alias("cell_id"))
+                    .agg(F.count(F.lit(1)).alias("rows_at_build"))
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(new_dir)
+                )
+                bak = f"{stats_path}.old"
+                shutil.rmtree(bak, ignore_errors=True)
+                os.rename(stats_path, bak)
+                os.rename(new_dir, stats_path)
+                shutil.rmtree(bak)
+                actions.append(
+                    "recomputed cell_stats from current contents (drift "
+                    "baseline RESET to now)"
+                )
+
+        # -- 7. sweep completed-swap residues
+        for leftover in glob.glob(os.path.join(meta, ".*.new")):
+            shutil.rmtree(leftover)
+            actions.append(f"swept staged meta dir {os.path.basename(leftover)}")
+        for name in ("centroids", "cell_stats"):
+            old = os.path.join(meta, f"{name}.old")
+            if os.path.isdir(old) and os.path.isdir(os.path.join(meta, name)):
+                shutil.rmtree(old)
+                actions.append(f"swept superseded __meta/{name}.old")
+
+    report = ivf_index_verify(spark, index_name)
+    if not report["consistent"]:
+        raise IndexMaintenanceError(
+            f"repair of '{index_name}' could not restore consistency "
+            f"(verify: {report}) — rebuild via build_ivf_index from the "
+            "full current corpus (the stored token is carried forward)"
+        )
+    return {"actions": actions, **report}
 
 
 def ivf_cell_skew_audit(spark, index_name: str = "ivf_index") -> DataFrame:
@@ -1356,8 +1767,7 @@ def _ivf_rebalance_locked(
                     raise RuntimeError(
                         f"stale aside {aside} exists — crash residue "
                         "that may hold the only copy of the cell's "
-                        "rows; run ivf_index_verify and repair "
-                        "(restore or remove it) before rebalancing"
+                        "rows; run ivf_index_repair before rebalancing"
                     )
                 os.rename(src, aside)
                 moved_aside.append(src)
@@ -1513,8 +1923,7 @@ def _compact_cells_locked(
                     if os.path.exists(aside):
                         raise RuntimeError(
                             f"stale aside {aside} exists — crash residue; "
-                            "run ivf_index_verify and repair before "
-                            "compacting"
+                            "run ivf_index_repair before compacting"
                         )
                     os.rename(part, aside)
                     hidden.append((part, aside))

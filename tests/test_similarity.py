@@ -1433,3 +1433,472 @@ def test_ivf_append_token_out_of_order_replay_limitation(spark, sf_dir):
     assert fp["id_xor"] == fp_after_both["id_xor"] ^ sim._corpus_fingerprint(
         b0, "vec_id"
     )["id_xor"]
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _dead_process_at(trigger):
+    """Freeze the filesystem at a kill point: the os.rename call for which
+    ``trigger(src, dst)`` returns True raises, and every LATER
+    rename/unlink/rmtree becomes a no-op — so the mutation's undo handlers
+    and finally-sweeps leave the exact at-kill state behind, like a killed
+    process would (including the leftover writer lock file)."""
+    import os
+    import shutil
+
+    real_rename, real_unlink, real_rmtree = os.rename, os.unlink, shutil.rmtree
+    state = {"dead": False}
+
+    def rename(src, dst, **kw):
+        if state["dead"]:
+            return
+        if trigger(str(src), str(dst)):
+            state["dead"] = True
+            raise OSError("simulated process kill")
+        return real_rename(src, dst, **kw)
+
+    def unlink(p, **kw):
+        if state["dead"]:
+            return
+        return real_unlink(p, **kw)
+
+    def rmtree(p, *a, **kw):
+        if state["dead"]:
+            return
+        return real_rmtree(p, *a, **kw)
+
+    os.rename, os.unlink, shutil.rmtree = rename, unlink, rmtree
+    try:
+        yield state
+    finally:
+        os.rename, os.unlink, shutil.rmtree = real_rename, real_unlink, real_rmtree
+
+
+def test_ivf_repair_rolls_back_rebalance_killed_before_publish(spark, sf_dir):
+    """The r8 verdict's crash window: a rebalance killed AFTER the parents
+    were renamed aside and the children landed but BEFORE the centroid
+    swap (the publish point). Probes would silently miss the split cells'
+    rows; repair must roll the rebalance back — restore parents, drop the
+    duplicate children — and the post-repair probe must be row-identical
+    to the pre-crash index."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    sim.build_ivf_index(emb, index_name="t_repair_rb_idx")
+    path = sim._ivf_index_path(spark, "t_repair_rb_idx")
+    # a healthy index repairs to a no-op
+    rep0 = sim.ivf_index_repair(spark, "t_repair_rb_idx")
+    assert rep0["consistent"] and rep0["actions"] == []
+    probe_before = sorted(
+        tuple(r)
+        for r in sim.ivf_index_probe(
+            q, k=5, index_name="t_repair_rb_idx", expected_corpus=emb
+        ).collect()
+    )
+    hot = int(
+        sim.ivf_cell_skew_audit(spark, "t_repair_rb_idx")
+        .orderBy(F.col("rows_now").desc(), "cell_id")
+        .first()["cell_id"]
+    )
+    with _dead_process_at(lambda s, d: d.endswith("centroids.old")):
+        with pytest.raises(OSError, match="simulated process kill"):
+            sim.ivf_index_rebalance(spark, "t_repair_rb_idx", cells=[hot])
+    # at-kill state: writer lock left behind, parents hidden, children live
+    assert os.path.exists(os.path.join(f"{path}__meta", "append.lock"))
+    v = sim.ivf_index_verify(spark, "t_repair_rb_idx")
+    assert not v["consistent"] and v["stale_asides"]
+    # the leftover lock blocks repair unless the caller confirms the
+    # writer is dead
+    with pytest.raises(sim.ConcurrentIndexMutation):
+        sim.ivf_index_repair(spark, "t_repair_rb_idx")
+    rep = sim.ivf_index_repair(spark, "t_repair_rb_idx", break_lock=True)
+    assert rep["consistent"] and rep["actions"]
+    probe_after = sorted(
+        tuple(r)
+        for r in sim.ivf_index_probe(
+            q, k=5, index_name="t_repair_rb_idx", expected_corpus=emb
+        ).collect()
+    )
+    assert probe_after == probe_before
+    # no residue: asides, orphans, staged meta dirs, staging dirs all gone
+    assert not [d for d in os.listdir(path) if d.endswith(".old")]
+    import glob as _glob
+
+    assert not _glob.glob(f"{path}__staging_*")
+    assert not _glob.glob(os.path.join(f"{path}__meta", ".*.new"))
+    # and the rebalance itself now runs cleanly end to end
+    assert sim.ivf_index_rebalance(spark, "t_repair_rb_idx", cells=[hot]) == [hot]
+    assert sim.ivf_index_verify(spark, "t_repair_rb_idx")["consistent"]
+
+
+def test_ivf_repair_rolls_crashed_append_forward(spark, sf_dir):
+    """An append killed mid-publish (some staged part files moved in, the
+    fingerprint not yet advanced): the write-ahead manifest lets repair
+    complete the moves and advance the fingerprint+token exactly once —
+    and the token makes the producer's replay of the same batch a no-op
+    afterwards."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    sim.build_ivf_index(base, index_name="t_repair_ap_idx")
+    path = sim._ivf_index_path(spark, "t_repair_ap_idx")
+
+    calls = {"n": 0}
+
+    def trig(src, dst):
+        if "__staging_" in src and "cell_id=" in dst and dst.endswith(".parquet"):
+            calls["n"] += 1
+            return calls["n"] == 2  # first part file lands, kill on the 2nd
+        return False
+
+    with _dead_process_at(trig):
+        with pytest.raises(OSError, match="simulated process kill"):
+            sim.ivf_index_append(
+                batch, index_name="t_repair_ap_idx", idempotency_token="cp:b7"
+            )
+    assert not sim.ivf_index_verify(spark, "t_repair_ap_idx")["consistent"]
+    rep = sim.ivf_index_repair(spark, "t_repair_ap_idx", break_lock=True)
+    assert rep["consistent"]
+    assert any("rolled crashed append forward" in a for a in rep["actions"])
+    fp = sim._read_fingerprint(path)
+    assert fp["last_token"] == "cp:b7"
+    # the repaired index answers exactly like the in-memory IVF over the
+    # full corpus (same contract as a clean append)
+    got = sorted(
+        tuple(r)
+        for r in sim.ivf_index_probe(
+            q, k=5, index_name="t_repair_ap_idx", expected_corpus=emb
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in sim.ivf_topk(emb, q, k=5).collect())
+    assert got == want and len(got) > 0
+    # replay of the recovered batch: detected by the token, no-op
+    rows = spark.read.parquet(path).count()
+    sim.ivf_index_append(
+        batch, index_name="t_repair_ap_idx", idempotency_token="cp:b7"
+    )
+    assert spark.read.parquet(path).count() == rows
+
+
+def test_ivf_repair_restores_compaction_killed_during_landing(spark, sf_dir):
+    """A compaction killed after hiding every original and landing only
+    part of the rewrite: the landed files' rows are all contained in the
+    asides, so repair drops them and restores the originals — the cell is
+    byte-equivalent to before the compaction."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_repair_cp_idx"
+    )
+    sim.ivf_index_append(
+        emb.where(F.col("vec_id") % 50 == 17), index_name="t_repair_cp_idx"
+    )
+    path = sim._ivf_index_path(spark, "t_repair_cp_idx")
+    rows_before = spark.read.parquet(path).count()
+    files_before = sorted(glob.glob(os.path.join(path, "cell_id=*", "*.parquet")))
+
+    landed = {"n": 0}
+
+    def trig(src, dst):
+        # staged rewrite files land as staging/part -> cell_dir/part
+        if "__staging_" in src and dst.endswith(".parquet"):
+            landed["n"] += 1
+            return landed["n"] == 2
+        return False
+
+    with _dead_process_at(trig):
+        with pytest.raises(OSError, match="simulated process kill"):
+            # tiny target size forces a multi-file rewrite so the kill
+            # lands strictly between the first and last staged move
+            sim.ivf_index_compact(
+                spark,
+                "t_repair_cp_idx",
+                max_files_per_cell=1,
+                target_file_bytes=4096,
+            )
+    v = sim.ivf_index_verify(spark, "t_repair_cp_idx")
+    assert v["stale_asides"] and not v["consistent"]
+    rep = sim.ivf_index_repair(spark, "t_repair_cp_idx", break_lock=True)
+    assert rep["consistent"]
+    assert any("restored" in a and "pre-compaction" in a for a in rep["actions"])
+    assert spark.read.parquet(path).count() == rows_before
+    assert (
+        sorted(glob.glob(os.path.join(path, "cell_id=*", "*.parquet")))
+        == files_before
+    )
+    # retry compacts cleanly
+    assert sim.ivf_index_compact(spark, "t_repair_cp_idx", max_files_per_cell=1)
+    assert sim.ivf_index_verify(spark, "t_repair_cp_idx")["consistent"]
+
+
+def test_ivf_repair_restores_compaction_killed_during_hiding(spark, sf_dir):
+    """A compaction killed while hiding originals (no rewrite landed yet):
+    the live files are the not-yet-hidden originals — disjoint from the
+    asides — so repair keeps them and restores the hidden ones alongside."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_repair_ch_idx"
+    )
+    sim.ivf_index_append(
+        emb.where(F.col("vec_id") % 50 == 17), index_name="t_repair_ch_idx"
+    )
+    path = sim._ivf_index_path(spark, "t_repair_ch_idx")
+    rows_before = spark.read.parquet(path).count()
+
+    hidden = {"n": 0}
+
+    def trig(src, dst):
+        # originals hide as cell_dir/part -> cell_dir/.part.old
+        if src.endswith(".parquet") and dst.endswith(".old"):
+            hidden["n"] += 1
+            return hidden["n"] == 2
+        return False
+
+    with _dead_process_at(trig):
+        with pytest.raises(OSError, match="simulated process kill"):
+            sim.ivf_index_compact(spark, "t_repair_ch_idx", max_files_per_cell=1)
+    rep = sim.ivf_index_repair(spark, "t_repair_ch_idx", break_lock=True)
+    assert rep["consistent"]
+    assert spark.read.parquet(path).count() == rows_before
+    assert sim.ivf_index_compact(spark, "t_repair_ch_idx", max_files_per_cell=1)
+
+
+def test_ivf_repair_is_itself_crash_recoverable(spark, sf_dir):
+    """Repair stages compaction asides into a visible temp dir to read
+    them; a repair killed mid-span must not strand (or worse, delete) the
+    only copy of those rows. The marker file lets the NEXT repair move
+    them back and finish the job."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") % 50 != 17), index_name="t_repair_rr_idx"
+    )
+    sim.ivf_index_append(
+        emb.where(F.col("vec_id") % 50 == 17), index_name="t_repair_rr_idx"
+    )
+    path = sim._ivf_index_path(spark, "t_repair_rr_idx")
+    rows_before = spark.read.parquet(path).count()
+
+    # first crash, constructed deterministically: a compaction killed
+    # after hiding ALL of one cell's originals and landing nothing —
+    # pick the cell with the most part files (an append-touched cell has
+    # >=2) and hide them exactly as _compact_cells_locked would
+    cells = sorted(glob.glob(os.path.join(path, "cell_id=*")))
+    cell_dir = max(
+        cells, key=lambda d: len(glob.glob(os.path.join(d, "*.parquet")))
+    )
+    parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
+    assert len(parts) >= 2
+    for p in parts:
+        os.rename(p, os.path.join(cell_dir, f".{os.path.basename(p)}.old"))
+    assert not sim.ivf_index_verify(spark, "t_repair_rr_idx")["consistent"]
+
+    # second crash: the REPAIR dies after staging one aside into its temp
+    # dir (src .old -> visible name under __repair_) — stranding the only
+    # copy of that file's rows outside the index
+    staged = {"n": 0}
+
+    def trig_repair(src, dst):
+        if src.endswith(".old") and "__repair_" in dst:
+            staged["n"] += 1
+            return staged["n"] == 2
+        return False
+
+    with _dead_process_at(trig_repair):
+        with pytest.raises(OSError, match="simulated process kill"):
+            sim.ivf_index_repair(spark, "t_repair_rr_idx")
+    leftover = glob.glob(f"{path}__repair_*")
+    assert leftover and os.path.isfile(os.path.join(leftover[0], ".cell_dir"))
+
+    # the next repair recovers the stranded aside and restores consistency
+    rep = sim.ivf_index_repair(spark, "t_repair_rr_idx", break_lock=True)
+    assert rep["consistent"]
+    assert any("crashed earlier repair" in a for a in rep["actions"])
+    assert not glob.glob(f"{path}__repair_*")
+    assert spark.read.parquet(path).count() == rows_before
+
+
+def test_ivf_repair_completes_published_rebalance(spark, sf_dir):
+    """A rebalance killed BETWEEN the two meta swaps (centroids refined,
+    cell_stats still naming the split parents): the publish point passed,
+    so the children are canonical — repair must DISCARD the duplicate
+    parent asides and roll the staged cell_stats forward, leaving the
+    index identical to a rebalance that finished cleanly (compared
+    against a twin index rebalanced without a crash)."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    sim.build_ivf_index(emb, index_name="t_pubkill_idx")
+    sim.build_ivf_index(emb, index_name="t_pubkill_twin")
+    hot = int(
+        sim.ivf_cell_skew_audit(spark, "t_pubkill_idx")
+        .orderBy(F.col("rows_now").desc(), "cell_id")
+        .first()["cell_id"]
+    )
+    with _dead_process_at(lambda s, d: d.endswith("cell_stats.old")):
+        with pytest.raises(OSError, match="simulated process kill"):
+            sim.ivf_index_rebalance(spark, "t_pubkill_idx", cells=[hot])
+    rep = sim.ivf_index_repair(spark, "t_pubkill_idx", break_lock=True)
+    assert rep["consistent"]
+    assert any("published rebalance" in a for a in rep["actions"])
+    assert any("cell_stats" in a for a in rep["actions"])
+    # identical to the crash-free twin: same probe rows, same stats
+    assert sim.ivf_index_rebalance(spark, "t_pubkill_twin", cells=[hot]) == [hot]
+    got = sorted(
+        tuple(r)
+        for r in sim.ivf_index_probe(
+            q, k=5, index_name="t_pubkill_idx", expected_corpus=emb
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.ivf_index_probe(
+            q, k=5, index_name="t_pubkill_twin", expected_corpus=emb
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    stats = lambda name: sorted(  # noqa: E731
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{sim._ivf_index_path(spark, name)}__meta/cell_stats"
+        ).collect()
+    )
+    assert stats("t_pubkill_idx") == stats("t_pubkill_twin")
+
+
+def test_ivf_repair_discards_staging_against_superseded_centroids(spark, sf_dir):
+    """An append killed before any part file moved, then a rebalance
+    refines the centroid set: the staged assignment is stale (its cell
+    ids target the pre-split layout), so repair must discard it — the
+    batch is re-delivered and assigned against the refined centroids."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    sim.build_ivf_index(base, index_name="t_stale_stage_idx")
+    path = sim._ivf_index_path(spark, "t_stale_stage_idx")
+    base_rows = spark.read.parquet(path).count()
+
+    def trig(src, dst):
+        return "__staging_" in src and "cell_id=" in dst and dst.endswith(".parquet")
+
+    with _dead_process_at(trig):
+        with pytest.raises(OSError, match="simulated process kill"):
+            sim.ivf_index_append(
+                batch, index_name="t_stale_stage_idx", idempotency_token="cp:b3"
+            )
+    # the dead writer's lock is confirmed abandoned; a rebalance then
+    # refines the centroid set before anyone repairs
+    os.unlink(os.path.join(f"{path}__meta", "append.lock"))
+    hot = int(
+        sim.ivf_cell_skew_audit(spark, "t_stale_stage_idx")
+        .orderBy(F.col("rows_now").desc(), "cell_id")
+        .first()["cell_id"]
+    )
+    assert sim.ivf_index_rebalance(spark, "t_stale_stage_idx", cells=[hot]) == [hot]
+    rep = sim.ivf_index_repair(spark, "t_stale_stage_idx")
+    assert rep["consistent"]
+    assert any("superseded centroid set" in a for a in rep["actions"])
+    # nothing from the stale staging leaked in; token NOT recorded
+    assert spark.read.parquet(path).count() == base_rows
+    assert "last_token" not in sim._read_fingerprint(path)
+    # re-delivery assigns against the refined centroids and applies
+    sim.ivf_index_append(
+        batch, index_name="t_stale_stage_idx", idempotency_token="cp:b3"
+    )
+    assert spark.read.parquet(path).count() == base_rows + batch.count()
+    assert sim.ivf_index_verify(spark, "t_stale_stage_idx")["consistent"]
+
+
+def test_ivf_repair_discards_staging_of_applied_batch(spark, sf_dir):
+    """An append killed after its fingerprint write but before the staging
+    sweep: the stored token equals the manifest token, so repair discards
+    the staging instead of double-applying the batch."""
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 150 == 17)
+    sim.build_ivf_index(base, index_name="t_applied_idx")
+    path = sim._ivf_index_path(spark, "t_applied_idx")
+    sim.ivf_index_append(
+        batch, index_name="t_applied_idx", idempotency_token="cp:b5"
+    )
+    rows = spark.read.parquet(path).count()
+    fp = sim._read_fingerprint(path)
+    # recreate the crash state: the applied batch's staging dir survives
+    # (the real sweep happens in a finally a kill skips) — a fresh staging
+    # with the SAME manifest token stands in for it
+    staging = f"{path}__staging_deadbeef"
+    os.makedirs(os.path.join(staging, "cell_id=0"))
+    sim._write_append_manifest(
+        staging,
+        sim._corpus_fingerprint(batch, "vec_id"),
+        "cp:b5",
+        sim._centroid_token(spark, path),
+    )
+    rep = sim.ivf_index_repair(spark, "t_applied_idx")
+    assert rep["consistent"]
+    assert any("already-applied batch" in a for a in rep["actions"])
+    assert not glob.glob(f"{path}__staging_*")
+    assert spark.read.parquet(path).count() == rows
+    assert sim._read_fingerprint(path) == fp
