@@ -16,6 +16,8 @@ from .similarity import (
     ivf_index_append,
     ivf_index_built,
     ivf_index_probe,
+    ivf_index_repair,
+    ivf_index_verify,
     ivf_topk,
     lsh_bucketed_topk,
     pq_topk,
@@ -42,6 +44,8 @@ __all__ = [
     "ivf_index_append",
     "ivf_index_built",
     "ivf_index_probe",
+    "ivf_index_repair",
+    "ivf_index_verify",
     "ivf_topk",
     "lsh_bucketed_topk",
     "pq_topk",

@@ -1227,7 +1227,163 @@ def ivf_index_repair(
                 "copy to restore — rebuild via build_ivf_index"
             )
 
-        # -- 2. crashed appends: roll forward by manifest, sweep the rest
+        live_ids = {
+            int(r["cent_id"])
+            for r in spark.read.parquet(f"{path}__meta/centroids")
+            .select("cent_id")
+            .collect()  # bounded: ≤ max_centroids rows
+        }
+
+        # -- 2. rebalance parent asides: roll back or discard by whether
+        #       the centroid swap (the publish point) landed
+        published_rebalance = False
+        for aside in sorted(glob.glob(os.path.join(path, ".cell_id=*.old"))):
+            cell = int(os.path.basename(aside)[len(".cell_id=") : -len(".old")])
+            target = os.path.join(path, f"cell_id={cell}")
+            if cell in live_ids:
+                # centroids still name the parent: the rebalance never
+                # became probe-visible — roll it back. A live dir with
+                # this id can only be a same-crash child that reused a
+                # split parent's id (the parent itself was renamed aside
+                # first); its rows are duplicates of the parents' union
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                os.rename(aside, target)
+                actions.append(f"restored split parent cell {cell} from aside")
+            else:
+                published_rebalance = True
+                shutil.rmtree(aside)
+                actions.append(
+                    f"discarded duplicate parent aside of published "
+                    f"rebalance (cell {cell})"
+                )
+
+        # -- 3. orphan cells (dirs no live centroid routes to): delete
+        #       only if the live-centroid cells alone account for every
+        #       fingerprinted row — otherwise deleting would lose data
+        on_disk = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("cell_id=")
+        }
+        orphans = sorted(on_disk - live_ids)
+        if orphans:
+            stored = _read_fingerprint(path)
+            pruned_fp = _corpus_fingerprint(
+                spark.read.parquet(path).where(
+                    F.col("cell_id").cast("long").isin(sorted(live_ids))
+                ),
+                "neighbor_id",
+            )
+            if pruned_fp != _fp_core(stored):
+                raise IndexMaintenanceError(
+                    f"orphan cells {orphans} hold rows the fingerprint "
+                    "counts (live cells alone do not reproduce it) — the "
+                    "centroid swap is missing; rebuild via build_ivf_index"
+                )
+            for cell in orphans:
+                shutil.rmtree(os.path.join(path, f"cell_id={cell}"))
+            actions.append(f"removed duplicate orphan cells {orphans}")
+
+        # -- 4. residue of a crashed REPAIR: step 5 stages asides into a
+        #        visible sibling temp dir to read them; a repair killed
+        #        mid-step would strand the ONLY copy of those rows there.
+        #        Each temp dir carries a marker naming its cell, so the
+        #        files are moved back as asides (pre-repair state) first
+        for tmp in sorted(glob.glob(f"{path}__repair_*")):
+            marker = os.path.join(tmp, ".cell_dir")
+            if not os.path.isfile(marker):
+                raise IndexMaintenanceError(
+                    f"unmarked repair residue {tmp} — inspect manually "
+                    "before re-running repair"
+                )
+            with open(marker) as fh:
+                cell_dir = os.path.join(path, fh.read().strip())
+            os.makedirs(cell_dir, exist_ok=True)
+            moved_back = 0
+            for p in glob.glob(os.path.join(tmp, "*.parquet")):
+                os.rename(
+                    p,
+                    os.path.join(cell_dir, f".{os.path.basename(p)}.old"),
+                )
+                moved_back += 1
+            shutil.rmtree(tmp)
+            actions.append(
+                f"recovered {moved_back} aside files from a crashed "
+                f"earlier repair into {os.path.basename(cell_dir)}"
+            )
+
+        # -- 5. compaction asides: restore originals; drop live files the
+        #        asides already contain (the landed half of the rewrite)
+        for cell_dir in sorted(glob.glob(os.path.join(path, "cell_id=*"))):
+            asides = sorted(glob.glob(os.path.join(cell_dir, ".*.old")))
+            if not asides:
+                continue
+            # Spark's hidden-file filter skips dot-files even when named
+            # explicitly, so stage the asides into a visible temp dir
+            # (same-fs renames) to read them. The marker file makes this
+            # span itself crash-recoverable (step 4); on any failure the
+            # files move back to their aside names — never deleted
+            tmp = f"{path}__repair_{uuid.uuid4().hex}"
+            os.makedirs(tmp)
+            with open(os.path.join(tmp, ".cell_dir"), "w") as fh:
+                fh.write(os.path.basename(cell_dir))
+            restore: list[tuple[str, str]] = []
+            try:
+                for a in asides:
+                    orig = os.path.basename(a)[1 : -len(".old")]
+                    os.rename(a, os.path.join(tmp, orig))
+                    restore.append(
+                        (os.path.join(tmp, orig), os.path.join(cell_dir, orig))
+                    )
+                live_parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
+                extra = 0
+                if live_parts:
+                    extra = (
+                        spark.read.parquet(cell_dir)
+                        .select("neighbor_id")
+                        .join(
+                            spark.read.parquet(tmp).select("neighbor_id"),
+                            "neighbor_id",
+                            "left_anti",
+                        )
+                        .count()
+                    )
+                if live_parts and extra == 0:
+                    # every live row already exists in the asides: the
+                    # live files are the crashed rewrite's landed output
+                    for p in live_parts:
+                        os.unlink(p)
+                    actions.append(
+                        f"dropped {len(live_parts)} landed rewrite files in "
+                        f"{os.path.basename(cell_dir)}"
+                    )
+                for src, dst in restore:
+                    os.rename(src, dst)
+            except BaseException:
+                # undo: staged asides back to their hidden names — the
+                # temp dir must NEVER be deleted while it holds the only
+                # copy of the cell's rows
+                for src, _ in restore:
+                    if os.path.exists(src):
+                        os.rename(
+                            src,
+                            os.path.join(
+                                cell_dir, f".{os.path.basename(src)}.old"
+                            ),
+                        )
+                raise
+            shutil.rmtree(tmp)
+            actions.append(
+                f"restored {len(restore)} pre-compaction originals in "
+                f"{os.path.basename(cell_dir)}"
+            )
+
+        # -- 6. crashed appends: roll forward by manifest, sweep the rest.
+        #       Runs AFTER the cell-level repairs above so the content
+        #       validation below sees healthy cells (a coexisting
+        #       compaction aside would otherwise make every roll-forward
+        #       look fingerprint-inconsistent and force a rebuild)
         for staging in sorted(glob.glob(f"{path}__staging_*")):
             mpath = os.path.join(staging, "manifest.json")
             if not os.path.isfile(mpath):
@@ -1301,159 +1457,8 @@ def ivf_index_repair(
                 "rows; fingerprint advanced)"
             )
 
-        live_ids = {
-            int(r["cent_id"])
-            for r in spark.read.parquet(f"{path}__meta/centroids")
-            .select("cent_id")
-            .collect()  # bounded: ≤ max_centroids rows
-        }
 
-        # -- 3. rebalance parent asides: roll back or discard by whether
-        #       the centroid swap (the publish point) landed
-        published_rebalance = False
-        for aside in sorted(glob.glob(os.path.join(path, ".cell_id=*.old"))):
-            cell = int(os.path.basename(aside)[len(".cell_id=") : -len(".old")])
-            target = os.path.join(path, f"cell_id={cell}")
-            if cell in live_ids:
-                # centroids still name the parent: the rebalance never
-                # became probe-visible — roll it back. A live dir with
-                # this id can only be a same-crash child that reused a
-                # split parent's id (the parent itself was renamed aside
-                # first); its rows are duplicates of the parents' union
-                if os.path.isdir(target):
-                    shutil.rmtree(target)
-                os.rename(aside, target)
-                actions.append(f"restored split parent cell {cell} from aside")
-            else:
-                published_rebalance = True
-                shutil.rmtree(aside)
-                actions.append(
-                    f"discarded duplicate parent aside of published "
-                    f"rebalance (cell {cell})"
-                )
-
-        # -- 4. orphan cells (dirs no live centroid routes to): delete
-        #       only if the live-centroid cells alone account for every
-        #       fingerprinted row — otherwise deleting would lose data
-        on_disk = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(path)
-            if d.startswith("cell_id=")
-        }
-        orphans = sorted(on_disk - live_ids)
-        if orphans:
-            stored = _read_fingerprint(path)
-            pruned_fp = _corpus_fingerprint(
-                spark.read.parquet(path).where(
-                    F.col("cell_id").cast("long").isin(sorted(live_ids))
-                ),
-                "neighbor_id",
-            )
-            if pruned_fp != _fp_core(stored):
-                raise IndexMaintenanceError(
-                    f"orphan cells {orphans} hold rows the fingerprint "
-                    "counts (live cells alone do not reproduce it) — the "
-                    "centroid swap is missing; rebuild via build_ivf_index"
-                )
-            for cell in orphans:
-                shutil.rmtree(os.path.join(path, f"cell_id={cell}"))
-            actions.append(f"removed duplicate orphan cells {orphans}")
-
-        # -- 5a. residue of a crashed REPAIR: step 5b stages asides into a
-        #        visible sibling temp dir to read them; a repair killed
-        #        mid-step would strand the ONLY copy of those rows there.
-        #        Each temp dir carries a marker naming its cell, so the
-        #        files are moved back as asides (pre-repair state) first
-        for tmp in sorted(glob.glob(f"{path}__repair_*")):
-            marker = os.path.join(tmp, ".cell_dir")
-            if not os.path.isfile(marker):
-                raise IndexMaintenanceError(
-                    f"unmarked repair residue {tmp} — inspect manually "
-                    "before re-running repair"
-                )
-            with open(marker) as fh:
-                cell_dir = os.path.join(path, fh.read().strip())
-            os.makedirs(cell_dir, exist_ok=True)
-            moved_back = 0
-            for p in glob.glob(os.path.join(tmp, "*.parquet")):
-                os.rename(
-                    p,
-                    os.path.join(cell_dir, f".{os.path.basename(p)}.old"),
-                )
-                moved_back += 1
-            shutil.rmtree(tmp)
-            actions.append(
-                f"recovered {moved_back} aside files from a crashed "
-                f"earlier repair into {os.path.basename(cell_dir)}"
-            )
-
-        # -- 5b. compaction asides: restore originals; drop live files the
-        #        asides already contain (the landed half of the rewrite)
-        for cell_dir in sorted(glob.glob(os.path.join(path, "cell_id=*"))):
-            asides = sorted(glob.glob(os.path.join(cell_dir, ".*.old")))
-            if not asides:
-                continue
-            # Spark's hidden-file filter skips dot-files even when named
-            # explicitly, so stage the asides into a visible temp dir
-            # (same-fs renames) to read them. The marker file makes this
-            # span itself crash-recoverable (step 5a); on any failure the
-            # files move back to their aside names — never deleted
-            tmp = f"{path}__repair_{uuid.uuid4().hex}"
-            os.makedirs(tmp)
-            with open(os.path.join(tmp, ".cell_dir"), "w") as fh:
-                fh.write(os.path.basename(cell_dir))
-            restore: list[tuple[str, str]] = []
-            try:
-                for a in asides:
-                    orig = os.path.basename(a)[1 : -len(".old")]
-                    os.rename(a, os.path.join(tmp, orig))
-                    restore.append(
-                        (os.path.join(tmp, orig), os.path.join(cell_dir, orig))
-                    )
-                live_parts = glob.glob(os.path.join(cell_dir, "*.parquet"))
-                extra = 0
-                if live_parts:
-                    extra = (
-                        spark.read.parquet(cell_dir)
-                        .select("neighbor_id")
-                        .join(
-                            spark.read.parquet(tmp).select("neighbor_id"),
-                            "neighbor_id",
-                            "left_anti",
-                        )
-                        .count()
-                    )
-                if live_parts and extra == 0:
-                    # every live row already exists in the asides: the
-                    # live files are the crashed rewrite's landed output
-                    for p in live_parts:
-                        os.unlink(p)
-                    actions.append(
-                        f"dropped {len(live_parts)} landed rewrite files in "
-                        f"{os.path.basename(cell_dir)}"
-                    )
-                for src, dst in restore:
-                    os.rename(src, dst)
-            except BaseException:
-                # undo: staged asides back to their hidden names — the
-                # temp dir must NEVER be deleted while it holds the only
-                # copy of the cell's rows
-                for src, _ in restore:
-                    if os.path.exists(src):
-                        os.rename(
-                            src,
-                            os.path.join(
-                                cell_dir, f".{os.path.basename(src)}.old"
-                            ),
-                        )
-                raise
-            shutil.rmtree(tmp)
-            actions.append(
-                f"restored {len(restore)} pre-compaction originals in "
-                f"{os.path.basename(cell_dir)}"
-            )
-
-        # -- 6. cell_stats naming dead cells (stats swap died after the
+        # -- 7. cell_stats naming dead cells (stats swap died after the
         #       centroid swap): roll the crash's staged copy forward when
         #       exactly one survives and matches the live centroids, else
         #       recompute (which RESETS the drift baseline — reported)
@@ -1502,7 +1507,7 @@ def ivf_index_repair(
                     "baseline RESET to now)"
                 )
 
-        # -- 7. sweep completed-swap residues
+        # -- 8. sweep completed-swap residues
         for leftover in glob.glob(os.path.join(meta, ".*.new")):
             shutil.rmtree(leftover)
             actions.append(f"swept staged meta dir {os.path.basename(leftover)}")

@@ -1072,6 +1072,8 @@ def ann_recall_report(
     from ..operators.similarity import ivf_topk_curve
     from ..session import eager_checkpoint
 
+    if not methods:
+        raise ValueError("ann_recall_report needs at least one method")
     unknown = set(methods) - set(_ANN_RECALL_METHODS)
     if unknown:
         raise ValueError(f"unknown ANN recall methods: {sorted(unknown)}")

@@ -340,3 +340,82 @@ def test_tokens_trim_all_whitespace(spark):
     ).collect()
     assert [r.n for r in got] == [2, 0, 2, 0]
     assert got[1].t == [] and got[0].t == ["line1", "line2"]
+
+
+asof_left_st = st.lists(
+    st.tuples(
+        st.integers(0, 40),  # left id
+        st.sampled_from([1, 2]),  # key
+        st.integers(0, 100),  # left ts (epoch sec)
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+asof_right_st = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),  # key
+        st.integers(0, 100),  # right ts — duplicates allowed (tie on ts)
+        st.integers(0, 9),  # tie column
+        st.integers(0, 999),  # value
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1], t[2]),  # tie col unique per (key, ts)
+)
+
+
+def _model_asof(lefts, rights):
+    out = {}
+    for lid, k, lt in lefts:
+        cands = [r for r in rights if r[0] == k and r[1] <= lt]
+        if cands:
+            best = max(cands, key=lambda r: (r[1], r[2]))  # latest ts, then tie
+            out[lid] = best[3]
+        else:
+            out[lid] = None
+    return out
+
+
+@given(lefts=asof_left_st, rights=asof_right_st)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join (union-merge construction) against the quadratic model:
+    for every left row, the value of the right row with the greatest
+    ts <= left ts, ties on ts broken by the greatest tie col; no prior
+    right row -> NULL. Exercises equal-timestamp left/right rows (the
+    at-or-BEFORE inclusivity), duplicate right timestamps, and keys with
+    an empty right side — shapes the fixtures never produce."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.temporal import (
+        asof_join,
+    )
+
+    if not lefts:
+        return
+    left = spark.createDataFrame(
+        lefts, "lid long, user long, lsec long"
+    ).select("lid", "user", F.col("lsec").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        rights or [(0, -1, 0, 0)],  # sentinel: never matches (ts -1 < all)
+        "user long, rsec long, tie long, val long",
+    ).select(
+        "user",
+        F.col("rsec").cast("timestamp").alias("rts"),
+        "tie",
+        "val",
+    )
+    if not rights:
+        right = right.where(F.lit(False))
+    got = {
+        r.lid: r.asof_val
+        for r in asof_join(
+            left,
+            right,
+            key="user",
+            left_ts="lts",
+            right_ts="rts",
+            value_cols=["val"],
+            tie_col="tie",
+        ).collect()
+    }
+    assert got == _model_asof(lefts, rights)

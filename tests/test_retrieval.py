@@ -164,3 +164,5 @@ def test_ann_recall_unknown_method_raises(spark, sf_dir):
 
     with pytest.raises(ValueError, match="unknown ANN recall"):
         ann_recall_report(spark, sf_dir, methods=("ivf_np1", "bogus"))
+    with pytest.raises(ValueError, match="at least one method"):
+        ann_recall_report(spark, sf_dir, methods=())

@@ -1902,3 +1902,73 @@ def test_ivf_repair_discards_staging_of_applied_batch(spark, sf_dir):
     assert not glob.glob(f"{path}__staging_*")
     assert spark.read.parquet(path).count() == rows
     assert sim._read_fingerprint(path) == fp
+
+
+def test_ivf_repair_handles_compaction_aside_plus_crashed_append(spark, sf_dir):
+    """Combined damage (reachable via operator error: a compaction crash,
+    a manual lock removal WITHOUT repair, then an append crash): repair
+    fixes the cell-level asides FIRST, so the append roll-forward's
+    content validation sees healthy cells and completes — instead of
+    misreading the hidden aside rows as fingerprint drift and forcing a
+    rebuild."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    b0 = emb.where(F.col("vec_id") % 150 == 17)
+    b1 = emb.where(F.col("vec_id") % 150 == 67)
+    sim.build_ivf_index(base, index_name="t_combo_idx")
+    sim.ivf_index_append(b0, index_name="t_combo_idx")
+    path = sim._ivf_index_path(spark, "t_combo_idx")
+
+    # damage 1: compaction killed after hiding all of one cell's files
+    cells = sorted(glob.glob(os.path.join(path, "cell_id=*")))
+    cell_dir = max(
+        cells, key=lambda d: len(glob.glob(os.path.join(d, "*.parquet")))
+    )
+    for p in glob.glob(os.path.join(cell_dir, "*.parquet")):
+        os.rename(p, os.path.join(cell_dir, f".{os.path.basename(p)}.old"))
+
+    # damage 2: an append killed mid-publish (operator error: nothing was
+    # repaired in between)
+    calls = {"n": 0}
+
+    def trig(src, dst):
+        if "__staging_" in src and "cell_id=" in dst and dst.endswith(".parquet"):
+            calls["n"] += 1
+            return calls["n"] == 2
+        return False
+
+    with _dead_process_at(trig):
+        with pytest.raises(OSError, match="simulated process kill"):
+            sim.ivf_index_append(
+                b1, index_name="t_combo_idx", idempotency_token="cp:b9"
+            )
+
+    rep = sim.ivf_index_repair(spark, "t_combo_idx", break_lock=True)
+    assert rep["consistent"]
+    assert any("pre-compaction originals" in a for a in rep["actions"])
+    assert any("rolled crashed append forward" in a for a in rep["actions"])
+    assert sim._read_fingerprint(path)["last_token"] == "cp:b9"
+    # final contents = base ∪ b0 ∪ b1, probe-identical to the in-memory IVF
+    got = sorted(
+        tuple(r)
+        for r in sim.ivf_index_probe(
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            index_name="t_combo_idx",
+            expected_corpus=emb.where(
+                (F.col("vec_id") % 50 != 17)
+                | (F.col("vec_id") % 150 == 17)
+                | (F.col("vec_id") % 150 == 67)
+            ),
+        ).collect()
+    )
+    assert len(got) > 0
