@@ -1477,7 +1477,7 @@ def ivf_index_repair(
                     int(r["cell_id"])
                     for r in spark.read.parquet(staged[0])
                     .select(F.col("cell_id").cast("long").alias("cell_id"))
-                    .collect()
+                    .collect()  # bounded: ≤ max_centroids rows
                 }
                 if staged_ids <= live_ids:
                     bak = f"{stats_path}.old"
