@@ -645,17 +645,60 @@ def ivf_topk_curve(
 _BUILT_IVF_INDEXES: set[str] = set()
 
 
+class UnsupportedIndexFilesystem(RuntimeError):
+    """The stored-IVF lifecycle was pointed at a filesystem that cannot
+    honor its durability contract. Every crash-atomicity guarantee the
+    index makes — torn-free fingerprint/manifest publish, the
+    single-writer lock, rename-aside/rename-publish swaps in
+    append/compact/rebalance/repair — is built on POSIX primitives
+    (atomic same-directory ``rename(2)`` and ``O_CREAT|O_EXCL``).
+    Object stores (s3/s3a/gs/abfs/...) have NEITHER: "rename" is
+    copy+delete (non-atomic, a crash mid-copy leaves both halves) and
+    there is no exclusive-create file lock, so the index would *appear*
+    to work until the first crash or concurrent writer silently
+    corrupted it. Refusing loudly here beats that. See COVERAGE.md
+    "Stored-IVF filesystem contract" for the primitive-by-primitive
+    contract and the object-store commit design (immutable generation
+    dirs + conditional-put latest pointer)."""
+
+
+def _require_posix_warehouse(uri: str) -> str:
+    """Enforce the stored-index filesystem contract at the single
+    chokepoint every lifecycle entry point resolves paths through.
+    Accepts local paths (no scheme) and ``file:`` URIs, returning the
+    plain OS path; raises :class:`UnsupportedIndexFilesystem` for any
+    other scheme rather than letting ``os.path.join`` silently treat
+    ``s3a://bucket/...`` as a relative local directory name."""
+    from urllib.parse import urlsplit
+
+    scheme = urlsplit(uri).scheme
+    # a bare Windows-free local path has no scheme; Spark local mode
+    # reports the warehouse as file:/... — both are POSIX-renameable
+    if scheme in ("", "file"):
+        return uri.removeprefix("file:")
+    raise UnsupportedIndexFilesystem(
+        f"stored-IVF indexes require a POSIX filesystem (atomic rename + "
+        f"O_EXCL) but spark.sql.warehouse.dir is '{uri}' (scheme "
+        f"'{scheme}'). Object stores lack atomic rename and exclusive "
+        f"create, so the index's crash-atomicity and single-writer "
+        f"guarantees would not hold. Point the warehouse at a local/NFS "
+        f"path, or see COVERAGE.md 'Stored-IVF filesystem contract' for "
+        f"the object-store commit design."
+    )
+
+
 def _ivf_index_path(spark, index_name: str) -> str:
     """Application-scoped on-disk location for a stored IVF index: the
     heartbeat-swept per-application staging dir, so a stale index from a
-    dead session is reclaimed, never served."""
+    dead session is reclaimed, never served. Refuses non-POSIX warehouse
+    schemes (see :func:`_require_posix_warehouse`)."""
     import os
 
     from ..sources.parquet import _touch_heartbeat
 
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
+    warehouse = _require_posix_warehouse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    )
     app_dir = os.path.join(
         warehouse, "_staged_results", spark.sparkContext.applicationId
     )
@@ -793,6 +836,23 @@ class IndexMaintenanceError(RuntimeError):
     :func:`ivf_index_compact` — and what not to."""
 
 
+def _read_lock_holder(lock_file: str) -> dict | None:
+    """Best-effort read of a lock file's holder payload. Tolerates a
+    missing file (lost the race the other way), an empty or torn file
+    (pre-payload crash, or a lock created by an older version / by
+    hand) — holder identity is diagnostic, never load-bearing."""
+    import json
+
+    try:
+        with open(lock_file) as fh:
+            payload = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return None
+    if isinstance(payload, dict) and {"host", "pid"} <= payload.keys():
+        return payload
+    return None
+
+
 class _index_write_lock:
     """O_CREAT|O_EXCL lock file under ``<path>__meta`` guarding every
     index MUTATION critical section: an append's publish+fingerprint
@@ -802,7 +862,16 @@ class _index_write_lock:
     outside the lock would let a concurrent append's files be merged
     twice or deleted). A crash while holding the lock leaves the lock
     file behind — the error message names it so an operator can remove
-    it after verifying the index (see :func:`ivf_index_verify`)."""
+    it after verifying the index (see :func:`ivf_index_verify`).
+
+    The lock file carries a small JSON payload (``host``, ``pid``,
+    ``acquired_utc``) so contention errors and :func:`ivf_index_verify`
+    can say WHO holds it — the post-mortem question after a crash is
+    "is that writer's process still alive on that host", and an empty
+    lock file cannot answer it. NOTE the O_EXCL guarantee is
+    per-filesystem: two drivers mounting DIFFERENT filesystems at the
+    same warehouse path (or an object-store mount faking O_EXCL) get
+    split-brain — the filesystem contract in COVERAGE.md covers this."""
 
     def __init__(self, path: str):
         import os
@@ -812,17 +881,35 @@ class _index_write_lock:
         self._lock = os.path.join(meta, "append.lock")
 
     def __enter__(self):
+        import json
         import os
+        import socket
+        import time
 
         try:
             fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
+            holder = _read_lock_holder(self._lock)
+            held_by = (
+                f" (held by pid {holder['pid']} on {holder['host']} "
+                f"since {holder['acquired_utc']})"
+                if holder
+                else ""
+            )
             raise ConcurrentIndexMutation(
-                f"another append holds {self._lock}; retry after it "
-                "finishes (if its process died, run "
+                f"another append holds {self._lock}{held_by}; retry after "
+                "it finishes (if its process died, run "
                 "ivf_index_repair(break_lock=True) to audit and restore "
                 "the index)"
             ) from None
+        payload = {
+            "host": socket.gethostname(),
+            "pid": os.getpid(),
+            "acquired_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        os.write(fd, json.dumps(payload).encode())
         os.close(fd)
         return self
 
@@ -1109,9 +1196,14 @@ def ivf_index_verify(spark, index_name: str = "ivf_index") -> dict:
     rename originals to during a swap: a crash can leave them behind,
     where they hold duplicate (invisible) data forever and would
     otherwise never surface in any audit. Returns ``{"stored", "actual",
-    "orphan_cells", "stale_asides", "consistent"}``; callers finding
-    ``consistent=False`` run :func:`ivf_index_repair` (automated
-    restore-or-discard) or rebuild."""
+    "orphan_cells", "stale_asides", "lock_holder", "consistent"}``;
+    callers finding ``consistent=False`` run :func:`ivf_index_repair`
+    (automated restore-or-discard) or rebuild. ``lock_holder`` is the
+    writer-lock payload ({host, pid, acquired_utc}) when a lock file
+    exists, else None — diagnostic only (a LIVE writer's lock is normal,
+    so it never flips ``consistent``); after a crash it answers the
+    post-mortem question "whose lock is this, and is that process dead",
+    which gates ``ivf_index_repair(break_lock=True)``."""
     import glob as _glob
     import os
 
@@ -1142,6 +1234,9 @@ def ivf_index_verify(spark, index_name: str = "ivf_index") -> dict:
         "actual": actual,
         "orphan_cells": orphans,
         "stale_asides": stale,
+        "lock_holder": _read_lock_holder(
+            os.path.join(f"{path}__meta", "append.lock")
+        ),
         "consistent": (
             _fp_core(stored) == _fp_core(actual) and not orphans and not stale
         ),

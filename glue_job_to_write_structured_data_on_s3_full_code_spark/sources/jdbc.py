@@ -53,7 +53,28 @@ def jdbc_options(
     return opts
 
 
-def read_jdbc(spark: SparkSession, **kwargs) -> DataFrame:
+def read_jdbc(
+    spark: SparkSession, credentials_provider=None, **kwargs
+) -> DataFrame:
+    """JDBC read with optional credential indirection.
+
+    The reference never embeds SQL Server credentials in the job: it
+    fetches them from a secrets manager at run time (JDBC.sql:13,22-26).
+    ``credentials_provider`` is the public-knowledge shape of that hook —
+    a zero-arg callable returning ``(user, password)``, resolved HERE at
+    read time rather than at option-assembly time, so (a) a long-lived
+    job picks up rotated credentials on every read, and (b) the secret
+    never sits in a plain options dict the caller assembled and might
+    log or serialize. Spark's own log/explain redaction
+    (``spark.redaction.regex`` matches ``password`` by default) covers
+    the handoff to the reader."""
+    if credentials_provider is not None:
+        if kwargs.get("user") is not None or kwargs.get("password") is not None:
+            raise ValueError(
+                "pass credentials_provider OR explicit user/password, not both"
+            )
+        user, password = credentials_provider()
+        kwargs = {**kwargs, "user": user, "password": password}
     return spark.read.format("jdbc").options(**jdbc_options(**kwargs)).load()
 
 
@@ -124,7 +145,15 @@ def replicate_tables(
             write_snapshot(stamp_snapshot(df, value=snapshot_dt), dest)
             return {"table": table, "dest": dest, "status": "ok", "error": None}
         except Exception as exc:  # noqa: BLE001 — isolation is the point
-            return {"table": table, "dest": dest, "status": "error", "error": str(exc)}
+            msg = str(exc)
+            # JDBC driver exceptions routinely echo the connection
+            # properties; the report is FOR logging, so scrub any
+            # manifest-embedded secret before it leaves this function
+            # (provider-resolved credentials never touch the spec at all)
+            pw = spec.get("password") if isinstance(spec, dict) else None
+            if pw:
+                msg = msg.replace(str(pw), "***redacted***")
+            return {"table": table, "dest": dest, "status": "error", "error": msg}
 
     if max_concurrency <= 1:
         return [_one(spec) for spec in manifest]

@@ -117,13 +117,19 @@ def materialize_result(df: DataFrame, name: str) -> DataFrame:
     full TTL while still holding lazily re-scanned staged frames is
     outside the contract — such callers should copy results out of the
     staging area (or checkpoint_stage to their own path)."""
+    from ..operators.similarity import _require_posix_warehouse
     from ..session import notify_stage_observers
 
     notify_stage_observers(df, f"materialize_result:{name}")
     spark = df.sparkSession
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
+    # same filesystem contract as the stored-IVF index (the heartbeat
+    # touch and TTL sweep below are os.* calls): a non-local warehouse
+    # refuses loudly instead of writing junk 's3a:' dirs on the driver.
+    # checkpoint_stage(df, path) takes an explicit caller path with no
+    # os.* bookkeeping and works on any Spark-writable filesystem.
+    warehouse = _require_posix_warehouse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    )
     staged_root = os.path.join(warehouse, "_staged_results")
     app_id = spark.sparkContext.applicationId
     _touch_heartbeat(os.path.join(staged_root, app_id))

@@ -4,6 +4,8 @@ against the exact baseline."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
@@ -1972,3 +1974,113 @@ def test_ivf_repair_handles_compaction_aside_plus_crashed_append(spark, sf_dir):
         ).collect()
     )
     assert len(got) > 0
+
+
+def test_index_path_refuses_object_store_warehouse():
+    """The stored-index durability layer is POSIX-only (atomic rename +
+    O_EXCL); pointing the warehouse at an object store must refuse LOUDLY
+    at path resolution — the alternative is os.path.join treating
+    's3a://bucket/wh' as a relative local dir and every atomicity promise
+    silently not holding on the real store."""
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+
+    class _FakeConf:
+        def __init__(self, uri):
+            self._uri = uri
+
+        def get(self, key, default=None):
+            assert key == "spark.sql.warehouse.dir"
+            return self._uri
+
+    class _FakeSpark:
+        def __init__(self, uri):
+            self.conf = _FakeConf(uri)
+
+    for uri in (
+        "s3a://bucket/warehouse",
+        "s3://bucket/warehouse",
+        "gs://bucket/warehouse",
+        "abfss://fs@acct.dfs.core.windows.net/wh",
+    ):
+        with pytest.raises(
+            sim.UnsupportedIndexFilesystem, match="atomic rename"
+        ) as exc:
+            sim._ivf_index_path(_FakeSpark(uri), "any_index")
+        # the refusal names the offending URI and points at the contract doc
+        assert uri in str(exc.value)
+        assert "COVERAGE.md" in str(exc.value)
+
+
+def test_require_posix_warehouse_accepts_local_forms():
+    """Local paths and file: URIs (Spark local mode reports file:/...)
+    both resolve to the plain OS path."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _require_posix_warehouse,
+    )
+
+    assert _require_posix_warehouse("spark-warehouse") == "spark-warehouse"
+    assert _require_posix_warehouse("/abs/warehouse") == "/abs/warehouse"
+    assert _require_posix_warehouse("file:/abs/warehouse") == "/abs/warehouse"
+
+
+def test_lock_payload_names_holder(spark, sf_dir):
+    """The writer lock carries {host, pid, acquired_utc} so contention
+    errors and ivf_index_verify can answer the post-mortem question
+    'whose lock is this' — the gate for repair(break_lock=True)."""
+    import json
+    import os
+    import socket
+
+    import pytest
+    import pyspark.sql.functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") < 400), index_name="t_lockpayload_idx"
+    )
+    path = sim._ivf_index_path(spark, "t_lockpayload_idx")
+    lock_file = os.path.join(f"{path}__meta", "append.lock")
+
+    with sim._index_write_lock(path):
+        with open(lock_file) as fh:
+            payload = json.load(fh)
+        assert payload["pid"] == os.getpid()
+        assert payload["host"] == socket.gethostname()
+        assert "acquired_utc" in payload
+        # a contender's error message names the holder...
+        with pytest.raises(
+            sim.ConcurrentIndexMutation,
+            match=rf"held by pid {os.getpid()} on ",
+        ):
+            with sim._index_write_lock(path):
+                pass
+        # ...and verify surfaces it WITHOUT flipping consistent (a live
+        # writer's lock is normal operation, not damage)
+        report = sim.ivf_index_verify(spark, "t_lockpayload_idx")
+        assert report["lock_holder"]["pid"] == os.getpid()
+        assert report["consistent"]
+
+    # lock released: no holder reported
+    assert sim.ivf_index_verify(spark, "t_lockpayload_idx")["lock_holder"] is None
+
+
+def test_lock_holder_read_tolerates_legacy_empty_lock(tmp_path):
+    """An empty/torn lock file (older version, hand-placed, crash before
+    the payload write) must read as 'holder unknown', never crash the
+    contention path."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _read_lock_holder,
+    )
+
+    empty = tmp_path / "append.lock"
+    empty.write_text("")
+    assert _read_lock_holder(str(empty)) is None
+    torn = tmp_path / "torn.lock"
+    torn.write_text('{"host": "h", "pi')
+    assert _read_lock_holder(str(torn)) is None
+    assert _read_lock_holder(str(tmp_path / "missing.lock")) is None

@@ -690,6 +690,107 @@ def test_replicate_tables_concurrent_with_isolated_failure(spark, sf_dir, tmp_pa
     assert not (tmp_path / "badtable").exists()
 
 
+def test_read_jdbc_credentials_provider_lazy_and_exclusive():
+    """Credential indirection (reference shape JDBC.sql:13,22-26: secrets
+    fetched from a manager at run time, never embedded in the job). The
+    provider is a zero-arg callable resolved AT READ TIME — exactly once
+    per read, never during option assembly — and is mutually exclusive
+    with explicit user/password kwargs."""
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.jdbc import (
+        jdbc_options,
+        read_jdbc,
+    )
+
+    calls = []
+
+    def provider():
+        calls.append(1)
+        return ("svc_user", "s3cr3t-rotated")
+
+    class _FakeReader:
+        def __init__(self):
+            self.opts = None
+
+        def format(self, fmt):
+            assert fmt == "jdbc"
+            return self
+
+        def options(self, **opts):
+            self.opts = opts
+            return self
+
+        def load(self):
+            return "sentinel-df"
+
+    class _FakeSpark:
+        def __init__(self):
+            self.read = _FakeReader()
+
+    # option assembly alone never touches the provider (laziness: the
+    # secret is fetched when the read happens, not when a manifest or
+    # options dict is built — and a built options dict carries no secret)
+    opts = jdbc_options(url="jdbc:sqlserver://h;databaseName=db", dbtable="t")
+    assert calls == [] and "password" not in opts
+
+    fake = _FakeSpark()
+    out = read_jdbc(
+        fake,
+        credentials_provider=provider,
+        url="jdbc:sqlserver://h;databaseName=db",
+        dbtable="t",
+    )
+    assert out == "sentinel-df"
+    assert calls == [1], "provider must be called exactly once per read"
+    # the resolved credentials reach Spark's reader options (Spark's own
+    # explain/log redaction covers them from there) ...
+    assert fake.read.opts["user"] == "svc_user"
+    assert fake.read.opts["password"] == "s3cr3t-rotated"
+
+    # second read = fresh resolution (rotated credentials picked up)
+    read_jdbc(
+        _FakeSpark(),
+        credentials_provider=provider,
+        url="jdbc:x",
+        dbtable="t",
+    )
+    assert calls == [1, 1]
+
+    with pytest.raises(ValueError, match="not both"):
+        read_jdbc(
+            _FakeSpark(),
+            credentials_provider=provider,
+            url="jdbc:x",
+            dbtable="t",
+            user="explicit",
+        )
+
+
+def test_replicate_tables_redacts_manifest_password(spark, tmp_path):
+    """JDBC driver exceptions echo connection properties; the per-table
+    error report is FOR logging, so a manifest-embedded password must be
+    scrubbed from it before it leaves replicate_tables."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.jdbc import (
+        replicate_tables,
+    )
+
+    def failing_reader(spark, dbtable, **kwargs):
+        # mimic a driver echoing the full connection spec in its message
+        raise RuntimeError(f"login failed for {kwargs.get('user')} using {kwargs.get('password')}")
+
+    report = replicate_tables(
+        spark,
+        [{"table": "accounts", "user": "svc", "password": "hunter2!"}],
+        dest_root=str(tmp_path),
+        snapshot_dt="20231122",
+        reader=failing_reader,
+    )
+    assert report[0]["status"] == "error"
+    assert "hunter2!" not in report[0]["error"]
+    assert "***redacted***" in report[0]["error"]
+
+
 def test_sessionization_subsecond_gap_parity(spark, tmp_path):
     """Session boundaries decided in exact integer MICROSECONDS by batch
     and streaming alike: a true 1800.5 s gap must open a new session in
