@@ -267,6 +267,7 @@ def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+@pytest.mark.slow  # cap-sized plan stress (~11 s)
 def test_mmr_unroll_capped_and_analyzable_at_cap(spark):
     """_mmr_picks refuses k beyond the documented cap (each pick embeds
     every prior pick's plan, so plan size is EXPONENTIAL in k — a
@@ -292,6 +293,7 @@ def test_mmr_unroll_capped_and_analyzable_at_cap(spark):
     assert elapsed < 60.0, f"analysis at k={m._MMR_MAX_K} took {elapsed:.1f}s"
 
 
+@pytest.mark.slow  # equivalence stress vs unrolled plan (~75 s)
 def test_mmr_collected_rerank_matches_unrolled(spark, sf_dir):
     """The driver-side exact rerank (the above-cap path) makes the same
     picks as the plan unroll for every overlapping k, and the dispatcher

@@ -4,6 +4,8 @@ Cross-engine value parity is covered by test_oracle_parity."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import pyspark.sql.functions as F
@@ -67,6 +69,7 @@ def test_entropy_hand_checked_and_short_doc_gated(spark, tmp_path):
     assert out[1]["token_entropy"] is None and out[1]["keep"] is False
 
 
+@pytest.mark.slow  # full-fixture python replay (~7 s)
 def test_entropy_matches_python_on_fixture(spark, sf_dir):
     """Spot-check the fold against a driver-side recomputation for a few
     fixture docs (independent arithmetic path, same sorted-order sum)."""
@@ -97,6 +100,7 @@ def test_entropy_matches_python_on_fixture(spark, sf_dir):
         assert abs(ent - r["token_entropy"]) < 1e-5
 
 
+@pytest.mark.slow  # long-document scale stress (~45 s)
 def test_filters_scale_to_long_docs(spark, tmp_path):
     """The O(distinct x n) per-doc terms stay tractable on a doc far
     longer than the fixture's (the documented bound is doc length, not

@@ -444,6 +444,7 @@ def test_quality_filters_are_map_only(spark, sf_dir, queries):
         assert "Join" not in plan, f"{name}: {plan}"
 
 
+@pytest.mark.slow  # stored-index lifecycle + plan gate (~14 s)
 def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir, queries):
     # the stored-index probe must reach the cell-partitioned parquet scan
     # with a dynamic partition pruning filter on cell_id — reading only
@@ -461,6 +462,7 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir, queries):
         assert "SortMergeJoin" not in plan, f"{name}: {plan}"
 
 
+@pytest.mark.slow  # index mutation lifecycle plan gate (~6 s)
 def test_ivf_rebalance_scan_is_partition_pruned(spark, sf_dir, queries):
     # the rebalance re-split must cost O(rows in the chosen cells):
     # its scan (mirrored here — similarity.ivf_index_rebalance builds the
@@ -569,6 +571,7 @@ def _offending_global_windows(df, name: str) -> list[str]:
     return bad
 
 
+@pytest.mark.slow  # registry-wide plan sweep (~140 s)
 def test_no_unbounded_global_window_anywhere_in_registry(spark, sf_dir):
     """Walks BOTH the plan each query returns AND the plans of stages the
     query executed eagerly while being constructed (localCheckpoint /

@@ -4,8 +4,14 @@ produce (empty sides, all-ties, null keys, adversarial timestamps)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# hypothesis model-checking suites: minutes of generated examples per
+# test. `slow` tier — the core tier's example coverage lives in the
+# fixture-driven unit tests for the same operators.
+pytestmark = pytest.mark.slow
 
 from pyspark.sql import functions as F
 

@@ -5,6 +5,8 @@ frame; RRF fusion scores decompose exactly into the rank reciprocals."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from glue_job_to_write_structured_data_on_s3_full_code_spark.plans import rag as m
@@ -132,6 +134,7 @@ def test_ndcg_null_for_zero_relevant_query(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # runs fast AND full recall reports (~14 s)
 def test_ann_recall_fast_subset_matches_full_report(spark, sf_dir):
     """The reduced (bench-shaped) ann_recall_report must be a row-subset of
     the full default report: same recall figures for the shared methods,

@@ -3,6 +3,8 @@ no-implicit-delete policy (operators/scd.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from pyspark.sql import functions as F
@@ -58,6 +60,7 @@ def test_scd2_merge_branches(spark):
     assert by_key[4][0].valid_to is None
 
 
+@pytest.mark.slow  # runs the merge twice for idempotency (~8 s)
 def test_scd2_merge_idempotent(spark):
     merged = scd2_merge(
         _history(spark), _updates(spark), "k", ["name", "bal"], "2024-01-01"

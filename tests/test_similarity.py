@@ -269,6 +269,7 @@ def test_ivf_partitioned_index_matches_in_memory(spark, sf_dir):
     assert mem == idx and len(mem) > 0
 
 
+@pytest.mark.slow  # index mutation lifecycle (~4 s)
 def test_ivf_index_append_matches_full_rebuild(spark, sf_dir):
     """Build on the base corpus (minus the vec_id % 50 == 17 residue class,
     which contains no centroid ids), append the held-out batch against the
@@ -420,6 +421,7 @@ def test_ivf_index_append_single_writer_lock(spark, sf_dir):
     assert not os.path.exists(os.path.join(f"{path}__meta", "append.lock"))
 
 
+@pytest.mark.slow  # index lifecycle + counting probe loop (~4 s)
 def test_ivf_probe_fingerprint_scan_is_memoized(spark, sf_dir):
     """A probe loop re-verifying the SAME corpus must scan it once: the
     fingerprint is memoized per (session, corpus plan). Passing a
@@ -476,6 +478,7 @@ def test_ivf_probe_fingerprint_scan_is_memoized(spark, sf_dir):
         )
 
 
+@pytest.mark.slow  # index mutation lifecycle (~5 s)
 def test_ivf_rebalance_splits_hot_cell_and_prunes_cold(spark, sf_dir):
     """Rebalance must re-split ONLY the requested cell: its rows land in
     the child sub-cells, every other partition directory is untouched
@@ -539,6 +542,7 @@ def test_ivf_rebalance_splits_hot_cell_and_prunes_cold(spark, sf_dir):
     assert ivf_index_rebalance(spark, "t_rebal_idx") == []
 
 
+@pytest.mark.slow  # stored-index lifecycle (~9 s)
 def test_ivf_compact_restores_file_count_and_results(spark, sf_dir):
     """Five appends leave ≥5 files in the touched cells; compaction must
     bring every cell back to one file while leaving probe results and the
@@ -596,6 +600,7 @@ def test_ivf_compact_restores_file_count_and_results(spark, sf_dir):
     assert ivf_index_compact(spark, "t_compact_idx") == {}
 
 
+@pytest.mark.slow  # index mutation lifecycle (~6 s)
 def test_ivf_append_auto_compaction(spark, sf_dir):
     """compact_after_files wires compaction into the append lifecycle:
     with a bound of 1, every append leaves each cell at a single file,
@@ -632,6 +637,7 @@ def test_ivf_append_auto_compaction(spark, sf_dir):
     assert ivf_index_verify(spark, "t_autocompact_idx")["consistent"]
 
 
+@pytest.mark.slow  # index mutation lifecycle (~6 s)
 def test_ivf_rebalance_auto_selects_grown_cells(spark, sf_dir):
     """cells=None must pick exactly the cells whose current rows exceed
     growth_threshold x their build-time count. Building on the even half
@@ -702,6 +708,7 @@ def test_ivf_topk_curve_identical_to_per_nprobe_runs(spark, sf_dir):
         assert by_depth[n] == ref, f"curve slice nprobe={n} drifted from ivf_topk"
 
 
+@pytest.mark.slow  # all-family recall audit (~9 s)
 def test_ann_recall_report_matches_oracle_and_is_monotone(spark, sf_dir, duck):
     """The scoreboard replays bit-for-bit in DuckDB (the driver-gate
     contract, pinned locally so it can't rot while rotated out), and the
@@ -729,6 +736,7 @@ def test_ann_recall_report_matches_oracle_and_is_monotone(spark, sf_dir, duck):
         assert abs(recall - hits / (n_queries * 5.0)) < 1e-9, method
 
 
+@pytest.mark.slow  # stored-index lifecycle (~11 s)
 def test_ivf_rebalance_auto_selects_newborn_cells(spark, sf_dir):
     """A cell with rows but NO build-time baseline (rows_at_build 0,
     growth NULL — infinite) must be auto-selected by cells=None: the
@@ -862,6 +870,7 @@ def test_ivf_append_raises_if_centroids_swapped_while_staging(spark, sf_dir):
     assert not os.path.exists(os.path.join(f"{path}__meta", "append.lock"))
 
 
+@pytest.mark.slow  # stored-index lifecycle (~10 s)
 def test_ivf_rebalance_large_cell_ids_do_not_wrap(spark):
     """Rebalance installs member vec_ids as cell ids — on a 64-bit-id
     corpus those exceed int32, and the audit/probe paths must carry them
@@ -953,6 +962,7 @@ def test_ivf_rebalance_swap_failure_keeps_a_live_centroid_copy(spark, sf_dir):
     assert sim.ivf_index_verify(spark, "t_swapfail_idx")["consistent"]
 
 
+@pytest.mark.slow  # index mutation lifecycle (~5 s)
 def test_ivf_rebalance_publish_failure_loses_no_rows(spark, sf_dir):
     """A failure while renaming staged children into place must leave the
     index byte-equivalent to before the call: the review confirmed the
@@ -1013,6 +1023,7 @@ def test_ivf_rebalance_publish_failure_loses_no_rows(spark, sf_dir):
     assert not [d for d in os.listdir(path) if d.endswith(".old")]
 
 
+@pytest.mark.slow  # index mutation lifecycle (~4 s)
 def test_ivf_compact_failure_loses_no_rows(spark, sf_dir):
     """A failure while swapping a cell's compacted files in must leave the
     cell intact: the review confirmed the previous unlink-originals-first
@@ -1058,6 +1069,7 @@ def test_ivf_compact_failure_loses_no_rows(spark, sf_dir):
     assert sim.ivf_index_compact(spark, "t_cmpfail_idx", max_files_per_cell=1)
 
 
+@pytest.mark.slow  # index mutation lifecycle (~5 s)
 def test_ivf_append_idempotency_token_skips_replay(spark, sf_dir):
     """At-least-once delivery: re-appending the SAME batch with the same
     token must be a no-op — the XOR fingerprint alone cannot catch the
@@ -1149,6 +1161,7 @@ def test_ivf_verify_flags_orphan_cells(spark, sf_dir):
     assert not v["consistent"]
 
 
+@pytest.mark.slow  # index mutation lifecycle (~4 s)
 def test_ivf_rebuild_carries_idempotency_token_forward(spark, sf_dir):
     """The documented repair flow rebuilds from the FULL current corpus —
     which already holds every tokened batch. A rebuild that dropped the
@@ -1236,6 +1249,7 @@ def test_ivf_verify_flags_stale_asides(spark, sf_dir):
     assert not v["consistent"]
 
 
+@pytest.mark.slow  # index mutation lifecycle (~5 s)
 def test_ivf_fresh_build_after_data_dir_delete_drops_token(spark, sf_dir):
     """The discard-the-token escape hatch: rebuilding from a corpus that
     does NOT include the tokened batch requires deleting the index DATA
@@ -1402,6 +1416,7 @@ def test_probe_verify_fresh_detects_external_corpus_growth(spark, sf_dir, tmp_pa
         ).count()
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_append_token_out_of_order_replay_limitation(spark, sf_dir):
     """Pins the documented ORDERING ASSUMPTION of the idempotency token:
     only the most recent token is remembered, so re-delivering an OLDER
@@ -1478,6 +1493,7 @@ def _dead_process_at(trigger):
         os.rename, os.unlink, shutil.rmtree = real_rename, real_unlink, real_rmtree
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_repair_rolls_back_rebalance_killed_before_publish(spark, sf_dir):
     """The r8 verdict's crash window: a rebalance killed AFTER the parents
     were renamed aside and the children landed but BEFORE the centroid
@@ -1542,6 +1558,7 @@ def test_ivf_repair_rolls_back_rebalance_killed_before_publish(spark, sf_dir):
     assert sim.ivf_index_verify(spark, "t_repair_rb_idx")["consistent"]
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_repair_rolls_crashed_append_forward(spark, sf_dir):
     """An append killed mid-publish (some staged part files moved in, the
     fingerprint not yet advanced): the write-ahead manifest lets repair
@@ -1598,6 +1615,7 @@ def test_ivf_repair_rolls_crashed_append_forward(spark, sf_dir):
     assert spark.read.parquet(path).count() == rows
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_repair_restores_compaction_killed_during_landing(spark, sf_dir):
     """A compaction killed after hiding every original and landing only
     part of the rewrite: the landed files' rows are all contained in the
@@ -1657,6 +1675,7 @@ def test_ivf_repair_restores_compaction_killed_during_landing(spark, sf_dir):
     assert sim.ivf_index_verify(spark, "t_repair_cp_idx")["consistent"]
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_repair_restores_compaction_killed_during_hiding(spark, sf_dir):
     """A compaction killed while hiding originals (no rewrite landed yet):
     the live files are the not-yet-hidden originals — disjoint from the
@@ -1695,6 +1714,7 @@ def test_ivf_repair_restores_compaction_killed_during_hiding(spark, sf_dir):
     assert sim.ivf_index_compact(spark, "t_repair_ch_idx", max_files_per_cell=1)
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_repair_is_itself_crash_recoverable(spark, sf_dir):
     """Repair stages compaction asides into a visible temp dir to read
     them; a repair killed mid-span must not strand (or worse, delete) the
@@ -1758,6 +1778,7 @@ def test_ivf_repair_is_itself_crash_recoverable(spark, sf_dir):
     assert spark.read.parquet(path).count() == rows_before
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_repair_completes_published_rebalance(spark, sf_dir):
     """A rebalance killed BETWEEN the two meta swaps (centroids refined,
     cell_stats still naming the split parents): the publish point passed,
@@ -1813,6 +1834,7 @@ def test_ivf_repair_completes_published_rebalance(spark, sf_dir):
     assert stats("t_pubkill_idx") == stats("t_pubkill_twin")
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_repair_discards_staging_against_superseded_centroids(spark, sf_dir):
     """An append killed before any part file moved, then a rebalance
     refines the centroid set: the staged assignment is stale (its cell
@@ -1906,6 +1928,7 @@ def test_ivf_repair_discards_staging_of_applied_batch(spark, sf_dir):
     assert sim._read_fingerprint(path) == fp
 
 
+@pytest.mark.slow  # crash-injection lifecycle test (slow tier)
 def test_ivf_repair_handles_compaction_aside_plus_crashed_append(spark, sf_dir):
     """Combined damage (reachable via operator error: a compaction crash,
     a manual lock removal WITHOUT repair, then an append crash): repair

@@ -135,6 +135,7 @@ def test_stream_incremental_load(spark, sf_dir):
         assert total.select("o_orderkey").distinct().count() == total.count()
 
 
+@pytest.mark.slow  # streaming crash-replay parity (~6 s)
 def test_scd2_stream_restart_replays_batch_idempotently(spark, sf_dir):
     """Recovery semantics for the foreachBatch SCD2 merge, not just
     happy-path continuity: the stream is killed AFTER batch 1's target
@@ -239,6 +240,7 @@ def test_scd2_stream_restart_replays_batch_idempotently(spark, sf_dir):
         )
 
 
+@pytest.mark.slow  # streaming batch-parity (~5 s)
 def test_stateful_sessionize_matches_batch(spark, sf_dir):
     """The applyInPandasWithState sessionizer, fed the events table as two
     in-order micro-batches, must reproduce the batch window query exactly
@@ -352,6 +354,7 @@ def test_checkpoint_stage_roundtrip(spark, sf_dir, tmp_path):
     assert len(staged.inputFiles()) > 0
 
 
+@pytest.mark.slow  # streaming batch-parity (~6 s)
 def test_watermarked_rollup_append_matches_batch(spark, sf_dir, tmp_path):
     """Append-mode emissions from the watermarked streaming rollup must be
     a value-exact subset of the batch hourly rollup (windows past the
@@ -403,6 +406,7 @@ def test_watermarked_rollup_append_matches_batch(spark, sf_dir, tmp_path):
         assert abs(tv - btv) < 1e-6
 
 
+@pytest.mark.slow  # streaming batch-parity (~5 s)
 def test_stream_dedup_within_watermark_matches_batch_distinct(spark, sf_dir, tmp_path):
     """Every event duplicated (same key, same and later micro-batch); with a
     horizon covering the whole time range the streamed output must equal
@@ -475,6 +479,7 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow  # streaming batch-parity (~12 s)
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     """Clicks joined to same-user purchases within 1 hour, streamed with
     watermarks on both sides, must equal the identical batch join."""
@@ -791,6 +796,7 @@ def test_replicate_tables_redacts_manifest_password(spark, tmp_path):
     assert "***redacted***" in report[0]["error"]
 
 
+@pytest.mark.slow  # streaming boundary parity (~8 s)
 def test_sessionization_subsecond_gap_parity(spark, tmp_path):
     """Session boundaries decided in exact integer MICROSECONDS by batch
     and streaming alike: a true 1800.5 s gap must open a new session in
@@ -847,6 +853,7 @@ def test_sessionization_subsecond_gap_parity(spark, tmp_path):
     assert got_stream == got_batch
 
 
+@pytest.mark.slow  # streaming end-to-end (~16 s)
 def test_interval_join_same_named_timestamps(spark, sf_dir, tmp_path):
     """Both streams naming their event time 'ts' is the natural case —
     the join condition must qualify the time refs per side (a bare
