@@ -22,6 +22,14 @@ from .similarity import (
     lsh_bucketed_topk,
     pq_topk,
 )
+from .index_store import (
+    gen_index_append,
+    gen_index_build,
+    gen_index_compact,
+    gen_index_gc,
+    gen_index_probe,
+    gen_index_verify,
+)
 from .multimodal import extract_media_features
 from .temporal import asof_join, time_range_pairs
 from .salted import salted_join
@@ -47,6 +55,12 @@ __all__ = [
     "ivf_index_repair",
     "ivf_index_verify",
     "ivf_topk",
+    "gen_index_append",
+    "gen_index_build",
+    "gen_index_compact",
+    "gen_index_gc",
+    "gen_index_probe",
+    "gen_index_verify",
     "lsh_bucketed_topk",
     "pq_topk",
     "extract_media_features",
