@@ -28,6 +28,7 @@ from .index_store import (
     gen_index_compact,
     gen_index_gc,
     gen_index_probe,
+    gen_index_rebalance,
     gen_index_verify,
 )
 from .multimodal import extract_media_features
@@ -60,6 +61,7 @@ __all__ = [
     "gen_index_compact",
     "gen_index_gc",
     "gen_index_probe",
+    "gen_index_rebalance",
     "gen_index_verify",
     "lsh_bucketed_topk",
     "pq_topk",

@@ -73,6 +73,7 @@ __all__ = [
     "gen_index_build",
     "gen_index_append",
     "gen_index_probe",
+    "gen_index_rebalance",
     "gen_index_verify",
     "gen_index_gc",
     "gen_index_compact",
@@ -146,15 +147,56 @@ class LocalPointerStore:
             os.unlink(tmp)
 
     def pointers(self) -> list[tuple[int, dict]]:
-        """All pointers, ascending sequence (GC's reachability input)."""
+        """All pointers, ascending sequence (GC's reachability input).
+        Tolerates a concurrent GC unlinking an entry between the listing
+        and the read — the pointer is simply gone, not an error."""
         out = []
         for fname in sorted(os.listdir(self._dir)):
             seq = self._seq_of(fname)
             if seq is None:
                 continue
-            with open(os.path.join(self._dir, fname)) as fh:
-                out.append((seq, json.load(fh)))
+            try:
+                with open(os.path.join(self._dir, fname)) as fh:
+                    out.append((seq, json.load(fh)))
+            except FileNotFoundError:
+                continue
         return sorted(out)
+
+    def oldest_pointer_mtime(self) -> float | None:
+        """mtime of the OLDEST surviving pointer — GC's supersession
+        bound (see :func:`gen_index_gc`): any generation unreachable
+        from the surviving pointers was superseded no later than the
+        moment the oldest survivor committed."""
+        times = []
+        for fname in os.listdir(self._dir):
+            if self._seq_of(fname) is None:
+                continue
+            try:
+                times.append(os.path.getmtime(os.path.join(self._dir, fname)))
+            except FileNotFoundError:
+                continue
+        return min(times) if times else None
+
+    def sweep_tmp(self, min_age_s: float) -> int:
+        """Delete leaked ``.tmp.*`` payload files (a writer killed
+        between writing the temp and linking it leaves one behind;
+        nothing else ever deletes them). Age-guarded so an in-flight
+        try_commit's temp survives."""
+        import time
+
+        now = time.time()
+        n = 0
+        for fname in os.listdir(self._dir):
+            if not fname.startswith(".tmp."):
+                continue
+            p = os.path.join(self._dir, fname)
+            try:
+                if now - os.path.getmtime(p) >= min_age_s:
+                    os.unlink(p)
+                    n += 1
+            except FileNotFoundError:
+                continue
+        return n
 
     def drop(self, seq: int) -> None:
         try:
@@ -242,18 +284,38 @@ def gen_index_build(
 ) -> dict:
     """Build (or rebuild) a generational IVF index: one assignment pass
     lands a complete generation, then ONE pointer create publishes it.
-    Returns the committed pointer payload. A lost race on rebuild means
-    someone else just published — the build retries at the next
-    sequence with the same (complete, self-contained) generation: a
-    rebuild is not composed against a parent, so no rebase is needed.
-    The previous append token is carried forward exactly like
+    Returns the committed pointer payload.
+
+    A build's content is a function of the CALLER's corpus snapshot, so
+    unlike appends it cannot rebase: if any other commit lands while the
+    build is staging, publishing the staged generation would CLOBBER
+    that commit's rows — and, worse, carrying its append token forward
+    would make the stream's replay of the clobbered batch self-discard
+    as "already applied": permanent silent loss. The build therefore
+    commits ONLY at the sequence it started from +1 and raises
+    :class:`CommitConflict` if the index advanced meanwhile — the caller
+    re-derives the corpus (which now must include the interleaved
+    batches) and rebuilds. This is the optimistic-concurrency analog of
+    the POSIX build holding the writer lock for its whole span. The
+    previous append token is carried forward exactly like
     :func:`.similarity.build_ivf_index` (the rebuild-from-full-corpus
-    repair flow must keep replay detection armed)."""
+    repair flow must keep replay detection armed) — sound precisely
+    BECAUSE the commit refuses when a tokened append interleaves."""
     spark = corpus.sparkSession
     root = _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
+    start_seq, start_latest = ptr.read_latest()
 
     cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"corpus yields NO centroids under centroid_mod={centroid_mod} "
+            f"/ max_centroids={max_centroids} (no id satisfies id % "
+            f"{centroid_mod} == 0 below {centroid_mod * max_centroids}): "
+            "every row would be dropped by the cell assignment while the "
+            "fingerprint claimed the full corpus — pick a centroid_mod "
+            "that divides some corpus ids"
+        )
     par = spark.sparkContext.defaultParallelism
     assigned = _ivf_assign(
         corpus.repartition(par).select(
@@ -285,16 +347,22 @@ def gen_index_build(
     }
     _write_manifest(gen_dir, manifest)
 
-    while True:
-        seq, latest = ptr.read_latest()
-        payload = {
-            "gen": gen_name,
-            "fingerprint": fp,
-            "centroid_fp": cent_fp,
-            "last_token": (latest or {}).get("last_token"),
-        }
-        if ptr.try_commit((seq or 0) + 1, payload):
-            return payload
+    payload = {
+        "gen": gen_name,
+        "fingerprint": fp,
+        "centroid_fp": cent_fp,
+        "last_token": (start_latest or {}).get("last_token"),
+    }
+    if ptr.try_commit((start_seq or 0) + 1, payload):
+        return payload
+    shutil.rmtree(gen_dir)  # unpointed; GC would sweep it anyway
+    raise CommitConflict(
+        f"index '{index_name}' advanced while this build was staging "
+        f"(another commit took sequence {(start_seq or 0) + 1}); "
+        "publishing the staged generation would clobber that commit's "
+        "rows — re-derive the corpus (it must include the interleaved "
+        "batches) and rebuild"
+    )
 
 
 def gen_index_append(
@@ -322,7 +390,12 @@ def gen_index_append(
     root = _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
 
-    for _attempt in range(max_retries):
+    # ONE budget for both loss modes — plain commit races (inner loop)
+    # and centroid-churn restages (outer loop) — so CommitConflict's
+    # "lost max_retries races" contract holds for either
+    attempts = max_retries
+
+    while attempts > 0:
         seq, latest = ptr.read_latest()
         if latest is None:
             raise FileNotFoundError(
@@ -358,7 +431,7 @@ def gen_index_append(
 
         # CAS loop: rebase against whoever beats us, restage only if the
         # centroid set moved underneath the staged assignment
-        while True:
+        while attempts > 0:
             seq, latest = ptr.read_latest()
             if (
                 idempotency_token is not None
@@ -395,11 +468,16 @@ def gen_index_append(
             }
             if ptr.try_commit(seq + 1, payload):
                 return payload
-            # lost the race: loop — re-read latest, recompose, retry
+            attempts -= 1  # lost a commit race: re-read, recompose, retry
+        else:
+            # inner loop exhausted the budget while the staged gen is
+            # still on disk (plain commit contention, no restage)
+            shutil.rmtree(gen_dir, ignore_errors=True)
+        attempts -= 1  # a restage (centroid churn) also spends one
     raise CommitConflict(
         f"append to '{index_name}' lost {max_retries} commit races "
-        "(centroid set kept moving); retry, or serialize structural "
-        "maintenance away from append traffic"
+        "(contention and/or centroid churn); retry, or serialize "
+        "structural maintenance away from append traffic"
     )
 
 
@@ -456,7 +534,7 @@ def gen_index_probe(
     manifest = _read_manifest(root, latest["gen"])
     cents = spark.read.parquet(os.path.join(root, manifest["centroids"]))
 
-    q = _ivf_assign(
+    q_plan = _ivf_assign(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         ),
@@ -465,9 +543,14 @@ def gen_index_probe(
         "qv",
         keep=nprobe,
     )
-    probed = sorted(
-        {str(r["cent_id"]) for r in q.select("cent_id").distinct().collect()}
-    )  # bounded: ≤ nprobe × |queries| cell ids, and ≤ max_centroids
+    # ONE execution of the assignment job: the collected rows both name
+    # the probed cells (manifest pruning needs them on the driver) and
+    # rebuild the broadcast side below — re-using the lazy plan in the
+    # join would run the queries×centroids scoring a second time.
+    # Bounded: ≤ nprobe × |queries| rows (the serving shortlist shape).
+    q_rows = q_plan.collect()
+    probed = sorted({str(r["cent_id"]) for r in q_rows})
+    q = spark.createDataFrame(q_rows, q_plan.schema)
     index = _probe_files(spark, root, manifest, probed)
     if index is None:
         return spark.createDataFrame(
@@ -553,10 +636,26 @@ def gen_index_gc(
     ``keep_pointers`` sequences, then any generation directory no
     SURVIVING pointer's manifest references (crash residue from a
     writer that died before its commit, or history past the horizon).
-    ``min_age_s`` protects two races the pointer protocol itself cannot
+    ``min_age_s`` protects three races the pointer protocol itself cannot
     see: a writer that has staged but not yet committed (its generation
-    is unpointed ON PURPOSE for a few seconds), and an in-flight reader
-    still scanning a just-superseded generation. Returns
+    is unpointed ON PURPOSE for a few seconds), a crashed try_commit's
+    leaked temp payload, and an in-flight reader still scanning a
+    just-superseded generation — which includes LAZY readers:
+    :func:`gen_index_probe` returns an unevaluated DataFrame over
+    manifest files, so a caller that holds a probe frame past the
+    horizon (without collecting or checkpointing it) is outside the
+    contract, exactly like the staging sweeper's documented lease.
+    Reader protection measures age from SUPERSESSION, not creation: an
+    unreachable generation was superseded no later than the commit of
+    the OLDEST surviving pointer, so nothing is deleted until that
+    pointer is ``min_age_s`` old — a generation served for hours is not
+    suddenly sweepable the instant two structural commits land. (Under
+    continuous commit traffic this makes GC lag by design; pointer
+    files stay bounded by ``keep_pointers`` regardless.) Size
+    ``min_age_s`` above the longest staging time AND the longest
+    reader-consumption lag; ``keep_pointers`` additionally retains that
+    many full history snapshots regardless of age. Concurrent sweeps
+    are safe: each tolerates the other's deletions. Returns
     {dropped_pointers, dropped_generations, kept_generations}."""
     import time
 
@@ -570,6 +669,7 @@ def gen_index_gc(
     for seq, _payload in ptrs[: len(ptrs) - len(survivors)]:
         ptr.drop(seq)
         dropped_ptrs.append(seq)
+    ptr.sweep_tmp(min_age_s)
 
     # reachability: every generation named in a surviving manifest's file
     # references (an append generation references its ancestors' files)
@@ -583,6 +683,11 @@ def gen_index_gc(
                 reachable.add(rel.split("/", 1)[0])
 
     now = time.time()
+    # supersession bound: after the drops above, the oldest surviving
+    # pointer's commit time upper-bounds when ANY unreachable generation
+    # stopped being live
+    superseded_bound = ptr.oldest_pointer_mtime() or now
+    readers_safe = now - superseded_bound >= min_age_s
     dropped_gens, kept = [], []
     for entry in sorted(os.listdir(root)):
         if not entry.startswith("gen-"):
@@ -591,8 +696,12 @@ def gen_index_gc(
             kept.append(entry)
             continue
         gen_dir = os.path.join(root, entry)
-        if now - os.path.getmtime(gen_dir) < min_age_s:
-            kept.append(entry)  # possibly a staging writer — next sweep
+        try:
+            staging_young = now - os.path.getmtime(gen_dir) < min_age_s
+        except FileNotFoundError:
+            continue  # a concurrent sweep already took it
+        if staging_young or not readers_safe:
+            kept.append(entry)  # possibly staging / recent readers — next sweep
             continue
         shutil.rmtree(gen_dir, ignore_errors=True)
         dropped_gens.append(entry)
@@ -601,6 +710,184 @@ def gen_index_gc(
         "dropped_generations": dropped_gens,
         "kept_generations": kept,
     }
+
+
+def gen_index_rebalance(
+    spark: SparkSession,
+    index_name: str = "gen_ivf",
+    cells: list[int] | None = None,
+    hot_factor: float = 4.0,
+    factor: int = 2,
+    max_retries: int = 5,
+) -> list[int]:
+    """Split hot cells into ``factor`` sub-cells, as a generational
+    commit. Selection and refinement semantics MIRROR
+    :func:`.similarity.ivf_index_rebalance` (sub-centroids = the
+    ``factor`` smallest-id member vectors per split cell, excluding ids
+    that survive as centroids, iterated to a fixpoint; split rows
+    reassigned max-cosine WITHIN their parent; refined set = kept ∪
+    subs) — pinned row-identical to the POSIX store's rebalanced probe
+    by test. ``cells=None`` selects cells holding more than
+    ``hot_factor ×`` the mean cell population of the CURRENT snapshot
+    (the generational store has no separate build-time baseline — prior
+    generations' manifests ARE the history; pass an explicit list to
+    reproduce an audit-driven choice).
+
+    Where the POSIX rebalance needs the single-writer lock across its
+    whole read-stage-swap span plus rename-aside crash handling, this is
+    just another generation: rows unchanged (fingerprint carried), new
+    centroid set (``centroid_fp`` changes — which automatically forces
+    any concurrently-staged append to RESTAGE rather than land rows in
+    dead cells), one pointer create to publish, GC for the history. A
+    lost race re-reads and redoes from scratch — the split derives from
+    the snapshot, so rebasing would split stale contents. Returns the
+    parent cell ids actually split."""
+    from pyspark.sql import Window
+
+    root = _store_root(spark, index_name)
+    ptr = LocalPointerStore(root)
+    for _attempt in range(max_retries):
+        seq, latest = ptr.read_latest()
+        if latest is None:
+            raise FileNotFoundError(
+                f"generational index '{index_name}' has no committed generation"
+            )
+        manifest = _read_manifest(root, latest["gen"])
+        cents = spark.read.parquet(os.path.join(root, manifest["centroids"]))
+        all_cent_ids = {
+            int(r["cent_id"]) for r in cents.select("cent_id").collect()
+        }  # bounded: ≤ max_centroids rows
+        if cells is None:
+            all_files = [
+                os.path.join(root, rel)
+                for files in manifest["cells"].values()
+                for rel in files
+            ]
+            if not all_files:
+                return []
+            counts = (
+                spark.read.parquet(*all_files)
+                .groupBy("cell")
+                .count()
+                .collect()  # bounded: one row per live cell ≤ centroids
+            )
+            mean = sum(r["count"] for r in counts) / len(counts)
+            chosen = sorted(
+                int(r["cell"])
+                for r in counts
+                if r["count"] > hot_factor * mean and r["count"] > factor
+            )
+        else:
+            chosen = sorted(int(c) for c in cells)
+        split = [c for c in chosen if c in all_cent_ids]
+        if not split:
+            return []
+
+        # sub-centroid fixpoint — same rule as the POSIX rebalance: a
+        # member row whose id survives as a centroid cannot seed a sub-
+        # cell, and a cell left with no candidates leaves the split set
+        # (returning its id to the kept set, so iterate)
+        while True:
+            kept_ids = sorted(all_cent_ids - set(split))
+            split_files = [
+                os.path.join(root, rel)
+                for c in split
+                for rel in manifest["cells"].get(str(c), [])
+            ]
+            if not split_files:
+                return []
+            sub_rows = spark.read.parquet(*split_files).select(
+                F.col("cell").cast("long").alias("parent"),
+                "neighbor_id",
+                "cv",
+            )
+            w = Window.partitionBy("parent").orderBy("neighbor_id")
+            subcents = (
+                sub_rows.where(~F.col("neighbor_id").isin(kept_ids))
+                .withColumn("srk", F.row_number().over(w))
+                .where(F.col("srk") <= factor)
+                .select(
+                    "parent",
+                    F.col("neighbor_id").alias("sub_id"),
+                    F.col("cv").alias("sub_v"),
+                )
+            )
+            splittable = sorted(
+                int(r["parent"])
+                for r in subcents.select("parent").distinct().collect()
+            )  # bounded: ≤ |split| rows
+            if splittable == split:
+                break
+            split = splittable
+            if not split:
+                return []
+
+        scored = sub_rows.join(F.broadcast(subcents), "parent").select(
+            "neighbor_id",
+            "cv",
+            "sub_id",
+            (
+                _dot(F.col("cv"), F.col("sub_v"))
+                / (
+                    F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                    * F.sqrt(_dot(F.col("sub_v"), F.col("sub_v")))
+                )
+            ).alias("sub_cos"),
+            "parent",
+        )
+        wr = Window.partitionBy("parent", "neighbor_id").orderBy(
+            F.col("sub_cos").desc(), F.col("sub_id")
+        )
+        assigned = (
+            scored.withColumn("rrk", F.row_number().over(wr))
+            .where(F.col("rrk") == 1)
+            .select(F.col("sub_id").alias("cell_id"), "neighbor_id", "cv")
+        )
+
+        gen_name = f"gen-{uuid.uuid4().hex}"
+        gen_dir = os.path.join(root, gen_name)
+        _write_assigned_cells(assigned, gen_dir)
+        refined = cents.where(
+            ~F.col("cent_id").isin([int(c) for c in split])
+        ).unionByName(
+            subcents.select(
+                F.col("sub_id").alias("cent_id"), F.col("sub_v").alias("cent_v")
+            )
+        )
+        refined.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(gen_dir, "centroids")
+        )
+        cent_fp = _corpus_fingerprint(
+            spark.read.parquet(os.path.join(gen_dir, "centroids")), "cent_id"
+        )
+        surviving = {
+            c: files
+            for c, files in manifest["cells"].items()
+            if int(c) not in set(split)
+        }
+        new_manifest = {
+            "kind": "rebalance",
+            "cells": _merge_cells(surviving, _list_cell_files(gen_dir, gen_name)),
+            "fingerprint": manifest["fingerprint"],  # same rows, new layout
+            "centroid_fp": cent_fp,
+            "centroids": f"{gen_name}/centroids",
+            "parent": latest["gen"],
+            "split": split,
+        }
+        _write_manifest(gen_dir, new_manifest)
+        payload = {
+            "gen": gen_name,
+            "fingerprint": manifest["fingerprint"],
+            "centroid_fp": cent_fp,
+            "last_token": latest.get("last_token"),
+        }
+        if ptr.try_commit(seq + 1, payload):
+            return split
+        shutil.rmtree(gen_dir)  # superseded mid-split: re-read and redo
+    raise CommitConflict(
+        f"rebalance of '{index_name}' lost {max_retries} commit races; "
+        "schedule structural maintenance apart from append traffic"
+    )
 
 
 def gen_index_compact(

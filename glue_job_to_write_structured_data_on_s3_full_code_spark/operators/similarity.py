@@ -891,8 +891,10 @@ class _index_write_lock:
         except FileExistsError:
             holder = _read_lock_holder(self._lock)
             held_by = (
+                # .get defaults: _read_lock_holder accepts hand-written /
+                # older-version payloads that carry host+pid only
                 f" (held by pid {holder['pid']} on {holder['host']} "
-                f"since {holder['acquired_utc']})"
+                f"since {holder.get('acquired_utc', 'unknown time')})"
                 if holder
                 else ""
             )

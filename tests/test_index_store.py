@@ -301,3 +301,218 @@ def test_gen_compact_collapses_history_and_preserves_results(spark, sf_dir):
     assert len(report["dropped_generations"]) >= 3  # build + 2 append gens
     assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_cpt")) == before
     assert gs.gen_index_verify(spark, "t_gen_cpt")["consistent"]
+
+
+@pytest.mark.slow  # index mutation lifecycle (slow tier)
+def test_gen_rebalance_matches_posix_rebalanced_probe(spark, sf_dir):
+    """The generational rebalance must mirror the POSIX store's split
+    semantics exactly: same explicit split set on the same corpus in
+    both stores → row-identical probes from the refined indexes. Rows
+    and fingerprint are unchanged (same data, new layout); the split
+    cells disappear from the manifest and their sub-cells appear."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_probe,
+        ivf_index_rebalance,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+
+    gs.gen_index_build(emb, index_name="t_gen_rb")
+    build_ivf_index(emb, index_name="t_posix_rb")
+
+    # pick the two biggest cells, deterministically, from the gen store
+    root = gs._store_root(spark, "t_gen_rb")
+    _seq, latest = gs.LocalPointerStore(root).read_latest()
+    manifest = gs._read_manifest(root, latest["gen"])
+    files = [os.path.join(root, rel) for fs in manifest["cells"].values() for rel in fs]
+    counts = sorted(
+        ((r["count"], int(r["cell"])) for r in spark.read.parquet(*files).groupBy("cell").count().collect()),
+        reverse=True,
+    )
+    split_cells = sorted(c for _n, c in counts[:2])
+
+    got_split = gs.gen_index_rebalance(spark, "t_gen_rb", cells=split_cells)
+    posix_split = ivf_index_rebalance(spark, "t_posix_rb", cells=split_cells)
+    assert got_split == posix_split == split_cells
+
+    gen_rows = _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_rb"))
+    posix_rows = _rows(
+        ivf_index_probe(q, k=5, index_name="t_posix_rb", expected_corpus=emb)
+    )
+    assert gen_rows == posix_rows and len(gen_rows) > 0
+
+    report = gs.gen_index_verify(spark, "t_gen_rb")
+    assert report["consistent"]
+    assert report["actual"]["rows"] == emb.count()
+    new_manifest = gs._read_manifest(
+        root, gs.LocalPointerStore(root).read_latest()[1]["gen"]
+    )
+    assert not (set(map(str, split_cells)) & set(new_manifest["cells"]))
+
+
+@pytest.mark.slow  # concurrency lifecycle test (slow tier)
+def test_gen_rebalance_forces_concurrent_append_to_restage(spark, sf_dir):
+    """A rebalance that wins the race while an append is staged changes
+    centroid_fp — the append must restage against the refined set, and
+    the batch's rows must land in LIVE cells (reachable by probes)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    gs.gen_index_build(base, index_name="t_gen_rb_race")
+
+    root = gs._store_root(spark, "t_gen_rb_race")
+    _seq, latest = gs.LocalPointerStore(root).read_latest()
+    manifest = gs._read_manifest(root, latest["gen"])
+    files = [os.path.join(root, rel) for fs in manifest["cells"].values() for rel in fs]
+    hot = int(
+        max(
+            spark.read.parquet(*files).groupBy("cell").count().collect(),
+            key=lambda r: (r["count"], r["cell"]),
+        )["cell"]
+    )
+
+    real = gs.LocalPointerStore.try_commit
+    state = {"interposed": False}
+
+    def splitting(self, seq, payload):
+        if not state["interposed"]:
+            state["interposed"] = True
+            gs.LocalPointerStore.try_commit = real
+            try:
+                gs.gen_index_rebalance(spark, "t_gen_rb_race", cells=[hot])
+            finally:
+                gs.LocalPointerStore.try_commit = splitting
+        return real(self, seq, payload)
+
+    gs.LocalPointerStore.try_commit = splitting
+    try:
+        gs.gen_index_append(batch, index_name="t_gen_rb_race")
+    finally:
+        gs.LocalPointerStore.try_commit = real
+
+    assert state["interposed"]
+    report = gs.gen_index_verify(spark, "t_gen_rb_race")
+    assert report["consistent"]
+    assert report["actual"]["rows"] == emb.count()
+    # every manifest cell is a live centroid — no rows stranded in the
+    # pre-split layout
+    final = gs._read_manifest(
+        root, gs.LocalPointerStore(root).read_latest()[1]["gen"]
+    )
+    cents = spark.read.parquet(os.path.join(root, final["centroids"]))
+    live = {int(r["cent_id"]) for r in cents.select("cent_id").collect()}
+    assert {int(c) for c in final["cells"]} <= live
+
+
+@pytest.mark.slow  # concurrency lifecycle test (slow tier)
+def test_gen_build_refuses_to_clobber_interleaved_append(spark, sf_dir):
+    """A rebuild staged from corpus snapshot C must NOT publish over an
+    append that committed while it staged: publishing would drop the
+    batch's rows AND carry its token forward, so the stream's replay
+    would self-discard as already-applied — permanent silent loss. The
+    build must raise CommitConflict; the interleaved batch survives."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    gs.gen_index_build(base, index_name="t_gen_clobber")
+
+    real = gs.LocalPointerStore.try_commit
+    state = {"interposed": False}
+
+    def appending(self, seq, payload):
+        if not state["interposed"]:
+            state["interposed"] = True
+            gs.LocalPointerStore.try_commit = real
+            try:
+                gs.gen_index_append(
+                    batch, index_name="t_gen_clobber", idempotency_token="ck:b7"
+                )
+            finally:
+                gs.LocalPointerStore.try_commit = appending
+        return real(self, seq, payload)
+
+    gs.LocalPointerStore.try_commit = appending
+    try:
+        with pytest.raises(gs.CommitConflict, match="advanced while this build"):
+            gs.gen_index_build(base, index_name="t_gen_clobber")
+    finally:
+        gs.LocalPointerStore.try_commit = real
+
+    assert state["interposed"]
+    # the interleaved batch is still served, its token still armed
+    report = gs.gen_index_verify(spark, "t_gen_clobber")
+    assert report["consistent"] and report["actual"]["rows"] == emb.count()
+    replay = gs.gen_index_append(
+        batch, index_name="t_gen_clobber", idempotency_token="ck:b7"
+    )
+    assert replay["last_token"] == "ck:b7"
+    assert gs.gen_index_verify(spark, "t_gen_clobber")["actual"]["rows"] == emb.count()
+
+
+def test_gen_build_refuses_empty_centroid_set(spark, sf_dir):
+    """A corpus with no ids under the centroid rule must refuse at build
+    time — the alternative is an index whose fingerprint claims N rows
+    while every row was dropped by the assignment."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    with pytest.raises(ValueError, match="NO centroids"):
+        gs.gen_index_build(odd, index_name="t_gen_nocents", centroid_mod=2)
+
+
+@pytest.mark.slow  # index mutation lifecycle (slow tier)
+def test_gen_gc_measures_reader_age_from_supersession(spark, sf_dir):
+    """An unreachable generation must stay until the OLDEST surviving
+    pointer is min_age_s old — a generation that served reads for hours
+    is not sweepable the instant structural commits supersede it (the
+    creation-age-only rule would void the in-flight-reader horizon).
+    Leaked pointer temp files are swept on the same horizon."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    built = gs.gen_index_build(base, index_name="t_gen_age")
+    root = gs._store_root(spark, "t_gen_age")
+    # age the BUILD generation (it has served for "hours")
+    old = os.path.getmtime(os.path.join(root, built["gen"])) - 7200
+    os.utime(os.path.join(root, built["gen"]), (old, old))
+    # structural commit supersedes it seconds later
+    gs.gen_index_compact(spark, "t_gen_age")
+    # a crashed try_commit leaked a temp payload
+    leak = os.path.join(root, "ptr", ".tmp.deadbeef")
+    with open(leak, "w") as fh:
+        fh.write("{}")
+    os.utime(leak, (old, old))
+
+    report = gs.gen_index_gc(spark, "t_gen_age", keep_pointers=1, min_age_s=60.0)
+    # the superseding pointer is seconds old -> readers may still be on
+    # the old generation; it must survive even though its dir is 2h old
+    assert built["gen"] in report["kept_generations"]
+    assert not os.path.exists(leak), "aged temp leak must be swept"
+
+    # age the surviving pointer past the horizon -> now sweepable
+    ptr_dir = os.path.join(root, "ptr")
+    for fname in os.listdir(ptr_dir):
+        p = os.path.join(ptr_dir, fname)
+        os.utime(p, (old, old))
+    report2 = gs.gen_index_gc(spark, "t_gen_age", keep_pointers=1, min_age_s=60.0)
+    assert built["gen"] in report2["dropped_generations"]
+
+
+def test_lock_contention_tolerates_timestampless_payload(spark, sf_dir, tmp_path):
+    """A hand-written lock payload carrying only {host, pid} must still
+    produce the actionable ConcurrentIndexMutation message, not a
+    KeyError while formatting the holder line."""
+    import json as _json
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import similarity as sim
+
+    path = str(tmp_path / "t_lock_legacy")
+    meta = f"{path}__meta"
+    os.makedirs(meta)
+    with open(os.path.join(meta, "append.lock"), "w") as fh:
+        _json.dump({"host": "ops-box", "pid": 4242}, fh)
+    with pytest.raises(
+        sim.ConcurrentIndexMutation, match=r"pid 4242 on ops-box since unknown time"
+    ):
+        with sim._index_write_lock(path):
+            pass
