@@ -516,3 +516,51 @@ def test_lock_contention_tolerates_timestampless_payload(spark, sf_dir, tmp_path
     ):
         with sim._index_write_lock(path):
             pass
+
+
+def test_gen_probe_reads_only_probed_cells_files(spark, gen_shared):
+    """Manifest pruning is the generational analog of dynamic partition
+    pruning — the probe's scan must touch exactly the probed cells'
+    manifest files, never the whole index."""
+    emb, payload = gen_shared
+    # ONE query at nprobe=1: at sf0.001 the index has only a handful of
+    # cells, and a wider probe legitimately covers them all
+    q = emb.where(F.col("vec_id") == 3)
+    out = gs.gen_index_probe(q, k=5, nprobe=1, index_name="t_gen_shared")
+
+    root = gs._store_root(spark, "t_gen_shared")
+    manifest = gs._read_manifest(root, payload["gen"])
+    all_files = {
+        os.path.realpath(os.path.join(root, rel))
+        for files in manifest["cells"].values()
+        for rel in files
+    }
+    touched = {
+        os.path.realpath(p.removeprefix("file:"))
+        for p in out.inputFiles()
+        if "ptr" not in p
+    }
+    assert touched, "probe plan reports no input files"
+    assert touched < all_files, (
+        "probe read the ENTIRE index — manifest pruning is not happening"
+    )
+    # and exactly the probed cells' files: recompute the probed set
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        _as_double,
+        _ivf_assign,
+    )
+
+    cents = spark.read.parquet(os.path.join(root, manifest["centroids"]))
+    probed = {
+        str(r["cent_id"])
+        for r in _ivf_assign(
+            q.select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")),
+            cents, "query_id", "qv", keep=1,
+        ).select("cent_id").distinct().collect()
+    }
+    expected = {
+        os.path.realpath(os.path.join(root, rel))
+        for c in probed
+        for rel in manifest["cells"].get(c, [])
+    }
+    assert touched == expected
