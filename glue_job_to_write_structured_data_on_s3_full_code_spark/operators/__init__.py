@@ -25,6 +25,7 @@ from .similarity import (
 from .index_store import (
     gen_index_append,
     gen_index_build,
+    gen_index_cell_skew,
     gen_index_compact,
     gen_index_gc,
     gen_index_probe,
@@ -58,6 +59,7 @@ __all__ = [
     "ivf_topk",
     "gen_index_append",
     "gen_index_build",
+    "gen_index_cell_skew",
     "gen_index_compact",
     "gen_index_gc",
     "gen_index_probe",

@@ -72,6 +72,7 @@ __all__ = [
     "LocalPointerStore",
     "gen_index_build",
     "gen_index_append",
+    "gen_index_cell_skew",
     "gen_index_probe",
     "gen_index_rebalance",
     "gen_index_verify",
@@ -710,6 +711,74 @@ def gen_index_gc(
         "dropped_generations": dropped_gens,
         "kept_generations": kept,
     }
+
+
+def gen_index_cell_skew(
+    spark: SparkSession,
+    index_name: str = "gen_ivf",
+    baseline_seq: int | None = None,
+) -> DataFrame:
+    """Per-cell drift report for a generational index — the analog of
+    :func:`.similarity.ivf_cell_skew_audit`, except the BASELINE is not
+    a separate stored artifact: the pointer history IS the baseline
+    store. Compares the live snapshot's per-cell row counts against the
+    generation pointed at by ``baseline_seq`` (default: the OLDEST
+    surviving pointer, i.e. the furthest-back history GC has kept).
+    Columns: ``cell_id, rows_then, rows_now, added, growth`` (``growth``
+    NULL for a cell born after the baseline). Two column-pruned reads of
+    manifest file lists — at scale this is parquet footers plus one tiny
+    shuffle of ≤ centroid-count groups each. Feed the hot cells to
+    :func:`gen_index_rebalance`."""
+    root = _store_root(spark, index_name)
+    ptr = LocalPointerStore(root)
+    ptrs = ptr.pointers()
+    if not ptrs:
+        raise FileNotFoundError(
+            f"generational index '{index_name}' has no committed generation"
+        )
+    latest = ptrs[-1][1]
+    if baseline_seq is None:
+        base_payload = ptrs[0][1]
+    else:
+        by_seq = dict(ptrs)
+        if baseline_seq not in by_seq:
+            raise ValueError(
+                f"no surviving pointer at seq {baseline_seq} for "
+                f"'{index_name}' (have {sorted(by_seq)}); GC may have "
+                "dropped it — pass one of the surviving sequences"
+            )
+        base_payload = by_seq[baseline_seq]
+
+    def counts(payload, alias):
+        manifest = _read_manifest(root, payload["gen"])
+        files = [
+            os.path.join(root, rel)
+            for fs in manifest["cells"].values()
+            for rel in fs
+        ]
+        if not files:
+            return spark.createDataFrame([], f"cell_id long, {alias} long")
+        return (
+            spark.read.parquet(*files)
+            .groupBy(F.col("cell").cast("long").alias("cell_id"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    then = counts(base_payload, "rows_then")
+    now = counts(latest, "rows_now")
+    return (
+        now.join(then, "cell_id", "left")
+        .select(
+            "cell_id",
+            "rows_then",
+            "rows_now",
+            (F.col("rows_now") - F.coalesce(F.col("rows_then"), F.lit(0))).alias(
+                "added"
+            ),
+            (F.col("rows_now") / F.col("rows_then")).alias("growth"),
+        )
+        .orderBy(F.col("growth").desc_nulls_first(), "cell_id")
+    )
 
 
 def gen_index_rebalance(

@@ -564,3 +564,39 @@ def test_gen_probe_reads_only_probed_cells_files(spark, gen_shared):
         for rel in manifest["cells"].get(c, [])
     }
     assert touched == expected
+
+
+@pytest.mark.slow  # index mutation lifecycle (slow tier)
+def test_gen_cell_skew_reports_growth_against_pointer_history(spark, sf_dir):
+    """The pointer history IS the drift baseline: after an append, skew
+    vs the oldest surviving pointer shows exactly the appended cells as
+    added rows (growth NULL for cells born after the baseline), and the
+    hot cells it names are valid rebalance input."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    gs.gen_index_build(base, index_name="t_gen_skew")
+    gs.gen_index_append(batch, index_name="t_gen_skew")
+
+    skew = gs.gen_index_cell_skew(spark, "t_gen_skew").collect()
+    total_added = sum(r["added"] for r in skew)
+    assert total_added == batch.count()
+    assert all(r["rows_now"] >= (r["rows_then"] or 0) for r in skew)
+    # newborn cells (no baseline rows) report NULL growth, never a crash
+    for r in skew:
+        if r["rows_then"] is None:
+            assert r["growth"] is None
+
+    # feed the hottest cell to the rebalance — the audit→rebalance loop
+    hot = [int(r["cell_id"]) for r in skew if (r["added"] or 0) > 0][:1]
+    if hot:
+        split = gs.gen_index_rebalance(spark, "t_gen_skew", cells=hot)
+        assert split == hot
+        assert gs.gen_index_verify(spark, "t_gen_skew")["consistent"]
+
+    # explicit baseline: skew vs the LATEST pointer is all-zero added
+    seqs = [s for s, _ in gs.LocalPointerStore(gs._store_root(spark, "t_gen_skew")).pointers()]
+    flat = gs.gen_index_cell_skew(spark, "t_gen_skew", baseline_seq=seqs[-1]).collect()
+    assert all(r["added"] == 0 for r in flat)
+    with pytest.raises(ValueError, match="no surviving pointer at seq"):
+        gs.gen_index_cell_skew(spark, "t_gen_skew", baseline_seq=99)
