@@ -518,6 +518,7 @@ def test_lock_contention_tolerates_timestampless_payload(spark, sf_dir, tmp_path
             pass
 
 
+@pytest.mark.slow  # index plan gate, builds on the stored index (slow tier, like its POSIX twin)
 def test_gen_probe_reads_only_probed_cells_files(spark, gen_shared):
     """Manifest pruning is the generational analog of dynamic partition
     pruning — the probe's scan must touch exactly the probed cells'
