@@ -601,3 +601,70 @@ def test_gen_cell_skew_reports_growth_against_pointer_history(spark, sf_dir):
     assert all(r["added"] == 0 for r in flat)
     with pytest.raises(ValueError, match="no surviving pointer at seq"):
         gs.gen_index_cell_skew(spark, "t_gen_skew", baseline_seq=99)
+
+
+@pytest.mark.slow  # streaming end-to-end lifecycle (slow tier)
+def test_gen_streaming_maintenance_matches_full_rebuild(spark, sf_dir):
+    """The generational store's STREAMING deployment shape: foreachBatch
+    lands each micro-batch through gen_index_append with a checkpoint-
+    namespaced idempotency token (the exact contract the POSIX
+    streaming_ivf_index_maintenance documents). Micro-batches run
+    sequentially, the pointer advances once per non-empty batch, and the
+    closing probe is row-identical to the in-memory IVF over the full
+    corpus — batch-boundary-insensitive by construction."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    gs.gen_index_build(base, index_name="t_gen_stream")
+
+    work = tempfile.mkdtemp(prefix="gen_stream_")
+    in_dir = _os.path.join(work, "in")
+    _os.makedirs(in_dir)
+    for i, residue in enumerate((17, 67, 117)):
+        b = emb.where(F.col("vec_id") % 150 == residue).select("vec_id", "embedding")
+        tmp = _os.path.join(work, f"t{i}")
+        b.coalesce(1).write.parquet(tmp)
+        f = [x for x in _os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = _os.path.join(in_dir, f"part-{i:03d}.parquet")
+        _shutil.move(_os.path.join(tmp, f), dst)
+        _shutil.rmtree(tmp)
+        now = _os.stat(dst).st_mtime
+        _os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
+
+    ckpt = _os.path.join(work, "ckpt")
+
+    def _append(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        gs.gen_index_append(
+            batch_df,
+            index_name="t_gen_stream",
+            idempotency_token=f"{ckpt}:batch-{batch_id}",
+        )
+
+    try:
+        (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+    ptrs = _ptrs(spark, "t_gen_stream")
+    assert [s for s, _ in ptrs] == [1, 2, 3, 4]  # build + 3 micro-batches
+    assert ptrs[-1][1]["last_token"].endswith(":batch-2")
+    report = gs.gen_index_verify(spark, "t_gen_stream")
+    assert report["consistent"] and report["actual"]["rows"] == emb.count()
+    q = emb.where(F.col("vec_id") < 10)
+    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_stream")) == _rows(
+        ivf_topk(emb, q, k=5)
+    )
