@@ -28,6 +28,7 @@ from .index_store import (
     gen_index_cell_skew,
     gen_index_compact,
     gen_index_gc,
+    gen_index_import_posix,
     gen_index_probe,
     gen_index_rebalance,
     gen_index_verify,
@@ -62,6 +63,7 @@ __all__ = [
     "gen_index_cell_skew",
     "gen_index_compact",
     "gen_index_gc",
+    "gen_index_import_posix",
     "gen_index_probe",
     "gen_index_rebalance",
     "gen_index_verify",

@@ -78,6 +78,7 @@ __all__ = [
     "gen_index_verify",
     "gen_index_gc",
     "gen_index_compact",
+    "gen_index_import_posix",
 ]
 
 
@@ -711,6 +712,74 @@ def gen_index_gc(
         "dropped_generations": dropped_gens,
         "kept_generations": kept,
     }
+
+
+def gen_index_import_posix(
+    spark: SparkSession,
+    posix_index_name: str = "ivf_index",
+    index_name: str = "gen_ivf",
+) -> dict:
+    """Migrate a POSIX-store IVF index into the generational protocol —
+    the deployment step when an index built under the rename/lock
+    contract moves to an object store. No reassignment runs: the rows
+    already carry their cells (the POSIX partition column), so this is
+    one relayout write into a generation plus metadata carry-over — the
+    stored FINGERPRINT (so probes keep verifying against the same
+    corpus identity) and the append TOKEN (so a foreachBatch producer
+    switched over mid-stream still has its last delivery's replay
+    detected by the new store). Commits like a build: only at the
+    sequence read at the start, raising :class:`CommitConflict` if the
+    target index advanced meanwhile."""
+    from .similarity import _ivf_index_path as _posix_path
+    from .similarity import _read_fingerprint
+
+    root = _store_root(spark, index_name)
+    ptr = LocalPointerStore(root)
+    start_seq, start_latest = ptr.read_latest()
+
+    posix = _posix_path(spark, posix_index_name)
+    stored_fp = _read_fingerprint(posix)
+    rows = spark.read.parquet(posix).select(
+        "neighbor_id", "cv", F.col("cell_id").cast("long").alias("cell_id")
+    )
+    cents = spark.read.parquet(f"{posix}__meta/centroids")
+
+    gen_name = f"gen-{uuid.uuid4().hex}"
+    gen_dir = os.path.join(root, gen_name)
+    _write_assigned_cells(rows, gen_dir)
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(gen_dir, "centroids")
+    )
+    cent_fp = _corpus_fingerprint(
+        spark.read.parquet(os.path.join(gen_dir, "centroids")), "cent_id"
+    )
+    fp = {"rows": stored_fp["rows"], "id_xor": stored_fp["id_xor"]}
+    manifest = {
+        "kind": "import",
+        "cells": _list_cell_files(gen_dir, gen_name),
+        "fingerprint": fp,
+        "centroid_fp": cent_fp,
+        "centroids": f"{gen_name}/centroids",
+        "imported_from": posix_index_name,
+    }
+    _write_manifest(gen_dir, manifest)
+    payload = {
+        "gen": gen_name,
+        "fingerprint": fp,
+        "centroid_fp": cent_fp,
+        # token precedence: the POSIX index's token is the migrating
+        # producer's last delivery; an existing gen-store token (import
+        # over a live gen index) is superseded by the imported content
+        "last_token": stored_fp.get("last_token"),
+    }
+    if ptr.try_commit((start_seq or 0) + 1, payload):
+        return payload
+    shutil.rmtree(gen_dir)
+    raise CommitConflict(
+        f"generational index '{index_name}' advanced while the import "
+        f"from POSIX index '{posix_index_name}' was staging — re-run the "
+        "import (or reconcile which store is authoritative first)"
+    )
 
 
 def gen_index_cell_skew(

@@ -668,3 +668,42 @@ def test_gen_streaming_maintenance_matches_full_rebuild(spark, sf_dir):
     assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_stream")) == _rows(
         ivf_topk(emb, q, k=5)
     )
+
+
+@pytest.mark.slow  # cross-store migration lifecycle (slow tier)
+def test_gen_import_posix_carries_content_fingerprint_and_token(spark, sf_dir):
+    """Migrating a POSIX index into the generational store: no
+    reassignment, probe row-identical to the source store, fingerprint
+    verification intact, and the producer's last append token still
+    detects its replay in the NEW store."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_probe,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    build_ivf_index(base, index_name="t_mig_posix")
+    ivf_index_append(batch, index_name="t_mig_posix", idempotency_token="ck:b3")
+
+    payload = gs.gen_index_import_posix(
+        spark, posix_index_name="t_mig_posix", index_name="t_mig_gen"
+    )
+    assert payload["last_token"] == "ck:b3"
+    report = gs.gen_index_verify(spark, "t_mig_gen")
+    assert report["consistent"] and report["actual"]["rows"] == emb.count()
+
+    q = emb.where(F.col("vec_id") < 10)
+    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_mig_gen")) == _rows(
+        ivf_index_probe(q, k=5, index_name="t_mig_posix", expected_corpus=emb)
+    )
+    # the migrating producer replays its last delivery against the NEW
+    # store: caught by the carried token, pointer does not advance
+    n_ptrs = len(_ptrs(spark, "t_mig_gen"))
+    replay = gs.gen_index_append(
+        batch, index_name="t_mig_gen", idempotency_token="ck:b3"
+    )
+    assert replay["last_token"] == "ck:b3"
+    assert len(_ptrs(spark, "t_mig_gen")) == n_ptrs
