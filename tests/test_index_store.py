@@ -707,3 +707,64 @@ def test_gen_import_posix_carries_content_fingerprint_and_token(spark, sf_dir):
     )
     assert replay["last_token"] == "ck:b3"
     assert len(_ptrs(spark, "t_mig_gen")) == n_ptrs
+
+
+def test_pointer_cas_exactly_once_across_processes(tmp_path):
+    """The commit primitive's whole contract is create-exactly-once
+    under REAL concurrency: 8 separate OS processes hammer the same
+    pointer directory, each looping read-latest → try_commit(seq+1).
+    Exactly one winner per sequence, no gaps, no duplicate sequences,
+    and every committed payload is intact (never torn) — this is the
+    property an S3 conditional PUT provides and os.link must emulate."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "idx")
+    n_procs, commits_each = 8, 12
+    script = r"""
+import json, sys, os
+sys.path.insert(0, "/root/repo")
+from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.index_store import LocalPointerStore
+
+root, me, target = sys.argv[1], sys.argv[2], int(sys.argv[3])
+ptr = LocalPointerStore(root)
+wins = []
+while len(wins) < target:
+    seq, latest = ptr.read_latest()
+    nxt = (seq or 0) + 1
+    if ptr.try_commit(nxt, {"writer": me, "n": len(wins), "gen": f"g-{me}-{len(wins)}"}):
+        wins.append(nxt)
+print(json.dumps(wins))
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, root, f"w{i}", str(commits_each)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(n_procs)
+    ]
+    all_wins = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-500:]
+        all_wins.append(__import__("json").loads(out))
+
+    flat = sorted(s for wins in all_wins for s in wins)
+    total = n_procs * commits_each
+    # exactly-once: every sequence won by exactly one process, contiguous
+    assert flat == list(range(1, total + 1))
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.index_store import (
+        LocalPointerStore,
+    )
+
+    ptrs = LocalPointerStore(root).pointers()
+    assert [s for s, _ in ptrs] == list(range(1, total + 1))
+    # no torn payloads, and each sequence's payload names its true winner
+    by_seq = dict(ptrs)
+    for wins, i in zip(all_wins, range(n_procs)):
+        for s in wins:
+            assert by_seq[s]["writer"] == f"w{i}"
+    # no leaked temp files (every loser cleaned up)
+    assert not [f for f in os.listdir(os.path.join(root, "ptr")) if f.startswith(".tmp.")]
