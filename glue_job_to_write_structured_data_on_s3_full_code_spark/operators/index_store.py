@@ -208,12 +208,22 @@ class LocalPointerStore:
 
 
 def _store_root(spark: SparkSession, index_name: str) -> str:
-    """App-scoped root for a generational index. Reuses the staged-results
-    path resolution (and therefore, for THIS local implementation, its
-    POSIX check — the LocalPointerStore and the os.walk manifest listing
-    are filesystem code). An object-store deployment swaps the pointer
-    store and lists freshly-written output through the object API; the
-    Spark parquet reads/writes in this module already take URIs as-is."""
+    """DEFAULT root for a generational index: app-scoped under the
+    staged-results dir, reusing its path resolution (and therefore, for
+    THIS local implementation, its POSIX check — the LocalPointerStore
+    and the manifest listing are filesystem code). An object-store
+    deployment swaps the pointer store and lists freshly-written output
+    through the object API; the Spark parquet reads/writes in this
+    module already take URIs as-is.
+
+    App-scoping gives lifecycle hygiene (heartbeat-swept with the
+    session's staging) but confines the index to ONE application.
+    Every public function takes ``root=`` to override it with a shared
+    location — the deployment shape where separate driver applications
+    (a build job, a streaming maintenance job, probe services) operate
+    on one index: the protocol keeps no in-memory state, so any process
+    that can reach the root participates safely in the same CAS
+    sequence (pinned by the cross-application test)."""
     return _ivf_index_path(spark, f"{index_name}_gens")
 
 
@@ -283,6 +293,7 @@ def gen_index_build(
     centroid_mod: int = 50,
     max_centroids: int = 256,
     index_name: str = "gen_ivf",
+    root: str | None = None,
 ) -> dict:
     """Build (or rebuild) a generational IVF index: one assignment pass
     lands a complete generation, then ONE pointer create publishes it.
@@ -304,7 +315,7 @@ def gen_index_build(
     repair flow must keep replay detection armed) — sound precisely
     BECAUSE the commit refuses when a tokened append interleaves."""
     spark = corpus.sparkSession
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
     start_seq, start_latest = ptr.read_latest()
 
@@ -374,6 +385,7 @@ def gen_index_append(
     index_name: str = "gen_ivf",
     idempotency_token: str | int | None = None,
     max_retries: int = 5,
+    root: str | None = None,
 ) -> dict:
     """O(|batch|) append with optimistic concurrency. The batch is
     assigned against the latest generation's FROZEN centroids and lands
@@ -389,7 +401,7 @@ def gen_index_append(
     CAS attempt, so a duplicate delivery that loses a race to its twin
     discards itself instead of double-appending."""
     spark = batch.sparkSession
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
 
     # ONE budget for both loss modes — plain commit races (inner loop)
@@ -504,6 +516,7 @@ def gen_index_probe(
     nprobe: int = 3,
     index_name: str = "gen_ivf",
     expected_fingerprint: dict | None = None,
+    root: str | None = None,
 ) -> DataFrame:
     """Serve top-k from the pointed generation. One pointer read pins the
     ENTIRE snapshot (manifest + files are immutable), so a probe can
@@ -515,7 +528,7 @@ def gen_index_probe(
     from pyspark.sql import Window
 
     spark = queries.sparkSession
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     _seq, latest = LocalPointerStore(root).read_latest()
     if latest is None:
         raise FileNotFoundError(
@@ -590,13 +603,15 @@ def gen_index_probe(
     )
 
 
-def gen_index_verify(spark: SparkSession, index_name: str = "gen_ivf") -> dict:
+def gen_index_verify(
+    spark: SparkSession, index_name: str = "gen_ivf", root: str | None = None
+) -> dict:
     """Audit the POINTED generation: every manifest file must exist, and
     the content fingerprint (count + id-hash XOR over the manifest's
     files) must equal the pointer's. There are no orphan/aside damage
     classes — unpointed garbage is GC's department, not an
     inconsistency. Returns {stored, actual, missing_files, consistent}."""
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     _seq, latest = LocalPointerStore(root).read_latest()
     if latest is None:
         raise FileNotFoundError(
@@ -633,6 +648,7 @@ def gen_index_gc(
     index_name: str = "gen_ivf",
     keep_pointers: int = 2,
     min_age_s: float = 3600.0,
+    root: str | None = None,
 ) -> dict:
     """Garbage-collect unreachable state: pointer files below the newest
     ``keep_pointers`` sequences, then any generation directory no
@@ -661,7 +677,7 @@ def gen_index_gc(
     {dropped_pointers, dropped_generations, kept_generations}."""
     import time
 
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
     ptrs = ptr.pointers()
     if not ptrs:
@@ -718,6 +734,7 @@ def gen_index_import_posix(
     spark: SparkSession,
     posix_index_name: str = "ivf_index",
     index_name: str = "gen_ivf",
+    root: str | None = None,
 ) -> dict:
     """Migrate a POSIX-store IVF index into the generational protocol —
     the deployment step when an index built under the rename/lock
@@ -733,7 +750,7 @@ def gen_index_import_posix(
     from .similarity import _ivf_index_path as _posix_path
     from .similarity import _read_fingerprint
 
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
     start_seq, start_latest = ptr.read_latest()
 
@@ -786,6 +803,7 @@ def gen_index_cell_skew(
     spark: SparkSession,
     index_name: str = "gen_ivf",
     baseline_seq: int | None = None,
+    root: str | None = None,
 ) -> DataFrame:
     """Per-cell drift report for a generational index — the analog of
     :func:`.similarity.ivf_cell_skew_audit`, except the BASELINE is not
@@ -798,7 +816,7 @@ def gen_index_cell_skew(
     manifest file lists — at scale this is parquet footers plus one tiny
     shuffle of ≤ centroid-count groups each. Feed the hot cells to
     :func:`gen_index_rebalance`."""
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
     ptrs = ptr.pointers()
     if not ptrs:
@@ -857,6 +875,7 @@ def gen_index_rebalance(
     hot_factor: float = 4.0,
     factor: int = 2,
     max_retries: int = 5,
+    root: str | None = None,
 ) -> list[int]:
     """Split hot cells into ``factor`` sub-cells, as a generational
     commit. Selection and refinement semantics MIRROR
@@ -882,7 +901,7 @@ def gen_index_rebalance(
     parent cell ids actually split."""
     from pyspark.sql import Window
 
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
     for _attempt in range(max_retries):
         seq, latest = ptr.read_latest()
@@ -1032,6 +1051,7 @@ def gen_index_compact(
     spark: SparkSession,
     index_name: str = "gen_ivf",
     max_retries: int = 5,
+    root: str | None = None,
 ) -> dict:
     """Rewrite the live index into ONE self-contained generation (appends
     accrete one file-set per batch per touched cell; probes of a
@@ -1041,7 +1061,7 @@ def gen_index_compact(
     lost race discards the rewrite and re-reads — compaction of a moved
     index must re-read, not rebase, because its content IS the parent
     snapshot. Old generations become GC-able history."""
-    root = _store_root(spark, index_name)
+    root = root or _store_root(spark, index_name)
     ptr = LocalPointerStore(root)
     for _attempt in range(max_retries):
         seq, latest = ptr.read_latest()

@@ -768,3 +768,62 @@ print(json.dumps(wins))
             assert by_seq[s]["writer"] == f"w{i}"
     # no leaked temp files (every loser cleaned up)
     assert not [f for f in os.listdir(os.path.join(root, "ptr")) if f.startswith(".tmp.")]
+
+
+@pytest.mark.slow  # cross-application lifecycle (slow tier, two extra Spark boots)
+def test_gen_store_shared_root_across_applications(spark, sf_dir, tmp_path):
+    """The multi-writer story across APPLICATIONS, not just threads: the
+    protocol keeps no in-memory state, so a build job and a maintenance
+    job in separate Spark applications (separate processes, separate
+    applicationIds) operate on one index via an explicit shared root,
+    and this session probes the result. The default app-scoped root
+    cannot express this — root= is the deployment seam."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "shared_idx")
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import index_store as gs
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+root, sf_dir, role = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .appName(f"genstore_{role}").getOrCreate())
+emb = read_table(spark, sf_dir, "embeddings")
+if role == "builder":
+    gs.gen_index_build(emb.where(F.col("vec_id") % 50 != 17), root=root)
+else:
+    gs.gen_index_append(
+        emb.where(F.col("vec_id") % 50 == 17),
+        root=root,
+        idempotency_token="xapp:b0",
+    )
+print("done", role)
+"""
+    for role in ("builder", "appender"):
+        out = subprocess.run(
+            [sys.executable, "-c", script, root, sf_dir, role],
+            capture_output=True,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr.decode()[-800:]
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    report = gs.gen_index_verify(spark, root=root)
+    assert report["consistent"] and report["actual"]["rows"] == emb.count()
+    q = emb.where(F.col("vec_id") < 10)
+    assert _rows(gs.gen_index_probe(q, k=5, root=root)) == _rows(
+        ivf_topk(emb, q, k=5)
+    )
+    # a third application's replay of the appender's delivery is caught
+    replay = gs.gen_index_append(
+        emb.where(F.col("vec_id") % 50 == 17), root=root, idempotency_token="xapp:b0"
+    )
+    assert replay["last_token"] == "xapp:b0"
+    assert [s for s, _ in gs.LocalPointerStore(root).pointers()] == [1, 2]
