@@ -62,9 +62,11 @@ from .similarity import (
     _as_double,
     _corpus_fingerprint,
     _dot,
+    _fp_core,
     _ivf_assign,
     _ivf_centroids,
     _ivf_index_path,
+    _require_posix_warehouse,
 )
 
 __all__ = [
@@ -227,6 +229,19 @@ def _store_root(spark: SparkSession, index_name: str) -> str:
     return _ivf_index_path(spark, f"{index_name}_gens")
 
 
+def _resolve_root(spark: SparkSession, index_name: str, root: str | None) -> str:
+    """Resolve the store root, applying the SAME filesystem check to an
+    explicit ``root=`` that the default path gets: this local
+    implementation's pointer store and manifest listing are os.* code,
+    so an object-store URI here would silently become a local relative
+    dir named ``s3a:`` and the index would commit empty manifests while
+    the pointer claimed the full corpus — the exact corruption the
+    chokepoint exists to refuse loudly."""
+    if root is not None:
+        return _require_posix_warehouse(root, what="the explicit root=")
+    return _store_root(spark, index_name)
+
+
 def _list_cell_files(gen_dir: str, gen_name: str) -> dict[str, list[str]]:
     """cell id -> ROOT-relative parquet paths for one freshly written
     generation. List-after-write of our own unpublished output; strongly
@@ -315,7 +330,7 @@ def gen_index_build(
     repair flow must keep replay detection armed) — sound precisely
     BECAUSE the commit refuses when a tokened append interleaves."""
     spark = corpus.sparkSession
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     ptr = LocalPointerStore(root)
     start_seq, start_latest = ptr.read_latest()
 
@@ -401,7 +416,7 @@ def gen_index_append(
     CAS attempt, so a duplicate delivery that loses a race to its twin
     discards itself instead of double-appending."""
     spark = batch.sparkSession
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     ptr = LocalPointerStore(root)
 
     # ONE budget for both loss modes — plain commit races (inner loop)
@@ -528,19 +543,16 @@ def gen_index_probe(
     from pyspark.sql import Window
 
     spark = queries.sparkSession
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     _seq, latest = LocalPointerStore(root).read_latest()
     if latest is None:
         raise FileNotFoundError(
             f"generational index '{index_name}' has no committed generation"
         )
     if expected_fingerprint is not None:
-        stored = latest["fingerprint"]
-        want = {
-            "rows": expected_fingerprint["rows"],
-            "id_xor": expected_fingerprint["id_xor"],
-        }
-        if {"rows": stored["rows"], "id_xor": stored["id_xor"]} != want:
+        stored = _fp_core(latest["fingerprint"])
+        want = _fp_core(expected_fingerprint)
+        if stored != want:
             raise ValueError(
                 f"generational index '{index_name}' does not match the "
                 f"corpus being queried: index {stored}, corpus {want} — "
@@ -611,7 +623,7 @@ def gen_index_verify(
     files) must equal the pointer's. There are no orphan/aside damage
     classes — unpointed garbage is GC's department, not an
     inconsistency. Returns {stored, actual, missing_files, consistent}."""
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     _seq, latest = LocalPointerStore(root).read_latest()
     if latest is None:
         raise FileNotFoundError(
@@ -672,27 +684,34 @@ def gen_index_gc(
     files stay bounded by ``keep_pointers`` regardless.) Size
     ``min_age_s`` above the longest staging time AND the longest
     reader-consumption lag; ``keep_pointers`` additionally retains that
-    many full history snapshots regardless of age. Concurrent sweeps
-    are safe: each tolerates the other's deletions. Returns
+    many full history snapshots regardless of age.
+
+    HISTORICAL-baseline readers (:func:`gen_index_cell_skew` reads the
+    generation of ANY surviving pointer, not just the latest) get a
+    two-part lease: generation deletion computes reachability from the
+    pointers that existed at sweep START (pre-drop), so a generation
+    whose pointer was dropped THIS sweep always survives until a later
+    sweep — and a ``.last_gc`` stamp spaces generation-deleting sweeps
+    at least ``min_age_s`` apart, so "a later sweep" is at least the
+    horizon away. A reader that picked a then-live pointer therefore
+    has ≥ ``min_age_s`` from pointer drop to data deletion. Concurrent
+    sweeps are safe: each tolerates the other's deletions. Returns
     {dropped_pointers, dropped_generations, kept_generations}."""
     import time
 
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     ptr = LocalPointerStore(root)
     ptrs = ptr.pointers()
     if not ptrs:
         return {"dropped_pointers": [], "dropped_generations": [], "kept_generations": []}
     survivors = ptrs[-keep_pointers:] if keep_pointers > 0 else ptrs[-1:]
-    dropped_ptrs = []
-    for seq, _payload in ptrs[: len(ptrs) - len(survivors)]:
-        ptr.drop(seq)
-        dropped_ptrs.append(seq)
-    ptr.sweep_tmp(min_age_s)
 
-    # reachability: every generation named in a surviving manifest's file
-    # references (an append generation references its ancestors' files)
+    # reachability FIRST, from every pointer alive at sweep start: a
+    # generation losing its pointer in this very sweep keeps its data
+    # until the next (min_age_s-spaced) sweep — the historical-reader
+    # lease above
     reachable: set[str] = set()
-    for _seq, payload in survivors:
+    for _seq, payload in ptrs:
         manifest = _read_manifest(root, payload["gen"])
         reachable.add(payload["gen"])
         reachable.add(manifest["centroids"].split("/", 1)[0])
@@ -700,12 +719,24 @@ def gen_index_gc(
             for rel in files:
                 reachable.add(rel.split("/", 1)[0])
 
+    dropped_ptrs = []
+    for seq, _payload in ptrs[: len(ptrs) - len(survivors)]:
+        ptr.drop(seq)
+        dropped_ptrs.append(seq)
+    ptr.sweep_tmp(min_age_s)
+
     now = time.time()
     # supersession bound: after the drops above, the oldest surviving
     # pointer's commit time upper-bounds when ANY unreachable generation
     # stopped being live
     superseded_bound = ptr.oldest_pointer_mtime() or now
-    readers_safe = now - superseded_bound >= min_age_s
+    stamp = os.path.join(root, "ptr", ".last_gc")
+    try:
+        last_sweep = os.path.getmtime(stamp)
+    except FileNotFoundError:
+        last_sweep = None
+    sweep_spaced = last_sweep is None or now - last_sweep >= min_age_s
+    readers_safe = (now - superseded_bound >= min_age_s) and sweep_spaced
     dropped_gens, kept = [], []
     for entry in sorted(os.listdir(root)):
         if not entry.startswith("gen-"):
@@ -723,6 +754,14 @@ def gen_index_gc(
             continue
         shutil.rmtree(gen_dir, ignore_errors=True)
         dropped_gens.append(entry)
+    # stamp sweeps that changed state (dropped pointers or deleted
+    # data): a pointer dropped at sweep N must not see its generation
+    # deleted until ≥ min_age_s later, so the drop itself starts the
+    # clock; pure no-op sweeps don't stamp, so they can't push the
+    # deletion horizon out indefinitely
+    if dropped_ptrs or dropped_gens:
+        with open(stamp, "w") as fh:
+            fh.write("")
     return {
         "dropped_pointers": dropped_ptrs,
         "dropped_generations": dropped_gens,
@@ -746,34 +785,63 @@ def gen_index_import_posix(
     switched over mid-stream still has its last delivery's replay
     detected by the new store). Commits like a build: only at the
     sequence read at the start, raising :class:`CommitConflict` if the
-    target index advanced meanwhile."""
+    target index advanced meanwhile.
+
+    The SOURCE is mutable POSIX state, so the whole read span (stored
+    fingerprint + row scan + centroids) runs under the POSIX writer
+    lock — a concurrent POSIX append landing between the fingerprint
+    read and the row scan would otherwise commit a generation holding
+    the batch's rows under a pre-batch fingerprint AND token, and the
+    producer's replay of that batch against the new store would then
+    re-append it undetected. Belt-and-braces, the copied rows' content
+    fingerprint is recomputed and must equal the stored one (catches a
+    source index that was already inconsistent — run
+    :func:`.similarity.ivf_index_verify`/``ivf_index_repair`` first)."""
+    from .similarity import _index_write_lock
     from .similarity import _ivf_index_path as _posix_path
     from .similarity import _read_fingerprint
 
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     ptr = LocalPointerStore(root)
     start_seq, start_latest = ptr.read_latest()
 
     posix = _posix_path(spark, posix_index_name)
-    stored_fp = _read_fingerprint(posix)
-    rows = spark.read.parquet(posix).select(
-        "neighbor_id", "cv", F.col("cell_id").cast("long").alias("cell_id")
-    )
-    cents = spark.read.parquet(f"{posix}__meta/centroids")
-
     gen_name = f"gen-{uuid.uuid4().hex}"
     gen_dir = os.path.join(root, gen_name)
-    _write_assigned_cells(rows, gen_dir)
-    cents.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(gen_dir, "centroids")
-    )
+    with _index_write_lock(posix):
+        stored_fp = _read_fingerprint(posix)
+        rows = spark.read.parquet(posix).select(
+            "neighbor_id", "cv", F.col("cell_id").cast("long").alias("cell_id")
+        )
+        cents = spark.read.parquet(f"{posix}__meta/centroids")
+        _write_assigned_cells(rows, gen_dir)
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(gen_dir, "centroids")
+        )
     cent_fp = _corpus_fingerprint(
         spark.read.parquet(os.path.join(gen_dir, "centroids")), "cent_id"
     )
-    fp = {"rows": stored_fp["rows"], "id_xor": stored_fp["id_xor"]}
+    fp = _fp_core(stored_fp)
+    copied = _list_cell_files(gen_dir, gen_name)
+    copied_files = [
+        os.path.join(root, rel) for fs in copied.values() for rel in fs
+    ]
+    actual_fp = (
+        _corpus_fingerprint(spark.read.parquet(*copied_files), "neighbor_id")
+        if copied_files
+        else {"rows": 0, "id_xor": 0}
+    )
+    if actual_fp != fp:
+        shutil.rmtree(gen_dir)
+        raise ValueError(
+            f"POSIX index '{posix_index_name}' content {actual_fp} does not "
+            f"match its stored fingerprint {fp} — the source is "
+            "inconsistent; run ivf_index_verify / ivf_index_repair on it "
+            "before importing"
+        )
     manifest = {
         "kind": "import",
-        "cells": _list_cell_files(gen_dir, gen_name),
+        "cells": copied,
         "fingerprint": fp,
         "centroid_fp": cent_fp,
         "centroids": f"{gen_name}/centroids",
@@ -816,7 +884,7 @@ def gen_index_cell_skew(
     manifest file lists — at scale this is parquet footers plus one tiny
     shuffle of ≤ centroid-count groups each. Feed the hot cells to
     :func:`gen_index_rebalance`."""
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     ptr = LocalPointerStore(root)
     ptrs = ptr.pointers()
     if not ptrs:
@@ -853,16 +921,24 @@ def gen_index_cell_skew(
 
     then = counts(base_payload, "rows_then")
     now = counts(latest, "rows_now")
+    # full_outer, like the POSIX audit: a cell that exists on only one
+    # side still reports — born after the baseline (rows_then NULL,
+    # growth NULL) or EMPTIED/relaid-out since it (rows_now coalesced to
+    # 0, growth 0.0); a left join driven from the live side would hide
+    # exactly the cells a rebalance drained, inflating sum(added)
     return (
-        now.join(then, "cell_id", "left")
+        now.join(then, "cell_id", "full_outer")
         .select(
             "cell_id",
             "rows_then",
-            "rows_now",
-            (F.col("rows_now") - F.coalesce(F.col("rows_then"), F.lit(0))).alias(
-                "added"
-            ),
-            (F.col("rows_now") / F.col("rows_then")).alias("growth"),
+            F.coalesce(F.col("rows_now"), F.lit(0)).alias("rows_now"),
+            (
+                F.coalesce(F.col("rows_now"), F.lit(0))
+                - F.coalesce(F.col("rows_then"), F.lit(0))
+            ).alias("added"),
+            (
+                F.coalesce(F.col("rows_now"), F.lit(0)) / F.col("rows_then")
+            ).alias("growth"),
         )
         .orderBy(F.col("growth").desc_nulls_first(), "cell_id")
     )
@@ -901,7 +977,7 @@ def gen_index_rebalance(
     parent cell ids actually split."""
     from pyspark.sql import Window
 
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     ptr = LocalPointerStore(root)
     for _attempt in range(max_retries):
         seq, latest = ptr.read_latest()
@@ -1061,7 +1137,7 @@ def gen_index_compact(
     lost race discards the rewrite and re-reads — compaction of a moved
     index must re-read, not rebase, because its content IS the parent
     snapshot. Old generations become GC-able history."""
-    root = root or _store_root(spark, index_name)
+    root = _resolve_root(spark, index_name, root)
     ptr = LocalPointerStore(root)
     for _attempt in range(max_retries):
         seq, latest = ptr.read_latest()

@@ -662,13 +662,17 @@ class UnsupportedIndexFilesystem(RuntimeError):
     dirs + conditional-put latest pointer)."""
 
 
-def _require_posix_warehouse(uri: str) -> str:
+def _require_posix_warehouse(
+    uri: str, what: str = "spark.sql.warehouse.dir"
+) -> str:
     """Enforce the stored-index filesystem contract at the single
     chokepoint every lifecycle entry point resolves paths through.
     Accepts local paths (no scheme) and ``file:`` URIs, returning the
     plain OS path; raises :class:`UnsupportedIndexFilesystem` for any
     other scheme rather than letting ``os.path.join`` silently treat
-    ``s3a://bucket/...`` as a relative local directory name."""
+    ``s3a://bucket/...`` as a relative local directory name. ``what``
+    names the offending setting in the error (the generational store
+    routes its explicit ``root=`` through here too)."""
     from urllib.parse import urlsplit
 
     scheme = urlsplit(uri).scheme
@@ -678,7 +682,7 @@ def _require_posix_warehouse(uri: str) -> str:
         return uri.removeprefix("file:")
     raise UnsupportedIndexFilesystem(
         f"stored-IVF indexes require a POSIX filesystem (atomic rename + "
-        f"O_EXCL) but spark.sql.warehouse.dir is '{uri}' (scheme "
+        f"O_EXCL) but {what} is '{uri}' (scheme "
         f"'{scheme}'). Object stores lack atomic rename and exclusive "
         f"create, so the index's crash-atomicity and single-writer "
         f"guarantees would not hold. Point the warehouse at a local/NFS "

@@ -297,8 +297,14 @@ def test_gen_compact_collapses_history_and_preserves_results(spark, sf_dir):
     assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_cpt")) == before
     assert gs.gen_index_verify(spark, "t_gen_cpt")["consistent"]
 
-    report = gs.gen_index_gc(spark, "t_gen_cpt", keep_pointers=1, min_age_s=0.0)
-    assert len(report["dropped_generations"]) >= 3  # build + 2 append gens
+    # two-phase deletion: sweep 1 drops the old pointers but KEEPS their
+    # generations (the historical-reader lease — reachability is computed
+    # pre-drop); sweep 2, spaced past the (zero) horizon, deletes them
+    sweep1 = gs.gen_index_gc(spark, "t_gen_cpt", keep_pointers=1, min_age_s=0.0)
+    assert sweep1["dropped_pointers"] and not sweep1["dropped_generations"]
+    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_cpt")) == before
+    sweep2 = gs.gen_index_gc(spark, "t_gen_cpt", keep_pointers=1, min_age_s=0.0)
+    assert len(sweep2["dropped_generations"]) >= 3  # build + 2 append gens
     assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_cpt")) == before
     assert gs.gen_index_verify(spark, "t_gen_cpt")["consistent"]
 
@@ -594,6 +600,14 @@ def test_gen_cell_skew_reports_growth_against_pointer_history(spark, sf_dir):
         split = gs.gen_index_rebalance(spark, "t_gen_skew", cells=hot)
         assert split == hot
         assert gs.gen_index_verify(spark, "t_gen_skew")["consistent"]
+        # EMPTIED cells must still report (full_outer, like the POSIX
+        # audit): the drained split parent shows rows_now=0 with
+        # negative added, not silently vanish from the report
+        post = {r["cell_id"]: r for r in gs.gen_index_cell_skew(spark, "t_gen_skew").collect()}
+        drained = post[hot[0]]
+        assert drained["rows_now"] == 0
+        assert drained["added"] == -(drained["rows_then"])
+        assert drained["growth"] == 0.0
 
     # explicit baseline: skew vs the LATEST pointer is all-zero added
     seqs = [s for s, _ in gs.LocalPointerStore(gs._store_root(spark, "t_gen_skew")).pointers()]
@@ -827,3 +841,21 @@ print("done", role)
     )
     assert replay["last_token"] == "xapp:b0"
     assert [s for s, _ in gs.LocalPointerStore(root).pointers()] == [1, 2]
+
+
+def test_gen_explicit_root_refuses_object_store_uri(spark, sf_dir):
+    """root= must get the SAME filesystem check as the default path:
+    this local implementation's pointer store and manifest listing are
+    os.* code, so an s3a:// root would silently commit empty manifests
+    under a full-corpus fingerprint instead of refusing."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        UnsupportedIndexFilesystem,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with pytest.raises(UnsupportedIndexFilesystem, match="atomic rename"):
+        gs.gen_index_build(emb, root="s3a://bucket/shared_idx")
+    with pytest.raises(UnsupportedIndexFilesystem, match="atomic rename"):
+        gs.gen_index_verify(spark, root="gs://bucket/shared_idx")
+    # a local explicit root still resolves untouched
+    assert gs._resolve_root(spark, "x", "/tmp/local_idx") == "/tmp/local_idx"
