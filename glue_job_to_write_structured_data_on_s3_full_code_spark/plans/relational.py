@@ -125,7 +125,13 @@ GROUP BY l_returnflag, l_linestatus
 
 def regional_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-way join (reference J1 star enrichment,
-    FULL.py:411-475): fact shuffles once for the agg, every dim broadcast."""
+    FULL.py:411-475). Broadcast hints go ONLY on the true dimensions
+    (supplier/nation/region — bounded or sub-linear in SF); `orders` and
+    `customer` are fact-sized (~1.5B / ~150M rows at the 100 TB target),
+    so forcing them into a broadcast exchange would OOM the driver at
+    scale. AQE picks shuffle-hash vs broadcast for those two by the
+    MEASURED post-filter size, which is the plan that survives a 100×
+    scale-up unchanged."""
     tune(spark)
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders").where(
@@ -140,8 +146,8 @@ def regional_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(27,6)"
     )
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
               (li.l_suppkey == supplier.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)

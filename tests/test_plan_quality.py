@@ -667,3 +667,34 @@ def test_drift_psi_single_scan_bounded_exchanges(spark, sf_dir, queries):
         "partial" in plan[first_exchange:]
     )
     assert partial_before, plan
+
+
+def test_regional_revenue_broadcasts_dims_only(spark, sf_dir, queries):
+    """The Q5-shaped star must hint broadcasts ONLY on the true dims
+    (supplier/nation/region); `orders` and `customer` are fact-sized at
+    the 100 TB target (~1.5B / ~150M rows), so a forced broadcast there
+    is a driver-OOM scale-killer. Pin it by disabling size-based auto
+    broadcast: whatever still broadcasts under threshold=-1 is exactly
+    the hinted set, and the fact joins must fall back to a shuffled
+    strategy instead of a BroadcastExchange."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["regional_revenue_join"](spark, sf_dir)
+        # simple mode: each join node prints once (formatted doubles them
+        # in the detail section)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    # hinted dims: supplier, nation, region — exactly 3 broadcast joins
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    # lineitem⋈orders and ⋈customer take a shuffled strategy when size
+    # estimates say they must (AQE may still localize them at runtime
+    # when the MEASURED size allows — that is the point)
+    assert (
+        plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2
+    ), plan
