@@ -72,6 +72,7 @@ from .similarity import (
 __all__ = [
     "CommitConflict",
     "LocalPointerStore",
+    "InMemoryPointerStore",
     "gen_index_build",
     "gen_index_append",
     "gen_index_cell_skew",
@@ -128,15 +129,23 @@ class LocalPointerStore:
             return None
 
     def read_latest(self) -> tuple[int | None, dict | None]:
-        best: tuple[int, str] | None = None
-        for fname in os.listdir(self._dir):
-            seq = self._seq_of(fname)
-            if seq is not None and (best is None or seq > best[0]):
-                best = (seq, fname)
-        if best is None:
-            return None, None
-        with open(os.path.join(self._dir, best[1])) as fh:
-            return best[0], json.load(fh)
+        while True:
+            best: tuple[int, str] | None = None
+            for fname in os.listdir(self._dir):
+                seq = self._seq_of(fname)
+                if seq is not None and (best is None or seq > best[0]):
+                    best = (seq, fname)
+            if best is None:
+                return None, None
+            try:
+                with open(os.path.join(self._dir, best[1])) as fh:
+                    return best[0], json.load(fh)
+            except FileNotFoundError:
+                # a concurrent GC dropped the listed pointer between the
+                # listdir and the open (its keep_pointers window moved) —
+                # re-list, same tolerance pointers() already has; the
+                # sweep keeps newer sequences, so this terminates
+                continue
 
     def try_commit(self, seq: int, payload: dict) -> bool:
         tmp = os.path.join(self._dir, f".tmp.{uuid.uuid4().hex}")
@@ -207,6 +216,131 @@ class LocalPointerStore:
             os.unlink(os.path.join(self._dir, f"LATEST.{seq}"))
         except FileNotFoundError:
             pass
+
+
+class _AmbiguousPutResponse(RuntimeError):
+    """The store accepted the write but the RESPONSE was lost — the
+    object-store failure mode (S3 5xx/timeout after a conditional PUT
+    may mean either outcome). Internal to :class:`InMemoryPointerStore`'s
+    fault injection; a real client never sees it escape try_commit."""
+
+
+class InMemoryPointerStore:
+    """The documented S3 conditional-PUT backend, emulated in memory —
+    the drop-in seam's second implementation and its fault harness.
+
+    Honors exactly the :class:`LocalPointerStore` contract (read_latest /
+    try_commit / pointers / oldest_pointer_mtime / sweep_tmp / drop) but
+    over a key→object map whose only write primitive is
+    ``_put_if_absent`` — a ``PUT ptr/LATEST.<seq>`` with
+    ``If-None-Match: *``: at most one concurrent caller per sequence
+    succeeds, and a reader never sees a torn body. Two injectable
+    object-store faults:
+
+    - :meth:`inject_race` — a hook fired inside the next try_commit
+      BEFORE its conditional PUT, so a competing commit can take the
+      sequence in the widest possible window (listing said free, PUT
+      finds taken). The caller must lose cleanly and rebase/retry.
+    - :meth:`inject_lost_responses` — the next N conditional PUTs LAND
+      but their responses are lost (S3 ambiguous 5xx). try_commit
+      disambiguates by read-back: each attempt's payload names a
+      freshly minted ``gen-<uuid>`` so body equality means "that was my
+      PUT" — commit reports True exactly once, never double-commits,
+      never falsely loses. This is the retry contract a real S3 client
+      must implement around HTTP, here made testable.
+
+    Single-process by nature (it IS memory); the cross-process CAS
+    guarantee is the local store's department
+    (test_pointer_cas_exactly_once_across_processes).
+    """
+
+    def __init__(self):
+        import threading
+        import time as _time
+
+        self._time = _time
+        self._lock = threading.Lock()
+        self._objects: dict[int, str] = {}
+        self._mtimes: dict[int, float] = {}
+        self._lost_responses = 0
+        self._pre_put_hooks: list = []
+
+    # --- fault injection (tests only; no-ops unless armed) -------------
+    def inject_race(self, hook) -> None:
+        """Arm ``hook(store, seq)`` to run inside the next try_commit,
+        after the caller chose ``seq`` but before its conditional PUT."""
+        self._pre_put_hooks.append(hook)
+
+    def inject_lost_responses(self, n: int = 1) -> None:
+        """The next ``n`` successful conditional PUTs raise an ambiguous
+        error AFTER persisting — the write landed, the response didn't."""
+        self._lost_responses += n
+
+    # --- the raw store primitive ---------------------------------------
+    def _put_if_absent(self, seq: int, body: str) -> bool:
+        with self._lock:
+            if seq in self._objects:
+                return False  # 412 Precondition Failed
+            self._objects[seq] = body
+            self._mtimes[seq] = self._time.time()
+            if self._lost_responses > 0:
+                self._lost_responses -= 1
+                raise _AmbiguousPutResponse(
+                    f"response for PUT LATEST.{seq} lost after the write"
+                )
+            return True
+
+    # --- the PointerStore contract --------------------------------------
+    def read_latest(self) -> tuple[int | None, dict | None]:
+        with self._lock:
+            if not self._objects:
+                return None, None
+            seq = max(self._objects)
+            return seq, json.loads(self._objects[seq])
+
+    def try_commit(self, seq: int, payload: dict) -> bool:
+        while self._pre_put_hooks:
+            self._pre_put_hooks.pop(0)(self, seq)
+        body = json.dumps(payload)
+        try:
+            return self._put_if_absent(seq, body)
+        except _AmbiguousPutResponse:
+            # the PUT may or may not have landed; the retry would see 412
+            # either way, so read back and compare — payload bodies are
+            # writer-unique (each attempt stages a fresh gen-<uuid>)
+            with self._lock:
+                return self._objects.get(seq) == body
+
+    def pointers(self) -> list[tuple[int, dict]]:
+        with self._lock:
+            return [
+                (seq, json.loads(self._objects[seq]))
+                for seq in sorted(self._objects)
+            ]
+
+    def oldest_pointer_mtime(self) -> float | None:
+        with self._lock:
+            return min(self._mtimes.values()) if self._mtimes else None
+
+    def sweep_tmp(self, min_age_s: float) -> int:
+        return 0  # conditional PUT leaves no temp objects to leak
+
+    def drop(self, seq: int) -> None:
+        with self._lock:
+            self._objects.pop(seq, None)
+            self._mtimes.pop(seq, None)
+
+
+def _store_for(root: str, store=None):
+    """THE injection seam: every lifecycle entry point resolves its
+    pointer backend here and nowhere else. ``store=None`` (production
+    local default) → :class:`LocalPointerStore` on ``root``; an explicit
+    ``store`` (an S3 conditional-PUT client, the in-memory fake, …) is
+    used as-is — no call site names a concrete class, so an object-store
+    deployment changes ONE argument, not ten functions."""
+    if store is not None:
+        return store
+    return LocalPointerStore(root)
 
 
 def _store_root(spark: SparkSession, index_name: str) -> str:
@@ -309,6 +443,7 @@ def gen_index_build(
     max_centroids: int = 256,
     index_name: str = "gen_ivf",
     root: str | None = None,
+    store=None,
 ) -> dict:
     """Build (or rebuild) a generational IVF index: one assignment pass
     lands a complete generation, then ONE pointer create publishes it.
@@ -331,7 +466,7 @@ def gen_index_build(
     BECAUSE the commit refuses when a tokened append interleaves."""
     spark = corpus.sparkSession
     root = _resolve_root(spark, index_name, root)
-    ptr = LocalPointerStore(root)
+    ptr = _store_for(root, store)
     start_seq, start_latest = ptr.read_latest()
 
     cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
@@ -401,6 +536,7 @@ def gen_index_append(
     idempotency_token: str | int | None = None,
     max_retries: int = 5,
     root: str | None = None,
+    store=None,
 ) -> dict:
     """O(|batch|) append with optimistic concurrency. The batch is
     assigned against the latest generation's FROZEN centroids and lands
@@ -417,7 +553,7 @@ def gen_index_append(
     discards itself instead of double-appending."""
     spark = batch.sparkSession
     root = _resolve_root(spark, index_name, root)
-    ptr = LocalPointerStore(root)
+    ptr = _store_for(root, store)
 
     # ONE budget for both loss modes — plain commit races (inner loop)
     # and centroid-churn restages (outer loop) — so CommitConflict's
@@ -532,6 +668,7 @@ def gen_index_probe(
     index_name: str = "gen_ivf",
     expected_fingerprint: dict | None = None,
     root: str | None = None,
+    store=None,
 ) -> DataFrame:
     """Serve top-k from the pointed generation. One pointer read pins the
     ENTIRE snapshot (manifest + files are immutable), so a probe can
@@ -544,7 +681,7 @@ def gen_index_probe(
 
     spark = queries.sparkSession
     root = _resolve_root(spark, index_name, root)
-    _seq, latest = LocalPointerStore(root).read_latest()
+    _seq, latest = _store_for(root, store).read_latest()
     if latest is None:
         raise FileNotFoundError(
             f"generational index '{index_name}' has no committed generation"
@@ -570,14 +707,19 @@ def gen_index_probe(
         "qv",
         keep=nprobe,
     )
-    # ONE execution of the assignment job: the collected rows both name
-    # the probed cells (manifest pruning needs them on the driver) and
-    # rebuild the broadcast side below — re-using the lazy plan in the
-    # join would run the queries×centroids scoring a second time.
-    # Bounded: ≤ nprobe × |queries| rows (the serving shortlist shape).
-    q_rows = q_plan.collect()
-    probed = sorted({str(r["cent_id"]) for r in q_rows})
-    q = spark.createDataFrame(q_rows, q_plan.schema)
+    # ONE execution of the assignment job, but only the DISTINCT probed
+    # cell ids ever reach the driver (≤ centroid-count rows, ≤
+    # max_centroids — bounded regardless of |queries|, so a recall sweep
+    # probing with the whole corpus cannot OOM the driver here). The
+    # eager lineage break materializes the assignment once; the join
+    # below broadcasts the materialized frame instead of re-running the
+    # queries×centroids scoring.
+    from ..session import eager_checkpoint
+
+    q = eager_checkpoint(q_plan, "gen_probe_assignment")
+    probed = sorted(
+        str(r["cent_id"]) for r in q.select("cent_id").distinct().collect()
+    )
     index = _probe_files(spark, root, manifest, probed)
     if index is None:
         return spark.createDataFrame(
@@ -616,7 +758,10 @@ def gen_index_probe(
 
 
 def gen_index_verify(
-    spark: SparkSession, index_name: str = "gen_ivf", root: str | None = None
+    spark: SparkSession,
+    index_name: str = "gen_ivf",
+    root: str | None = None,
+    store=None,
 ) -> dict:
     """Audit the POINTED generation: every manifest file must exist, and
     the content fingerprint (count + id-hash XOR over the manifest's
@@ -624,7 +769,7 @@ def gen_index_verify(
     classes — unpointed garbage is GC's department, not an
     inconsistency. Returns {stored, actual, missing_files, consistent}."""
     root = _resolve_root(spark, index_name, root)
-    _seq, latest = LocalPointerStore(root).read_latest()
+    _seq, latest = _store_for(root, store).read_latest()
     if latest is None:
         raise FileNotFoundError(
             f"generational index '{index_name}' has no committed generation"
@@ -661,6 +806,7 @@ def gen_index_gc(
     keep_pointers: int = 2,
     min_age_s: float = 3600.0,
     root: str | None = None,
+    store=None,
 ) -> dict:
     """Garbage-collect unreachable state: pointer files below the newest
     ``keep_pointers`` sequences, then any generation directory no
@@ -700,7 +846,7 @@ def gen_index_gc(
     import time
 
     root = _resolve_root(spark, index_name, root)
-    ptr = LocalPointerStore(root)
+    ptr = _store_for(root, store)
     ptrs = ptr.pointers()
     if not ptrs:
         return {"dropped_pointers": [], "dropped_generations": [], "kept_generations": []}
@@ -760,6 +906,10 @@ def gen_index_gc(
     # clock; pure no-op sweeps don't stamp, so they can't push the
     # deletion horizon out indefinitely
     if dropped_ptrs or dropped_gens:
+        # the stamp is DATA-side bookkeeping (it spaces generation
+        # deletion sweeps), so it lives next to the generations even when
+        # the pointer backend is not the local one
+        os.makedirs(os.path.dirname(stamp), exist_ok=True)
         with open(stamp, "w") as fh:
             fh.write("")
     return {
@@ -774,6 +924,7 @@ def gen_index_import_posix(
     posix_index_name: str = "ivf_index",
     index_name: str = "gen_ivf",
     root: str | None = None,
+    store=None,
 ) -> dict:
     """Migrate a POSIX-store IVF index into the generational protocol —
     the deployment step when an index built under the rename/lock
@@ -802,7 +953,7 @@ def gen_index_import_posix(
     from .similarity import _read_fingerprint
 
     root = _resolve_root(spark, index_name, root)
-    ptr = LocalPointerStore(root)
+    ptr = _store_for(root, store)
     start_seq, start_latest = ptr.read_latest()
 
     posix = _posix_path(spark, posix_index_name)
@@ -872,6 +1023,7 @@ def gen_index_cell_skew(
     index_name: str = "gen_ivf",
     baseline_seq: int | None = None,
     root: str | None = None,
+    store=None,
 ) -> DataFrame:
     """Per-cell drift report for a generational index — the analog of
     :func:`.similarity.ivf_cell_skew_audit`, except the BASELINE is not
@@ -885,7 +1037,7 @@ def gen_index_cell_skew(
     shuffle of ≤ centroid-count groups each. Feed the hot cells to
     :func:`gen_index_rebalance`."""
     root = _resolve_root(spark, index_name, root)
-    ptr = LocalPointerStore(root)
+    ptr = _store_for(root, store)
     ptrs = ptr.pointers()
     if not ptrs:
         raise FileNotFoundError(
@@ -952,6 +1104,7 @@ def gen_index_rebalance(
     factor: int = 2,
     max_retries: int = 5,
     root: str | None = None,
+    store=None,
 ) -> list[int]:
     """Split hot cells into ``factor`` sub-cells, as a generational
     commit. Selection and refinement semantics MIRROR
@@ -978,7 +1131,7 @@ def gen_index_rebalance(
     from pyspark.sql import Window
 
     root = _resolve_root(spark, index_name, root)
-    ptr = LocalPointerStore(root)
+    ptr = _store_for(root, store)
     for _attempt in range(max_retries):
         seq, latest = ptr.read_latest()
         if latest is None:
@@ -1128,6 +1281,7 @@ def gen_index_compact(
     index_name: str = "gen_ivf",
     max_retries: int = 5,
     root: str | None = None,
+    store=None,
 ) -> dict:
     """Rewrite the live index into ONE self-contained generation (appends
     accrete one file-set per batch per touched cell; probes of a
@@ -1138,7 +1292,7 @@ def gen_index_compact(
     index must re-read, not rebase, because its content IS the parent
     snapshot. Old generations become GC-able history."""
     root = _resolve_root(spark, index_name, root)
-    ptr = LocalPointerStore(root)
+    ptr = _store_for(root, store)
     for _attempt in range(max_retries):
         seq, latest = ptr.read_latest()
         if latest is None:

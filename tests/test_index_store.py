@@ -22,25 +22,71 @@ def _rows(df):
 
 def _ptrs(spark, name):
     root = gs._store_root(spark, name)
-    return gs.LocalPointerStore(root).pointers()
+    return gs._store_for(root).pointers()
+
+
+class _Backend:
+    def __init__(self, name, cls):
+        self.name, self.cls = name, cls
+
+    def nm(self, index_name: str) -> str:
+        """Backend-suffixed index name: the two param runs of one test
+        must not share a store root."""
+        return f"{index_name}_{self.name}"
+
+
+@pytest.fixture(scope="module", params=["local", "memory"])
+def pointer_backend(request):
+    """Runs the lifecycle suite against BOTH pointer backends. 'local'
+    is the production default (seam untouched). 'memory' repoints the
+    `_store_for` seam at a per-root InMemoryPointerStore — the
+    conditional-PUT emulation of the documented S3 backend. Every
+    lifecycle call site must resolve its store through the seam for the
+    memory run to pass, which is exactly the drop-in property this
+    parametrization pins (a call site naming LocalPointerStore directly
+    would keep committing to disk and the memory run would see no
+    pointers)."""
+    if request.param == "local":
+        yield _Backend("local", gs.LocalPointerStore)
+        return
+    stores: dict = {}
+    orig = gs._store_for
+
+    def seam(root, store=None):
+        if store is not None:
+            return store
+        return stores.setdefault(root, gs.InMemoryPointerStore())
+
+    gs._store_for = seam
+    try:
+        yield _Backend("memory", gs.InMemoryPointerStore)
+    finally:
+        gs._store_for = orig
+
+
+@pytest.fixture
+def nm(pointer_backend):
+    return pointer_backend.nm
 
 
 @pytest.fixture(scope="module")
-def gen_shared(spark, sf_dir):
-    """One shared build for the read-only core tests (probe identity,
-    pointer shape, fingerprint guard) — mutation tests build their own."""
+def gen_shared(spark, sf_dir, pointer_backend):
+    """One shared build PER BACKEND for the read-only core tests (probe
+    identity, pointer shape, fingerprint guard) — mutation tests build
+    their own. Yields (emb, payload, index_name)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    payload = gs.gen_index_build(emb, index_name="t_gen_shared")
-    return emb, payload
+    idx = pointer_backend.nm("t_gen_shared")
+    payload = gs.gen_index_build(emb, index_name=idx)
+    return emb, payload, idx
 
 
 def test_gen_build_probe_matches_in_memory_ivf(spark, gen_shared):
     """The generational probe must be row-identical to ivf_topk on the
     same corpus — same centroid rule, assignment tie-breaks, cosine
     rounding, and rank ordering."""
-    emb, _payload = gen_shared
+    emb, _payload, idx = gen_shared
     q = emb.where(F.col("vec_id") < 10)
-    got = _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_shared"))
+    got = _rows(gs.gen_index_probe(q, k=5, index_name=idx))
     want = _rows(ivf_topk(emb, q, k=5))
     assert got == want and len(got) > 0
 
@@ -48,27 +94,27 @@ def test_gen_build_probe_matches_in_memory_ivf(spark, gen_shared):
 def test_gen_commit_is_one_pointer_create(spark, gen_shared):
     """Publishing = exactly one new LATEST.<seq> object; the generation
     itself is immutable and complete before the pointer exists."""
-    _emb, payload = gen_shared
-    ptrs = _ptrs(spark, "t_gen_shared")
+    _emb, payload, idx = gen_shared
+    ptrs = _ptrs(spark, idx)
     assert [seq for seq, _ in ptrs] == [1]
     assert ptrs[0][1]["gen"] == payload["gen"]
-    root = gs._store_root(spark, "t_gen_shared")
+    root = gs._store_root(spark, idx)
     manifest = gs._read_manifest(root, payload["gen"])
     # every manifest file lives inside the committed generation
     assert all(rel.startswith(payload["gen"] + "/") for files in manifest["cells"].values() for rel in files)
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
-def test_gen_append_references_parent_files(spark, sf_dir):
+def test_gen_append_references_parent_files(spark, sf_dir, pointer_backend, nm):
     """An append generation holds ONLY the batch's files; untouched
     parent files are REFERENCED by manifest, not copied — the O(|batch|)
     property. Probe afterwards equals ivf_topk on base ∪ batch."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
-    built = gs.gen_index_build(base, index_name="t_gen_app")
-    appended = gs.gen_index_append(batch, index_name="t_gen_app")
-    root = gs._store_root(spark, "t_gen_app")
+    built = gs.gen_index_build(base, index_name=nm("t_gen_app"))
+    appended = gs.gen_index_append(batch, index_name=nm("t_gen_app"))
+    root = gs._store_root(spark, nm("t_gen_app"))
     manifest = gs._read_manifest(root, appended["gen"])
     gens_used = {rel.split("/", 1)[0] for files in manifest["cells"].values() for rel in files}
     assert built["gen"] in gens_used and appended["gen"] in gens_used
@@ -78,30 +124,30 @@ def test_gen_append_references_parent_files(spark, sf_dir):
     got_rows = spark.read.parquet(*[os.path.join(root, rel) for rel in own])
     assert got_rows.count() == n_batch
     q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_app")) == _rows(
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_app"))) == _rows(
         ivf_topk(emb, q, k=5)
     )
-    assert gs.gen_index_verify(spark, "t_gen_app")["consistent"]
+    assert gs.gen_index_verify(spark, nm("t_gen_app"))["consistent"]
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
-def test_gen_idempotency_token_skips_replay(spark, sf_dir):
+def test_gen_idempotency_token_skips_replay(spark, sf_dir, pointer_backend, nm):
     """A replayed delivery (same token) must not advance the pointer or
     re-append rows — foreachBatch's at-least-once becomes exactly-once."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
-    gs.gen_index_build(base, index_name="t_gen_tok")
-    first = gs.gen_index_append(batch, index_name="t_gen_tok", idempotency_token="ck:b0")
-    n_ptrs = len(_ptrs(spark, "t_gen_tok"))
-    replay = gs.gen_index_append(batch, index_name="t_gen_tok", idempotency_token="ck:b0")
+    gs.gen_index_build(base, index_name=nm("t_gen_tok"))
+    first = gs.gen_index_append(batch, index_name=nm("t_gen_tok"), idempotency_token="ck:b0")
+    n_ptrs = len(_ptrs(spark, nm("t_gen_tok")))
+    replay = gs.gen_index_append(batch, index_name=nm("t_gen_tok"), idempotency_token="ck:b0")
     assert replay == first
-    assert len(_ptrs(spark, "t_gen_tok")) == n_ptrs
-    assert gs.gen_index_verify(spark, "t_gen_tok")["consistent"]
+    assert len(_ptrs(spark, nm("t_gen_tok"))) == n_ptrs
+    assert gs.gen_index_verify(spark, nm("t_gen_tok"))["consistent"]
 
 
 def test_gen_probe_fingerprint_mismatch_raises(spark, gen_shared):
-    emb, _payload = gen_shared
+    emb, _payload, idx = gen_shared
     from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
         _corpus_fingerprint,
     )
@@ -112,32 +158,32 @@ def test_gen_probe_fingerprint_mismatch_raises(spark, gen_shared):
         gs.gen_index_probe(
             emb.where(F.col("vec_id") < 5),
             k=5,
-            index_name="t_gen_shared",
+            index_name=idx,
             expected_fingerprint=wrong,
         )
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
-def test_gen_gc_respects_age_horizon(spark, sf_dir):
+def test_gen_gc_respects_age_horizon(spark, sf_dir, pointer_backend, nm):
     """An unpointed generation younger than min_age_s is a possibly-
     staging writer and must survive the sweep; with the horizon at 0 it
     is crash residue and goes."""
     emb = read_table(spark, sf_dir, "embeddings")
-    gs.gen_index_build(emb.where(F.col("vec_id") < 500), index_name="t_gen_gc")
-    root = gs._store_root(spark, "t_gen_gc")
+    gs.gen_index_build(emb.where(F.col("vec_id") < 500), index_name=nm("t_gen_gc"))
+    root = gs._store_root(spark, nm("t_gen_gc"))
     orphan = os.path.join(root, "gen-deadbeef")
     os.makedirs(os.path.join(orphan, "cells"))
     with open(os.path.join(orphan, "manifest.json"), "w") as fh:
         json.dump({"cells": {}}, fh)
-    kept = gs.gen_index_gc(spark, "t_gen_gc", min_age_s=3600.0)
+    kept = gs.gen_index_gc(spark, nm("t_gen_gc"), min_age_s=3600.0)
     assert "gen-deadbeef" in kept["kept_generations"]
-    swept = gs.gen_index_gc(spark, "t_gen_gc", min_age_s=0.0)
+    swept = gs.gen_index_gc(spark, nm("t_gen_gc"), min_age_s=0.0)
     assert "gen-deadbeef" in swept["dropped_generations"]
     assert not os.path.exists(orphan)
 
 
 @pytest.mark.slow  # crash-injection lifecycle test (slow tier)
-def test_gen_crash_before_commit_is_invisible_and_gc_sweeps(spark, sf_dir):
+def test_gen_crash_before_commit_is_invisible_and_gc_sweeps(spark, sf_dir, pointer_backend, nm):
     """Kill the writer AFTER its generation is fully staged but BEFORE
     the pointer create: the index serves the old snapshot unchanged
     (there is no publish window to crash inside), verify stays
@@ -145,46 +191,46 @@ def test_gen_crash_before_commit_is_invisible_and_gc_sweeps(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
-    gs.gen_index_build(base, index_name="t_gen_crash")
+    gs.gen_index_build(base, index_name=nm("t_gen_crash"))
     before = _rows(
         gs.gen_index_probe(
-            emb.where(F.col("vec_id") < 10), k=5, index_name="t_gen_crash"
+            emb.where(F.col("vec_id") < 10), k=5, index_name=nm("t_gen_crash")
         )
     )
 
-    real = gs.LocalPointerStore.try_commit
+    real = pointer_backend.cls.try_commit
 
     def dying(self, seq, payload):
         raise OSError("simulated process kill before pointer create")
 
-    gs.LocalPointerStore.try_commit = dying
+    pointer_backend.cls.try_commit = dying
     try:
         with pytest.raises(OSError, match="simulated process kill"):
-            gs.gen_index_append(batch, index_name="t_gen_crash")
+            gs.gen_index_append(batch, index_name=nm("t_gen_crash"))
     finally:
-        gs.LocalPointerStore.try_commit = real
+        pointer_backend.cls.try_commit = real
 
     # the crash is INVISIBLE to readers: same pointer, same results
-    assert len(_ptrs(spark, "t_gen_crash")) == 1
+    assert len(_ptrs(spark, nm("t_gen_crash"))) == 1
     after = _rows(
         gs.gen_index_probe(
-            emb.where(F.col("vec_id") < 10), k=5, index_name="t_gen_crash"
+            emb.where(F.col("vec_id") < 10), k=5, index_name=nm("t_gen_crash")
         )
     )
     assert after == before
-    assert gs.gen_index_verify(spark, "t_gen_crash")["consistent"]
-    report = gs.gen_index_gc(spark, "t_gen_crash", min_age_s=0.0)
+    assert gs.gen_index_verify(spark, nm("t_gen_crash"))["consistent"]
+    report = gs.gen_index_gc(spark, nm("t_gen_crash"), min_age_s=0.0)
     assert len(report["dropped_generations"]) == 1  # the orphan staging gen
     # and the real append still lands afterwards
-    gs.gen_index_append(batch, index_name="t_gen_crash")
+    gs.gen_index_append(batch, index_name=nm("t_gen_crash"))
     q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_crash")) == _rows(
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_crash"))) == _rows(
         ivf_topk(emb, q, k=5)
     )
 
 
 @pytest.mark.slow  # concurrency lifecycle test (slow tier)
-def test_gen_concurrent_appends_rebase_not_lost(spark, sf_dir):
+def test_gen_concurrent_appends_rebase_not_lost(spark, sf_dir, pointer_backend, nm):
     """Two appends racing one index: the loser of the pointer CAS must
     REBASE (recompose its manifest against the winner) and commit at the
     next sequence — both batches land exactly once, no lock anywhere.
@@ -195,40 +241,40 @@ def test_gen_concurrent_appends_rebase_not_lost(spark, sf_dir):
     b_a = emb.where(F.col("vec_id") % 150 == 17)
     b_b = emb.where(F.col("vec_id") % 150 == 67)
     rest = emb.where(F.col("vec_id") % 150 == 117)
-    gs.gen_index_build(emb.subtract(b_a).subtract(b_b).subtract(rest), index_name="t_gen_race")
-    gs.gen_index_append(rest, index_name="t_gen_race")
+    gs.gen_index_build(emb.subtract(b_a).subtract(b_b).subtract(rest), index_name=nm("t_gen_race"))
+    gs.gen_index_append(rest, index_name=nm("t_gen_race"))
 
-    real = gs.LocalPointerStore.try_commit
+    real = pointer_backend.cls.try_commit
     state = {"interposed": False}
 
     def racing(self, seq, payload):
         if not state["interposed"]:
             state["interposed"] = True
-            gs.LocalPointerStore.try_commit = real
+            pointer_backend.cls.try_commit = real
             try:
-                gs.gen_index_append(b_b, index_name="t_gen_race")  # B wins
+                gs.gen_index_append(b_b, index_name=nm("t_gen_race"))  # B wins
             finally:
-                gs.LocalPointerStore.try_commit = racing
+                pointer_backend.cls.try_commit = racing
         return real(self, seq, payload)
 
-    gs.LocalPointerStore.try_commit = racing
+    pointer_backend.cls.try_commit = racing
     try:
-        gs.gen_index_append(b_a, index_name="t_gen_race")  # A rebases
+        gs.gen_index_append(b_a, index_name=nm("t_gen_race"))  # A rebases
     finally:
-        gs.LocalPointerStore.try_commit = real
+        pointer_backend.cls.try_commit = real
 
     assert state["interposed"], "the race was never exercised"
-    report = gs.gen_index_verify(spark, "t_gen_race")
+    report = gs.gen_index_verify(spark, nm("t_gen_race"))
     assert report["consistent"]
     assert report["actual"]["rows"] == emb.count()
     q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_race")) == _rows(
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_race"))) == _rows(
         ivf_topk(emb, q, k=5)
     )
 
 
 @pytest.mark.slow  # concurrency lifecycle test (slow tier)
-def test_gen_append_restages_when_centroids_move(spark, sf_dir):
+def test_gen_append_restages_when_centroids_move(spark, sf_dir, pointer_backend, nm):
     """If a REBUILD with a different centroid set wins the race while an
     append is staged, the staged assignment points at dead cells — the
     append must throw it away and restage against the new centroids,
@@ -236,81 +282,81 @@ def test_gen_append_restages_when_centroids_move(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
-    gs.gen_index_build(base, index_name="t_gen_restage", centroid_mod=50)
+    gs.gen_index_build(base, index_name=nm("t_gen_restage"), centroid_mod=50)
 
-    real = gs.LocalPointerStore.try_commit
+    real = pointer_backend.cls.try_commit
     state = {"interposed": False}
 
     def rebuilding(self, seq, payload):
         if not state["interposed"]:
             state["interposed"] = True
-            gs.LocalPointerStore.try_commit = real
+            pointer_backend.cls.try_commit = real
             try:
                 # different centroid rule -> different centroid_fp
-                gs.gen_index_build(base, index_name="t_gen_restage", centroid_mod=25)
+                gs.gen_index_build(base, index_name=nm("t_gen_restage"), centroid_mod=25)
             finally:
-                gs.LocalPointerStore.try_commit = rebuilding
+                pointer_backend.cls.try_commit = rebuilding
         return real(self, seq, payload)
 
-    gs.LocalPointerStore.try_commit = rebuilding
+    pointer_backend.cls.try_commit = rebuilding
     try:
-        gs.gen_index_append(batch, index_name="t_gen_restage")
+        gs.gen_index_append(batch, index_name=nm("t_gen_restage"))
     finally:
-        gs.LocalPointerStore.try_commit = real
+        pointer_backend.cls.try_commit = real
 
     assert state["interposed"]
-    report = gs.gen_index_verify(spark, "t_gen_restage")
+    report = gs.gen_index_verify(spark, nm("t_gen_restage"))
     assert report["consistent"]
     assert report["actual"]["rows"] == emb.count()
     # and the batch is assigned against the REBUILT (mod=25) centroids:
     # the probe with the same corpus matches the mod=25 in-memory IVF
     q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_restage")) == _rows(
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_restage"))) == _rows(
         ivf_topk(emb, q, k=5, centroid_mod=25)
     )
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
-def test_gen_compact_collapses_history_and_preserves_results(spark, sf_dir):
+def test_gen_compact_collapses_history_and_preserves_results(spark, sf_dir, pointer_backend, nm):
     """After appends accrete per-batch file sets, compaction rewrites the
     live index into ONE self-contained generation: same fingerprint,
     same probe rows, manifest references a single generation; the
     superseded history is GC-able and the probe still serves after GC."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
-    gs.gen_index_build(base, index_name="t_gen_cpt")
+    gs.gen_index_build(base, index_name=nm("t_gen_cpt"))
     gs.gen_index_append(
-        emb.where(F.col("vec_id") % 150 == 17), index_name="t_gen_cpt"
+        emb.where(F.col("vec_id") % 150 == 17), index_name=nm("t_gen_cpt")
     )
     gs.gen_index_append(
         emb.where((F.col("vec_id") % 150 == 67) | (F.col("vec_id") % 150 == 117)),
-        index_name="t_gen_cpt",
+        index_name=nm("t_gen_cpt"),
     )
     q = emb.where(F.col("vec_id") < 10)
-    before = _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_cpt"))
+    before = _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_cpt")))
 
-    compacted = gs.gen_index_compact(spark, "t_gen_cpt")
-    root = gs._store_root(spark, "t_gen_cpt")
+    compacted = gs.gen_index_compact(spark, nm("t_gen_cpt"))
+    root = gs._store_root(spark, nm("t_gen_cpt"))
     manifest = gs._read_manifest(root, compacted["gen"])
     gens_used = {rel.split("/", 1)[0] for files in manifest["cells"].values() for rel in files}
     assert gens_used == {compacted["gen"]}
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_cpt")) == before
-    assert gs.gen_index_verify(spark, "t_gen_cpt")["consistent"]
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_cpt"))) == before
+    assert gs.gen_index_verify(spark, nm("t_gen_cpt"))["consistent"]
 
     # two-phase deletion: sweep 1 drops the old pointers but KEEPS their
     # generations (the historical-reader lease — reachability is computed
     # pre-drop); sweep 2, spaced past the (zero) horizon, deletes them
-    sweep1 = gs.gen_index_gc(spark, "t_gen_cpt", keep_pointers=1, min_age_s=0.0)
+    sweep1 = gs.gen_index_gc(spark, nm("t_gen_cpt"), keep_pointers=1, min_age_s=0.0)
     assert sweep1["dropped_pointers"] and not sweep1["dropped_generations"]
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_cpt")) == before
-    sweep2 = gs.gen_index_gc(spark, "t_gen_cpt", keep_pointers=1, min_age_s=0.0)
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_cpt"))) == before
+    sweep2 = gs.gen_index_gc(spark, nm("t_gen_cpt"), keep_pointers=1, min_age_s=0.0)
     assert len(sweep2["dropped_generations"]) >= 3  # build + 2 append gens
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_cpt")) == before
-    assert gs.gen_index_verify(spark, "t_gen_cpt")["consistent"]
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_cpt"))) == before
+    assert gs.gen_index_verify(spark, nm("t_gen_cpt"))["consistent"]
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
-def test_gen_rebalance_matches_posix_rebalanced_probe(spark, sf_dir):
+def test_gen_rebalance_matches_posix_rebalanced_probe(spark, sf_dir, pointer_backend, nm):
     """The generational rebalance must mirror the POSIX store's split
     semantics exactly: same explicit split set on the same corpus in
     both stores → row-identical probes from the refined indexes. Rows
@@ -325,12 +371,12 @@ def test_gen_rebalance_matches_posix_rebalanced_probe(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
 
-    gs.gen_index_build(emb, index_name="t_gen_rb")
-    build_ivf_index(emb, index_name="t_posix_rb")
+    gs.gen_index_build(emb, index_name=nm("t_gen_rb"))
+    build_ivf_index(emb, index_name=nm("t_posix_rb"))
 
     # pick the two biggest cells, deterministically, from the gen store
-    root = gs._store_root(spark, "t_gen_rb")
-    _seq, latest = gs.LocalPointerStore(root).read_latest()
+    root = gs._store_root(spark, nm("t_gen_rb"))
+    _seq, latest = gs._store_for(root).read_latest()
     manifest = gs._read_manifest(root, latest["gen"])
     files = [os.path.join(root, rel) for fs in manifest["cells"].values() for rel in fs]
     counts = sorted(
@@ -339,37 +385,37 @@ def test_gen_rebalance_matches_posix_rebalanced_probe(spark, sf_dir):
     )
     split_cells = sorted(c for _n, c in counts[:2])
 
-    got_split = gs.gen_index_rebalance(spark, "t_gen_rb", cells=split_cells)
-    posix_split = ivf_index_rebalance(spark, "t_posix_rb", cells=split_cells)
+    got_split = gs.gen_index_rebalance(spark, nm("t_gen_rb"), cells=split_cells)
+    posix_split = ivf_index_rebalance(spark, nm("t_posix_rb"), cells=split_cells)
     assert got_split == posix_split == split_cells
 
-    gen_rows = _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_rb"))
+    gen_rows = _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_rb")))
     posix_rows = _rows(
-        ivf_index_probe(q, k=5, index_name="t_posix_rb", expected_corpus=emb)
+        ivf_index_probe(q, k=5, index_name=nm("t_posix_rb"), expected_corpus=emb)
     )
     assert gen_rows == posix_rows and len(gen_rows) > 0
 
-    report = gs.gen_index_verify(spark, "t_gen_rb")
+    report = gs.gen_index_verify(spark, nm("t_gen_rb"))
     assert report["consistent"]
     assert report["actual"]["rows"] == emb.count()
     new_manifest = gs._read_manifest(
-        root, gs.LocalPointerStore(root).read_latest()[1]["gen"]
+        root, gs._store_for(root).read_latest()[1]["gen"]
     )
     assert not (set(map(str, split_cells)) & set(new_manifest["cells"]))
 
 
 @pytest.mark.slow  # concurrency lifecycle test (slow tier)
-def test_gen_rebalance_forces_concurrent_append_to_restage(spark, sf_dir):
+def test_gen_rebalance_forces_concurrent_append_to_restage(spark, sf_dir, pointer_backend, nm):
     """A rebalance that wins the race while an append is staged changes
     centroid_fp — the append must restage against the refined set, and
     the batch's rows must land in LIVE cells (reachable by probes)."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
-    gs.gen_index_build(base, index_name="t_gen_rb_race")
+    gs.gen_index_build(base, index_name=nm("t_gen_rb_race"))
 
-    root = gs._store_root(spark, "t_gen_rb_race")
-    _seq, latest = gs.LocalPointerStore(root).read_latest()
+    root = gs._store_root(spark, nm("t_gen_rb_race"))
+    _seq, latest = gs._store_for(root).read_latest()
     manifest = gs._read_manifest(root, latest["gen"])
     files = [os.path.join(root, rel) for fs in manifest["cells"].values() for rel in fs]
     hot = int(
@@ -379,33 +425,33 @@ def test_gen_rebalance_forces_concurrent_append_to_restage(spark, sf_dir):
         )["cell"]
     )
 
-    real = gs.LocalPointerStore.try_commit
+    real = pointer_backend.cls.try_commit
     state = {"interposed": False}
 
     def splitting(self, seq, payload):
         if not state["interposed"]:
             state["interposed"] = True
-            gs.LocalPointerStore.try_commit = real
+            pointer_backend.cls.try_commit = real
             try:
-                gs.gen_index_rebalance(spark, "t_gen_rb_race", cells=[hot])
+                gs.gen_index_rebalance(spark, nm("t_gen_rb_race"), cells=[hot])
             finally:
-                gs.LocalPointerStore.try_commit = splitting
+                pointer_backend.cls.try_commit = splitting
         return real(self, seq, payload)
 
-    gs.LocalPointerStore.try_commit = splitting
+    pointer_backend.cls.try_commit = splitting
     try:
-        gs.gen_index_append(batch, index_name="t_gen_rb_race")
+        gs.gen_index_append(batch, index_name=nm("t_gen_rb_race"))
     finally:
-        gs.LocalPointerStore.try_commit = real
+        pointer_backend.cls.try_commit = real
 
     assert state["interposed"]
-    report = gs.gen_index_verify(spark, "t_gen_rb_race")
+    report = gs.gen_index_verify(spark, nm("t_gen_rb_race"))
     assert report["consistent"]
     assert report["actual"]["rows"] == emb.count()
     # every manifest cell is a live centroid — no rows stranded in the
     # pre-split layout
     final = gs._read_manifest(
-        root, gs.LocalPointerStore(root).read_latest()[1]["gen"]
+        root, gs._store_for(root).read_latest()[1]["gen"]
     )
     cents = spark.read.parquet(os.path.join(root, final["centroids"]))
     live = {int(r["cent_id"]) for r in cents.select("cent_id").collect()}
@@ -413,7 +459,7 @@ def test_gen_rebalance_forces_concurrent_append_to_restage(spark, sf_dir):
 
 
 @pytest.mark.slow  # concurrency lifecycle test (slow tier)
-def test_gen_build_refuses_to_clobber_interleaved_append(spark, sf_dir):
+def test_gen_build_refuses_to_clobber_interleaved_append(spark, sf_dir, pointer_backend, nm):
     """A rebuild staged from corpus snapshot C must NOT publish over an
     append that committed while it staged: publishing would drop the
     batch's rows AND carry its token forward, so the stream's replay
@@ -424,27 +470,27 @@ def test_gen_build_refuses_to_clobber_interleaved_append(spark, sf_dir):
     batch = emb.where(F.col("vec_id") % 50 == 17)
     gs.gen_index_build(base, index_name="t_gen_clobber")
 
-    real = gs.LocalPointerStore.try_commit
+    real = pointer_backend.cls.try_commit
     state = {"interposed": False}
 
     def appending(self, seq, payload):
         if not state["interposed"]:
             state["interposed"] = True
-            gs.LocalPointerStore.try_commit = real
+            pointer_backend.cls.try_commit = real
             try:
                 gs.gen_index_append(
                     batch, index_name="t_gen_clobber", idempotency_token="ck:b7"
                 )
             finally:
-                gs.LocalPointerStore.try_commit = appending
+                pointer_backend.cls.try_commit = appending
         return real(self, seq, payload)
 
-    gs.LocalPointerStore.try_commit = appending
+    pointer_backend.cls.try_commit = appending
     try:
         with pytest.raises(gs.CommitConflict, match="advanced while this build"):
             gs.gen_index_build(base, index_name="t_gen_clobber")
     finally:
-        gs.LocalPointerStore.try_commit = real
+        pointer_backend.cls.try_commit = real
 
     assert state["interposed"]
     # the interleaved batch is still served, its token still armed
@@ -457,18 +503,18 @@ def test_gen_build_refuses_to_clobber_interleaved_append(spark, sf_dir):
     assert gs.gen_index_verify(spark, "t_gen_clobber")["actual"]["rows"] == emb.count()
 
 
-def test_gen_build_refuses_empty_centroid_set(spark, sf_dir):
+def test_gen_build_refuses_empty_centroid_set(spark, sf_dir, pointer_backend, nm):
     """A corpus with no ids under the centroid rule must refuse at build
     time — the alternative is an index whose fingerprint claims N rows
     while every row was dropped by the assignment."""
     emb = read_table(spark, sf_dir, "embeddings")
     odd = emb.where(F.col("vec_id") % 2 == 1)
     with pytest.raises(ValueError, match="NO centroids"):
-        gs.gen_index_build(odd, index_name="t_gen_nocents", centroid_mod=2)
+        gs.gen_index_build(odd, index_name=nm("t_gen_nocents"), centroid_mod=2)
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
-def test_gen_gc_measures_reader_age_from_supersession(spark, sf_dir):
+def test_gen_gc_measures_reader_age_from_supersession(spark, sf_dir, pointer_backend, nm):
     """An unreachable generation must stay until the OLDEST surviving
     pointer is min_age_s old — a generation that served reads for hours
     is not sweepable the instant structural commits supersede it (the
@@ -476,31 +522,44 @@ def test_gen_gc_measures_reader_age_from_supersession(spark, sf_dir):
     Leaked pointer temp files are swept on the same horizon."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
-    built = gs.gen_index_build(base, index_name="t_gen_age")
-    root = gs._store_root(spark, "t_gen_age")
+    built = gs.gen_index_build(base, index_name=nm("t_gen_age"))
+    root = gs._store_root(spark, nm("t_gen_age"))
     # age the BUILD generation (it has served for "hours")
     old = os.path.getmtime(os.path.join(root, built["gen"])) - 7200
     os.utime(os.path.join(root, built["gen"]), (old, old))
     # structural commit supersedes it seconds later
-    gs.gen_index_compact(spark, "t_gen_age")
-    # a crashed try_commit leaked a temp payload
-    leak = os.path.join(root, "ptr", ".tmp.deadbeef")
-    with open(leak, "w") as fh:
-        fh.write("{}")
-    os.utime(leak, (old, old))
+    gs.gen_index_compact(spark, nm("t_gen_age"))
+    leak = None
+    if pointer_backend.name == "local":
+        # a crashed try_commit leaked a temp payload (conditional PUT
+        # backends have no temp objects — nothing to leak there)
+        leak = os.path.join(root, "ptr", ".tmp.deadbeef")
+        with open(leak, "w") as fh:
+            fh.write("{}")
+        os.utime(leak, (old, old))
 
-    report = gs.gen_index_gc(spark, "t_gen_age", keep_pointers=1, min_age_s=60.0)
+    report = gs.gen_index_gc(spark, nm("t_gen_age"), keep_pointers=1, min_age_s=60.0)
     # the superseding pointer is seconds old -> readers may still be on
     # the old generation; it must survive even though its dir is 2h old
     assert built["gen"] in report["kept_generations"]
-    assert not os.path.exists(leak), "aged temp leak must be swept"
+    if leak is not None:
+        assert not os.path.exists(leak), "aged temp leak must be swept"
 
-    # age the surviving pointer past the horizon -> now sweepable
-    ptr_dir = os.path.join(root, "ptr")
-    for fname in os.listdir(ptr_dir):
-        p = os.path.join(ptr_dir, fname)
-        os.utime(p, (old, old))
-    report2 = gs.gen_index_gc(spark, "t_gen_age", keep_pointers=1, min_age_s=60.0)
+    # age the surviving pointer (and the sweep-spacing stamp) past the
+    # horizon -> now sweepable
+    if pointer_backend.name == "local":
+        ptr_dir = os.path.join(root, "ptr")
+        for fname in os.listdir(ptr_dir):
+            p = os.path.join(ptr_dir, fname)
+            os.utime(p, (old, old))
+    else:
+        store = gs._store_for(root)
+        for s in list(store._mtimes):
+            store._mtimes[s] = old
+        stamp = os.path.join(root, "ptr", ".last_gc")
+        if os.path.exists(stamp):
+            os.utime(stamp, (old, old))
+    report2 = gs.gen_index_gc(spark, nm("t_gen_age"), keep_pointers=1, min_age_s=60.0)
     assert built["gen"] in report2["dropped_generations"]
 
 
@@ -529,13 +588,13 @@ def test_gen_probe_reads_only_probed_cells_files(spark, gen_shared):
     """Manifest pruning is the generational analog of dynamic partition
     pruning — the probe's scan must touch exactly the probed cells'
     manifest files, never the whole index."""
-    emb, payload = gen_shared
+    emb, payload, idx = gen_shared
     # ONE query at nprobe=1: at sf0.001 the index has only a handful of
     # cells, and a wider probe legitimately covers them all
     q = emb.where(F.col("vec_id") == 3)
-    out = gs.gen_index_probe(q, k=5, nprobe=1, index_name="t_gen_shared")
+    out = gs.gen_index_probe(q, k=5, nprobe=1, index_name=idx)
 
-    root = gs._store_root(spark, "t_gen_shared")
+    root = gs._store_root(spark, idx)
     manifest = gs._read_manifest(root, payload["gen"])
     all_files = {
         os.path.realpath(os.path.join(root, rel))
@@ -574,7 +633,7 @@ def test_gen_probe_reads_only_probed_cells_files(spark, gen_shared):
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
-def test_gen_cell_skew_reports_growth_against_pointer_history(spark, sf_dir):
+def test_gen_cell_skew_reports_growth_against_pointer_history(spark, sf_dir, pointer_backend, nm):
     """The pointer history IS the drift baseline: after an append, skew
     vs the oldest surviving pointer shows exactly the appended cells as
     added rows (growth NULL for cells born after the baseline), and the
@@ -582,10 +641,10 @@ def test_gen_cell_skew_reports_growth_against_pointer_history(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
-    gs.gen_index_build(base, index_name="t_gen_skew")
-    gs.gen_index_append(batch, index_name="t_gen_skew")
+    gs.gen_index_build(base, index_name=nm("t_gen_skew"))
+    gs.gen_index_append(batch, index_name=nm("t_gen_skew"))
 
-    skew = gs.gen_index_cell_skew(spark, "t_gen_skew").collect()
+    skew = gs.gen_index_cell_skew(spark, nm("t_gen_skew")).collect()
     total_added = sum(r["added"] for r in skew)
     assert total_added == batch.count()
     assert all(r["rows_now"] >= (r["rows_then"] or 0) for r in skew)
@@ -597,28 +656,28 @@ def test_gen_cell_skew_reports_growth_against_pointer_history(spark, sf_dir):
     # feed the hottest cell to the rebalance — the audit→rebalance loop
     hot = [int(r["cell_id"]) for r in skew if (r["added"] or 0) > 0][:1]
     if hot:
-        split = gs.gen_index_rebalance(spark, "t_gen_skew", cells=hot)
+        split = gs.gen_index_rebalance(spark, nm("t_gen_skew"), cells=hot)
         assert split == hot
-        assert gs.gen_index_verify(spark, "t_gen_skew")["consistent"]
+        assert gs.gen_index_verify(spark, nm("t_gen_skew"))["consistent"]
         # EMPTIED cells must still report (full_outer, like the POSIX
         # audit): the drained split parent shows rows_now=0 with
         # negative added, not silently vanish from the report
-        post = {r["cell_id"]: r for r in gs.gen_index_cell_skew(spark, "t_gen_skew").collect()}
+        post = {r["cell_id"]: r for r in gs.gen_index_cell_skew(spark, nm("t_gen_skew")).collect()}
         drained = post[hot[0]]
         assert drained["rows_now"] == 0
         assert drained["added"] == -(drained["rows_then"])
         assert drained["growth"] == 0.0
 
     # explicit baseline: skew vs the LATEST pointer is all-zero added
-    seqs = [s for s, _ in gs.LocalPointerStore(gs._store_root(spark, "t_gen_skew")).pointers()]
-    flat = gs.gen_index_cell_skew(spark, "t_gen_skew", baseline_seq=seqs[-1]).collect()
+    seqs = [s for s, _ in gs._store_for(gs._store_root(spark, nm(("t_gen_skew")))).pointers()]
+    flat = gs.gen_index_cell_skew(spark, nm("t_gen_skew"), baseline_seq=seqs[-1]).collect()
     assert all(r["added"] == 0 for r in flat)
     with pytest.raises(ValueError, match="no surviving pointer at seq"):
-        gs.gen_index_cell_skew(spark, "t_gen_skew", baseline_seq=99)
+        gs.gen_index_cell_skew(spark, nm("t_gen_skew"), baseline_seq=99)
 
 
 @pytest.mark.slow  # streaming end-to-end lifecycle (slow tier)
-def test_gen_streaming_maintenance_matches_full_rebuild(spark, sf_dir):
+def test_gen_streaming_maintenance_matches_full_rebuild(spark, sf_dir, pointer_backend, nm):
     """The generational store's STREAMING deployment shape: foreachBatch
     lands each micro-batch through gen_index_append with a checkpoint-
     namespaced idempotency token (the exact contract the POSIX
@@ -632,7 +691,7 @@ def test_gen_streaming_maintenance_matches_full_rebuild(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
-    gs.gen_index_build(base, index_name="t_gen_stream")
+    gs.gen_index_build(base, index_name=nm("t_gen_stream"))
 
     work = tempfile.mkdtemp(prefix="gen_stream_")
     in_dir = _os.path.join(work, "in")
@@ -655,7 +714,7 @@ def test_gen_streaming_maintenance_matches_full_rebuild(spark, sf_dir):
             return
         gs.gen_index_append(
             batch_df,
-            index_name="t_gen_stream",
+            index_name=nm("t_gen_stream"),
             idempotency_token=f"{ckpt}:batch-{batch_id}",
         )
 
@@ -673,19 +732,19 @@ def test_gen_streaming_maintenance_matches_full_rebuild(spark, sf_dir):
     finally:
         _shutil.rmtree(work, ignore_errors=True)
 
-    ptrs = _ptrs(spark, "t_gen_stream")
+    ptrs = _ptrs(spark, nm("t_gen_stream"))
     assert [s for s, _ in ptrs] == [1, 2, 3, 4]  # build + 3 micro-batches
     assert ptrs[-1][1]["last_token"].endswith(":batch-2")
-    report = gs.gen_index_verify(spark, "t_gen_stream")
+    report = gs.gen_index_verify(spark, nm("t_gen_stream"))
     assert report["consistent"] and report["actual"]["rows"] == emb.count()
     q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_gen_stream")) == _rows(
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_stream"))) == _rows(
         ivf_topk(emb, q, k=5)
     )
 
 
 @pytest.mark.slow  # cross-store migration lifecycle (slow tier)
-def test_gen_import_posix_carries_content_fingerprint_and_token(spark, sf_dir):
+def test_gen_import_posix_carries_content_fingerprint_and_token(spark, sf_dir, pointer_backend, nm):
     """Migrating a POSIX index into the generational store: no
     reassignment, probe row-identical to the source store, fingerprint
     verification intact, and the producer's last append token still
@@ -699,28 +758,28 @@ def test_gen_import_posix_carries_content_fingerprint_and_token(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
-    build_ivf_index(base, index_name="t_mig_posix")
-    ivf_index_append(batch, index_name="t_mig_posix", idempotency_token="ck:b3")
+    build_ivf_index(base, index_name=nm("t_mig_posix"))
+    ivf_index_append(batch, index_name=nm("t_mig_posix"), idempotency_token="ck:b3")
 
     payload = gs.gen_index_import_posix(
-        spark, posix_index_name="t_mig_posix", index_name="t_mig_gen"
+        spark, posix_index_name=nm("t_mig_posix"), index_name=nm("t_mig_gen")
     )
     assert payload["last_token"] == "ck:b3"
-    report = gs.gen_index_verify(spark, "t_mig_gen")
+    report = gs.gen_index_verify(spark, nm("t_mig_gen"))
     assert report["consistent"] and report["actual"]["rows"] == emb.count()
 
     q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, index_name="t_mig_gen")) == _rows(
-        ivf_index_probe(q, k=5, index_name="t_mig_posix", expected_corpus=emb)
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_mig_gen"))) == _rows(
+        ivf_index_probe(q, k=5, index_name=nm("t_mig_posix"), expected_corpus=emb)
     )
     # the migrating producer replays its last delivery against the NEW
     # store: caught by the carried token, pointer does not advance
-    n_ptrs = len(_ptrs(spark, "t_mig_gen"))
+    n_ptrs = len(_ptrs(spark, nm("t_mig_gen")))
     replay = gs.gen_index_append(
-        batch, index_name="t_mig_gen", idempotency_token="ck:b3"
+        batch, index_name=nm("t_mig_gen"), idempotency_token="ck:b3"
     )
     assert replay["last_token"] == "ck:b3"
-    assert len(_ptrs(spark, "t_mig_gen")) == n_ptrs
+    assert len(_ptrs(spark, nm("t_mig_gen"))) == n_ptrs
 
 
 def test_pointer_cas_exactly_once_across_processes(tmp_path):
@@ -829,15 +888,22 @@ print("done", role)
         assert out.returncode == 0, out.stderr.decode()[-800:]
 
     emb = read_table(spark, sf_dir, "embeddings")
-    report = gs.gen_index_verify(spark, root=root)
+    # the subprocesses committed through the LOCAL store (their default
+    # seam); this session's reads must hit the same backend even when the
+    # module's memory-param block has the seam patched, so inject it
+    local = gs.LocalPointerStore(root)
+    report = gs.gen_index_verify(spark, root=root, store=local)
     assert report["consistent"] and report["actual"]["rows"] == emb.count()
     q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, root=root)) == _rows(
+    assert _rows(gs.gen_index_probe(q, k=5, root=root, store=local)) == _rows(
         ivf_topk(emb, q, k=5)
     )
     # a third application's replay of the appender's delivery is caught
     replay = gs.gen_index_append(
-        emb.where(F.col("vec_id") % 50 == 17), root=root, idempotency_token="xapp:b0"
+        emb.where(F.col("vec_id") % 50 == 17),
+        root=root,
+        idempotency_token="xapp:b0",
+        store=local,
     )
     assert replay["last_token"] == "xapp:b0"
     assert [s for s, _ in gs.LocalPointerStore(root).pointers()] == [1, 2]
@@ -859,3 +925,72 @@ def test_gen_explicit_root_refuses_object_store_uri(spark, sf_dir):
         gs.gen_index_verify(spark, root="gs://bucket/shared_idx")
     # a local explicit root still resolves untouched
     assert gs._resolve_root(spark, "x", "/tmp/local_idx") == "/tmp/local_idx"
+
+
+def test_inmemory_pointer_store_contract():
+    """Pure-store contract unit test (no Spark): create-exactly-once per
+    sequence, highest-sequence read, lost-PUT-response disambiguation
+    (True exactly once, never a double commit, never a false loss), and
+    the injected race window."""
+    mem = gs.InMemoryPointerStore()
+    assert mem.read_latest() == (None, None)
+    assert mem.try_commit(1, {"gen": "g-a"})
+    assert not mem.try_commit(1, {"gen": "g-b"})  # 412 Precondition Failed
+    assert mem.read_latest() == (1, {"gen": "g-a"})
+
+    # lost response: the PUT lands but the reply doesn't — the client's
+    # read-back disambiguation still reports True (exactly once)
+    mem.inject_lost_responses(1)
+    assert mem.try_commit(2, {"gen": "g-c"})
+    assert mem.read_latest() == (2, {"gen": "g-c"})
+
+    # race inside the PUT window: a competitor takes the sequence between
+    # the caller's read_latest and its conditional PUT — caller must lose
+    mem.inject_race(lambda st, seq: st._put_if_absent(seq, '{"gen": "g-x"}'))
+    assert not mem.try_commit(3, {"gen": "g-d"})
+    assert mem.read_latest() == (3, {"gen": "g-x"})
+
+    assert [s for s, _ in mem.pointers()] == [1, 2, 3]
+    assert mem.oldest_pointer_mtime() is not None
+    mem.drop(1)
+    assert [s for s, _ in mem.pointers()] == [2, 3]
+    assert mem.sweep_tmp(0.0) == 0  # conditional PUT leaves no temp objects
+
+
+@pytest.mark.slow  # lifecycle against the injected store (slow tier)
+def test_gen_lifecycle_with_injected_store_and_faults(spark, sf_dir, tmp_path):
+    """The seam end-to-end: an explicitly injected InMemoryPointerStore
+    carries a build (whose commit PUT loses its response — the S3
+    ambiguous-5xx shape), an append that loses the CAS to a full
+    competing append injected INSIDE its PUT window (and rebases), and a
+    closing probe row-identical to the in-memory IVF. Meanwhile the root
+    directory holds only DATA (generations + manifests) — pointer state
+    lives solely in the injected store, which is what makes the S3
+    backend a drop-in."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    b_a = emb.where(F.col("vec_id") % 100 == 17)
+    b_b = emb.where(F.col("vec_id") % 100 == 67)
+    root = str(tmp_path / "mem_idx")
+    mem = gs.InMemoryPointerStore()
+
+    mem.inject_lost_responses(1)  # build's commit PUT lands, response lost
+    built = gs.gen_index_build(base, root=root, store=mem)
+    assert mem.read_latest()[1]["gen"] == built["gen"]
+
+    def competing(store, seq):
+        gs.gen_index_append(b_b, root=root, store=store, idempotency_token="m:b")
+
+    mem.inject_race(competing)
+    gs.gen_index_append(b_a, root=root, store=mem, idempotency_token="m:a")
+
+    report = gs.gen_index_verify(spark, root=root, store=mem)
+    assert report["consistent"] and report["actual"]["rows"] == emb.count()
+    q = emb.where(F.col("vec_id") < 10)
+    assert _rows(gs.gen_index_probe(q, k=5, root=root, store=mem)) == _rows(
+        ivf_topk(emb, q, k=5)
+    )
+    # both appends landed exactly once, in CAS order, after the race
+    assert [s for s, _ in mem.pointers()] == [1, 2, 3]
+    # no pointer objects on disk — the injected store owns them all
+    assert not os.path.exists(os.path.join(root, "ptr"))
