@@ -675,15 +675,22 @@ def _require_posix_warehouse(
     routes its explicit ``root=`` through here too)."""
     from urllib.parse import urlsplit
 
-    scheme = urlsplit(uri).scheme
-    # a bare Windows-free local path has no scheme; Spark local mode
-    # reports the warehouse as file:/... — both are POSIX-renameable
-    if scheme in ("", "file"):
-        return uri.removeprefix("file:")
+    # Only treat the input as a URI when it actually uses URI syntax: a
+    # plain local path may legally contain a colon in a segment (e.g.
+    # 'runs:2026/idx'), which urlsplit would misparse as scheme 'runs'
+    # and reject. Spark local mode reports the warehouse as file:/... —
+    # POSIX-renameable, so accepted; file://host/... drops the (always
+    # local-or-meaningless) authority via urlsplit().path instead of a
+    # prefix strip that would leave '//host/path'.
+    if "://" not in uri and not uri.startswith("file:"):
+        return uri
+    parts = urlsplit(uri)
+    if parts.scheme in ("", "file"):
+        return parts.path
     raise UnsupportedIndexFilesystem(
         f"stored-IVF indexes require a POSIX filesystem (atomic rename + "
         f"O_EXCL) but {what} is '{uri}' (scheme "
-        f"'{scheme}'). Object stores lack atomic rename and exclusive "
+        f"'{parts.scheme}'). Object stores lack atomic rename and exclusive "
         f"create, so the index's crash-atomicity and single-writer "
         f"guarantees would not hold. Point the warehouse at a local/NFS "
         f"path, or see COVERAGE.md 'Stored-IVF filesystem contract' for "

@@ -150,9 +150,24 @@ def replicate_tables(
             # properties; the report is FOR logging, so scrub any
             # manifest-embedded secret before it leaves this function
             # (provider-resolved credentials never touch the spec at all)
-            pw = spec.get("password") if isinstance(spec, dict) else None
-            if pw:
-                msg = msg.replace(str(pw), "***redacted***")
+            if isinstance(spec, dict):
+                from urllib.parse import quote, quote_plus
+
+                pw = spec.get("password")
+                if pw:
+                    # drivers echo credentials verbatim, URL-encoded, or
+                    # embedded in a connection URL — scrub every form;
+                    # longest-first so a quoted form is not half-eaten by
+                    # its raw substring
+                    forms = {str(pw), quote(str(pw), safe=""), quote_plus(str(pw))}
+                    for form in sorted(forms, key=len, reverse=True):
+                        msg = msg.replace(form, "***redacted***")
+                user = spec.get("user")
+                if user:
+                    # the username is a secret-adjacent identifier and
+                    # often appears right next to the password in echoed
+                    # URLs (user:pass@host) — scrub it too
+                    msg = msg.replace(str(user), "***redacted-user***")
             return {"table": table, "dest": dest, "status": "error", "error": msg}
 
     if max_concurrency <= 1:

@@ -2046,6 +2046,13 @@ def test_require_posix_warehouse_accepts_local_forms():
     assert _require_posix_warehouse("spark-warehouse") == "spark-warehouse"
     assert _require_posix_warehouse("/abs/warehouse") == "/abs/warehouse"
     assert _require_posix_warehouse("file:/abs/warehouse") == "/abs/warehouse"
+    # a colon inside a PATH segment is not a scheme — 'runs' must not be
+    # classified as an object store
+    assert _require_posix_warehouse("runs:2026/idx") == "runs:2026/idx"
+    assert _require_posix_warehouse("/data/runs:2026/idx") == "/data/runs:2026/idx"
+    # file://host/path: the authority is dropped, not glued onto the path
+    assert _require_posix_warehouse("file:///abs/warehouse") == "/abs/warehouse"
+    assert _require_posix_warehouse("file://localhost/abs/wh") == "/abs/wh"
 
 
 def test_lock_payload_names_holder(spark, sf_dir):

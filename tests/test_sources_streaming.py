@@ -795,6 +795,30 @@ def test_replicate_tables_redacts_manifest_password(spark, tmp_path):
     assert "hunter2!" not in report[0]["error"]
     assert "***redacted***" in report[0]["error"]
 
+    def url_echoing_reader(spark, dbtable, **kwargs):
+        # drivers also echo credentials URL-ENCODED inside a connection
+        # URL (user:pass@host) — the raw substring replace alone misses
+        # '%21' for '!'
+        from urllib.parse import quote
+
+        u, p = kwargs.get("user"), kwargs.get("password")
+        raise RuntimeError(
+            f"cannot connect to jdbc:postgresql://{u}:{quote(p, safe='')}@db-host/x"
+        )
+
+    report = replicate_tables(
+        spark,
+        [{"table": "accounts", "user": "svc", "password": "hunter2!"}],
+        dest_root=str(tmp_path),
+        snapshot_dt="20231122",
+        reader=url_echoing_reader,
+    )
+    assert report[0]["status"] == "error"
+    assert "hunter2%21" not in report[0]["error"]
+    assert "hunter2" not in report[0]["error"]
+    # the username is scrubbed as well — it flanks the password in the URL
+    assert "svc:" not in report[0]["error"]
+
 
 @pytest.mark.slow  # streaming boundary parity (~8 s)
 def test_sessionization_subsecond_gap_parity(spark, tmp_path):
