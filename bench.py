@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     # the r8 verdict); the registered gate query stays full-fidelity, the
     # bench tracks the cheap scheduled-audit shape
     "ann_recall_report_fast",
+    # round-11 additions: the GENERATIONAL (object-store-safe) index's
+    # serving + accreted-manifest probe paths, under the same cross-round
+    # watch as the POSIX lifecycle (EXTRA_BENCH entries — production
+    # variants without a registry row, the minhash_lsh_fast precedent)
+    "gen_ivf_probe",
+    "gen_ivf_append",
 ]
 
 # The r1-r3 bench set was the first 23 queries; the set then grew (deep
@@ -114,6 +120,8 @@ GROWN = {
     "embedding_drift_psi",
     "streaming_ivf_index_maintenance",
     "ann_recall_report_fast",
+    "gen_ivf_probe",
+    "gen_ivf_append",
 }
 
 
@@ -129,6 +137,16 @@ def _extra_bench():
     IVF nprobe curve plus the cheap LSH family — the scheduled-audit shape
     (the full six-family report exists for the gate; its per-method rows
     are identical for the shared methods, asserted in tests/test_retrieval.py).
+
+    gen_ivf_probe / gen_ivf_append are the GENERATIONAL index's serving
+    paths (operators/index_store.py): probe = one pointer read +
+    manifest-pruned file reads over a single compact build generation;
+    append's probe serves the two-fileset (build + appended batch)
+    manifest — the accreted shape a long-appended index pays. The store
+    has no registry row (registry frozen at 200), but its probes are
+    row-identical to ivf_topk by test; the bench watches the serving
+    cost cross-round like the POSIX lifecycle rows. Builds happen once
+    per (session, sf_dir) — timed invocations measure serving only.
     """
     from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -149,9 +167,48 @@ def _extra_bench():
             spark, sf_dir, methods=("ivf_np1", "ivf_np2", "ivf_np3", "lsh_p4")
         )
 
+    from pyspark.sql import functions as F
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.index_store import (
+        gen_index_append,
+        gen_index_build,
+        gen_index_built,
+        gen_index_probe,
+    )
+
+    def _sf_tag(sf_dir):
+        return os.path.basename(os.path.normpath(sf_dir))
+
+    def gen_ivf_probe(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        name = f"gen_ivf_bench_{_sf_tag(sf_dir)}"
+        if not gen_index_built(spark, name):
+            gen_index_build(emb, index_name=name)
+        return gen_index_probe(
+            emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
+        )
+
+    def gen_ivf_append(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        name = f"gen_ivf_app_bench_{_sf_tag(sf_dir)}"
+        if not gen_index_built(spark, name):
+            gen_index_build(
+                emb.where(F.col("vec_id") % 50 != 17), index_name=name
+            )
+            gen_index_append(
+                emb.where(F.col("vec_id") % 50 == 17),
+                index_name=name,
+                idempotency_token="bench:b0",
+            )
+        return gen_index_probe(
+            emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
+        )
+
     return {
         "minhash_lsh_fast": minhash_lsh_fast,
         "ann_recall_report_fast": ann_recall_report_fast,
+        "gen_ivf_probe": gen_ivf_probe,
+        "gen_ivf_append": gen_ivf_append,
     }
 
 

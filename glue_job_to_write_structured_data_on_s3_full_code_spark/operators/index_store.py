@@ -74,6 +74,7 @@ __all__ = [
     "LocalPointerStore",
     "InMemoryPointerStore",
     "gen_index_build",
+    "gen_index_built",
     "gen_index_append",
     "gen_index_cell_skew",
     "gen_index_probe",
@@ -526,6 +527,22 @@ def gen_index_build(
         "rows — re-derive the corpus (it must include the interleaved "
         "batches) and rebuild"
     )
+
+
+def gen_index_built(
+    spark: SparkSession,
+    index_name: str = "gen_ivf",
+    root: str | None = None,
+    store=None,
+) -> bool:
+    """True iff the named generational index has a committed generation —
+    one pointer read, the build-once gate callers (bench loop, a probe
+    service warmup) use before serving. Unlike the POSIX
+    :func:`.similarity.ivf_index_built` there is no session-local build
+    set to consult: the pointer IS the state, wherever it lives."""
+    root = _resolve_root(spark, index_name, root)
+    seq, _latest = _store_for(root, store).read_latest()
+    return seq is not None
 
 
 def gen_index_append(
