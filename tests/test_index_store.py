@@ -994,3 +994,34 @@ def test_gen_lifecycle_with_injected_store_and_faults(spark, sf_dir, tmp_path):
     assert [s for s, _ in mem.pointers()] == [1, 2, 3]
     # no pointer objects on disk — the injected store owns them all
     assert not os.path.exists(os.path.join(root, "ptr"))
+
+
+@pytest.mark.slow  # index mutation lifecycle (slow tier)
+def test_gen_probe_survives_supersession_inside_horizon(spark, sf_dir, pointer_backend, nm):
+    """The GC reader contract (COVERAGE.md runbook): a probe frame built
+    against a generation that is SUPERSEDED before consumption still
+    collects its pinned snapshot, as long as sweeps run with a sane
+    min_age_s — the superseded generation's manifest-listed files must
+    survive every inside-horizon sweep, including the sweep that drops
+    the generation's own pointer."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    gs.gen_index_build(base, index_name=nm("t_gen_lease"))
+    q = emb.where(F.col("vec_id") < 10)
+    # lazy in-flight reader, pinned to the build generation
+    inflight = gs.gen_index_probe(q, k=5, index_name=nm("t_gen_lease"))
+    want = _rows(ivf_topk(base, q, k=5))
+
+    # supersession: two structural commits land, then GC sweeps twice
+    # (pointer drop + the would-be spaced deletion) inside the horizon
+    gs.gen_index_append(batch, index_name=nm("t_gen_lease"))
+    gs.gen_index_compact(spark, nm("t_gen_lease"))
+    for _ in range(2):
+        rep = gs.gen_index_gc(
+            spark, nm("t_gen_lease"), keep_pointers=1, min_age_s=3600.0
+        )
+        assert not rep["dropped_generations"], rep
+
+    # the in-flight reader now consumes: identical to its pinned snapshot
+    assert _rows(inflight) == want and len(want) > 0
