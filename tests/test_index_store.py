@@ -1025,3 +1025,40 @@ def test_gen_probe_survives_supersession_inside_horizon(spark, sf_dir, pointer_b
 
     # the in-flight reader now consumes: identical to its pinned snapshot
     assert _rows(inflight) == want and len(want) > 0
+
+
+def test_inmemory_cas_exactly_once_across_threads():
+    """The conditional-PUT contract under REAL concurrency, thread
+    edition of the cross-process os.link hammer: 8 threads loop
+    read-latest → try_commit(seq+1) with lost responses injected
+    throughout — exactly one winner per sequence, contiguous, every
+    payload intact and owned by its true winner."""
+    import threading
+
+    mem = gs.InMemoryPointerStore()
+    mem.inject_lost_responses(20)  # sprinkle ambiguity over the whole run
+    n_threads, commits_each = 8, 12
+    wins: dict[str, list[int]] = {f"w{i}": [] for i in range(n_threads)}
+
+    def writer(me):
+        while len(wins[me]) < commits_each:
+            seq, _latest = mem.read_latest()
+            nxt = (seq or 0) + 1
+            if mem.try_commit(nxt, {"writer": me, "gen": f"g-{me}-{len(wins[me])}"}):
+                wins[me].append(nxt)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in wins]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in threads)
+
+    total = n_threads * commits_each
+    flat = sorted(s for w in wins.values() for s in w)
+    assert flat == list(range(1, total + 1))
+    by_seq = dict(mem.pointers())
+    assert sorted(by_seq) == list(range(1, total + 1))
+    for me, seqs in wins.items():
+        for s in seqs:
+            assert by_seq[s]["writer"] == me
