@@ -39,6 +39,15 @@ document's "Object-store commit design", implemented and tested:
   fingerprint change) and the commit retries at the next sequence. The
   POSIX store's single-writer contract becomes optimistic concurrency.
 
+Deployability: pointer CAS resolves through the :func:`_store_for`
+seam (``store=`` on every public function; the local default refuses
+object-store roots, an injected conditional-PUT store lifts the
+refusal), and ALL data-object I/O (manifests, listings, deletes,
+mtimes) goes through :class:`_HadoopFS` — Spark's own Hadoop
+FileSystem connectors — so any scheme the cluster can read
+(``file:``, ``s3a:``, ``gs:``, ``abfss:``) serves the whole lifecycle
+(pinned end-to-end over a URI root by test).
+
 Semantics (centroid rule, assignment tie-breaks, cosine rounding, rank
 ordering) are IDENTICAL to :func:`.similarity.ivf_topk` — pinned by a
 row-identity test against :func:`.similarity.ivf_index_probe` over the
@@ -52,7 +61,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -344,14 +352,94 @@ def _store_for(root: str, store=None):
     return LocalPointerStore(root)
 
 
+class _HadoopFS:
+    """The generational store's DATA-object I/O (manifests, listings,
+    deletes, mtimes), through Spark's own Hadoop FileSystem API — the
+    same connector layer the module's parquet reads/writes already use,
+    so every scheme Spark can read (``file:``, ``s3a:``, ``gs:``,
+    ``abfss:``) works here with no extra client library. Combined with
+    an injected :class:`PointerStore <LocalPointerStore>` this makes the
+    WHOLE lifecycle object-store-capable: pointer CAS through the
+    injected store, data through the cluster's configured connectors.
+    All calls are metadata-sized (a manifest JSON, a directory listing,
+    a status probe) — the row data always moves through Spark jobs."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark._jvm
+        self._Path = spark._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def list_names(self, path: str) -> list[str]:
+        p = self._Path(path)
+        if not self._fs.exists(p):
+            return []
+        try:
+            return sorted(
+                st.getPath().getName() for st in self._fs.listStatus(p)
+            )
+        except Exception:  # deleted between exists and list (GC race)
+            return []
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._Path(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._Path(path)))
+
+    def delete(self, path: str) -> None:
+        try:
+            self._fs.delete(self._Path(path), True)
+        except Exception:  # already gone (concurrent sweep) — fine
+            pass
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def mtime(self, path: str) -> float | None:
+        """Modification time in epoch seconds, None if missing. For a
+        DIRECTORY on a real filesystem this is the dir inode's mtime;
+        object stores have no directory objects (status may be a
+        synthetic 0-mtime entry), so fall back to the newest direct
+        child — the honest 'is a writer still staging here' signal."""
+        p = self._Path(path)
+        try:
+            st = self._fs.getFileStatus(p)
+        except Exception:
+            return None
+        m = st.getModificationTime()
+        if m > 0:
+            return m / 1000.0
+        try:
+            children = [
+                c.getModificationTime() for c in self._fs.listStatus(p)
+            ]
+        except Exception:
+            return None
+        return max(children) / 1000.0 if children else None
+
+
 def _store_root(spark: SparkSession, index_name: str) -> str:
     """DEFAULT root for a generational index: app-scoped under the
-    staged-results dir, reusing its path resolution (and therefore, for
-    THIS local implementation, its POSIX check — the LocalPointerStore
-    and the manifest listing are filesystem code). An object-store
-    deployment swaps the pointer store and lists freshly-written output
-    through the object API; the Spark parquet reads/writes in this
-    module already take URIs as-is.
+    staged-results dir, reusing its path resolution (and therefore its
+    POSIX check — the default LocalPointerStore is filesystem code).
+    Data I/O goes through :class:`_HadoopFS` regardless, so with an
+    injected pointer store any Spark-supported scheme works via an
+    explicit ``root=``.
 
     App-scoping gives lifecycle hygiene (heartbeat-swept with the
     session's staging) but confines the index to ONE application.
@@ -364,34 +452,40 @@ def _store_root(spark: SparkSession, index_name: str) -> str:
     return _ivf_index_path(spark, f"{index_name}_gens")
 
 
-def _resolve_root(spark: SparkSession, index_name: str, root: str | None) -> str:
-    """Resolve the store root, applying the SAME filesystem check to an
-    explicit ``root=`` that the default path gets: this local
-    implementation's pointer store and manifest listing are os.* code,
-    so an object-store URI here would silently become a local relative
-    dir named ``s3a:`` and the index would commit empty manifests while
-    the pointer claimed the full corpus — the exact corruption the
-    chokepoint exists to refuse loudly."""
+def _resolve_root(
+    spark: SparkSession, index_name: str, root: str | None, store=None
+) -> str:
+    """Resolve the store root. With the DEFAULT pointer backend
+    (``store=None`` → :class:`LocalPointerStore`, which is os.* code) an
+    explicit ``root=`` gets the same POSIX refusal as the default path —
+    an object-store URI would silently become a local relative dir named
+    ``s3a:`` and the index would commit empty pointer state while
+    claiming the full corpus. With an INJECTED pointer store the
+    refusal lifts: pointer CAS goes through the injected backend and all
+    data I/O goes through :class:`_HadoopFS`, so any scheme the Spark
+    runtime's connectors support is deployable (the conditional-PUT
+    protocol the store must honor is documented on
+    :class:`LocalPointerStore`)."""
     if root is not None:
-        return _require_posix_warehouse(root, what="the explicit root=")
+        if store is None:
+            return _require_posix_warehouse(root, what="the explicit root=")
+        return root
     return _store_root(spark, index_name)
 
 
-def _list_cell_files(gen_dir: str, gen_name: str) -> dict[str, list[str]]:
+def _list_cell_files(fs: _HadoopFS, gen_dir: str, gen_name: str) -> dict[str, list[str]]:
     """cell id -> ROOT-relative parquet paths for one freshly written
     generation. List-after-write of our own unpublished output; strongly
     consistent on local fs and (since 2020) on S3."""
     cells: dict[str, list[str]] = {}
     cells_dir = os.path.join(gen_dir, "cells")
-    if not os.path.isdir(cells_dir):
-        return cells
-    for entry in sorted(os.listdir(cells_dir)):
+    for entry in fs.list_names(cells_dir):
         if not entry.startswith("cell_id="):
             continue
         cell = entry.split("=", 1)[1]
         files = sorted(
             f"{gen_name}/cells/{entry}/{fname}"
-            for fname in os.listdir(os.path.join(cells_dir, entry))
+            for fname in fs.list_names(os.path.join(cells_dir, entry))
             if fname.endswith(".parquet")
         )
         if files:
@@ -408,19 +502,16 @@ def _merge_cells(
     return merged
 
 
-def _write_manifest(gen_dir: str, manifest: dict) -> None:
+def _write_manifest(fs: _HadoopFS, gen_dir: str, manifest: dict) -> None:
     """The manifest lives INSIDE the (still unpublished, writer-private)
-    generation dir; overwriting it during an append rebase touches no
-    published object."""
-    tmp = os.path.join(gen_dir, f".manifest.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(gen_dir, "manifest.json"))
+    generation dir; a direct overwrite needs no tmp+rename atomicity —
+    nothing reads it until the pointer commits, and a torn write in an
+    unpointed generation is just GC-able garbage."""
+    fs.write_text(os.path.join(gen_dir, "manifest.json"), json.dumps(manifest))
 
 
-def _read_manifest(root: str, gen_name: str) -> dict:
-    with open(os.path.join(root, gen_name, "manifest.json")) as fh:
-        return json.load(fh)
+def _read_manifest(fs: _HadoopFS, root: str, gen_name: str) -> dict:
+    return json.loads(fs.read_text(os.path.join(root, gen_name, "manifest.json")))
 
 
 def _write_assigned_cells(assigned: DataFrame, gen_dir: str) -> None:
@@ -466,7 +557,8 @@ def gen_index_build(
     repair flow must keep replay detection armed) — sound precisely
     BECAUSE the commit refuses when a tokened append interleaves."""
     spark = corpus.sparkSession
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     ptr = _store_for(root, store)
     start_seq, start_latest = ptr.read_latest()
 
@@ -504,12 +596,12 @@ def gen_index_build(
     )
     manifest = {
         "kind": "build",
-        "cells": _list_cell_files(gen_dir, gen_name),
+        "cells": _list_cell_files(fs, gen_dir, gen_name),
         "fingerprint": fp,
         "centroid_fp": cent_fp,
         "centroids": f"{gen_name}/centroids",
     }
-    _write_manifest(gen_dir, manifest)
+    _write_manifest(fs, gen_dir, manifest)
 
     payload = {
         "gen": gen_name,
@@ -519,7 +611,7 @@ def gen_index_build(
     }
     if ptr.try_commit((start_seq or 0) + 1, payload):
         return payload
-    shutil.rmtree(gen_dir)  # unpointed; GC would sweep it anyway
+    fs.delete(gen_dir)  # unpointed; GC would sweep it anyway
     raise CommitConflict(
         f"index '{index_name}' advanced while this build was staging "
         f"(another commit took sequence {(start_seq or 0) + 1}); "
@@ -540,7 +632,7 @@ def gen_index_built(
     service warmup) use before serving. Unlike the POSIX
     :func:`.similarity.ivf_index_built` there is no session-local build
     set to consult: the pointer IS the state, wherever it lives."""
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
     seq, _latest = _store_for(root, store).read_latest()
     return seq is not None
 
@@ -569,7 +661,8 @@ def gen_index_append(
     CAS attempt, so a duplicate delivery that loses a race to its twin
     discards itself instead of double-appending."""
     spark = batch.sparkSession
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     ptr = _store_for(root, store)
 
     # ONE budget for both loss modes — plain commit races (inner loop)
@@ -589,7 +682,7 @@ def gen_index_append(
             and latest.get("last_token") == idempotency_token
         ):
             return latest  # duplicate delivery — already applied
-        parent_manifest = _read_manifest(root, latest["gen"])
+        parent_manifest = _read_manifest(fs, root, latest["gen"])
         cents = spark.read.parquet(
             os.path.join(root, parent_manifest["centroids"])
         )
@@ -609,7 +702,7 @@ def gen_index_append(
         gen_dir = os.path.join(root, gen_name)
         _write_assigned_cells(assigned, gen_dir)
         batch_fp = _corpus_fingerprint(batch, id_col)
-        my_cells = _list_cell_files(gen_dir, gen_name)
+        my_cells = _list_cell_files(fs, gen_dir, gen_name)
 
         # CAS loop: rebase against whoever beats us, restage only if the
         # centroid set moved underneath the staged assignment
@@ -619,12 +712,12 @@ def gen_index_append(
                 idempotency_token is not None
                 and latest.get("last_token") == idempotency_token
             ):
-                shutil.rmtree(gen_dir)  # twin delivery won the race
+                fs.delete(gen_dir)  # twin delivery won the race
                 return latest
             if latest["centroid_fp"] != parent_manifest["centroid_fp"]:
-                shutil.rmtree(gen_dir)  # assignment is against dead cells
+                fs.delete(gen_dir)  # assignment is against dead cells
                 break  # outer loop restages against the new centroids
-            base = _read_manifest(root, latest["gen"])
+            base = _read_manifest(fs, root, latest["gen"])
             fp = {
                 "rows": base["fingerprint"]["rows"] + batch_fp["rows"],
                 "id_xor": base["fingerprint"]["id_xor"] ^ batch_fp["id_xor"],
@@ -637,7 +730,7 @@ def gen_index_append(
                 "centroids": base["centroids"],
                 "parent": latest["gen"],
             }
-            _write_manifest(gen_dir, manifest)
+            _write_manifest(fs, gen_dir, manifest)
             payload = {
                 "gen": gen_name,
                 "fingerprint": fp,
@@ -654,7 +747,7 @@ def gen_index_append(
         else:
             # inner loop exhausted the budget while the staged gen is
             # still on disk (plain commit contention, no restage)
-            shutil.rmtree(gen_dir, ignore_errors=True)
+            fs.delete(gen_dir)
         attempts -= 1  # a restage (centroid churn) also spends one
     raise CommitConflict(
         f"append to '{index_name}' lost {max_retries} commit races "
@@ -697,7 +790,8 @@ def gen_index_probe(
     from pyspark.sql import Window
 
     spark = queries.sparkSession
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     _seq, latest = _store_for(root, store).read_latest()
     if latest is None:
         raise FileNotFoundError(
@@ -712,7 +806,7 @@ def gen_index_probe(
                 f"corpus being queried: index {stored}, corpus {want} — "
                 "rebuild or append the missing batch"
             )
-    manifest = _read_manifest(root, latest["gen"])
+    manifest = _read_manifest(fs, root, latest["gen"])
     cents = spark.read.parquet(os.path.join(root, manifest["centroids"]))
 
     q_plan = _ivf_assign(
@@ -785,18 +879,19 @@ def gen_index_verify(
     files) must equal the pointer's. There are no orphan/aside damage
     classes — unpointed garbage is GC's department, not an
     inconsistency. Returns {stored, actual, missing_files, consistent}."""
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     _seq, latest = _store_for(root, store).read_latest()
     if latest is None:
         raise FileNotFoundError(
             f"generational index '{index_name}' has no committed generation"
         )
-    manifest = _read_manifest(root, latest["gen"])
+    manifest = _read_manifest(fs, root, latest["gen"])
     all_files = [
         rel for files in manifest["cells"].values() for rel in files
     ]
     missing = sorted(
-        rel for rel in all_files if not os.path.exists(os.path.join(root, rel))
+        rel for rel in all_files if not fs.exists(os.path.join(root, rel))
     )
     if all_files and not missing:
         actual = _corpus_fingerprint(
@@ -862,7 +957,8 @@ def gen_index_gc(
     {dropped_pointers, dropped_generations, kept_generations}."""
     import time
 
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     ptr = _store_for(root, store)
     ptrs = ptr.pointers()
     if not ptrs:
@@ -875,7 +971,7 @@ def gen_index_gc(
     # lease above
     reachable: set[str] = set()
     for _seq, payload in ptrs:
-        manifest = _read_manifest(root, payload["gen"])
+        manifest = _read_manifest(fs, root, payload["gen"])
         reachable.add(payload["gen"])
         reachable.add(manifest["centroids"].split("/", 1)[0])
         for files in manifest["cells"].values():
@@ -894,28 +990,25 @@ def gen_index_gc(
     # stopped being live
     superseded_bound = ptr.oldest_pointer_mtime() or now
     stamp = os.path.join(root, "ptr", ".last_gc")
-    try:
-        last_sweep = os.path.getmtime(stamp)
-    except FileNotFoundError:
-        last_sweep = None
+    last_sweep = fs.mtime(stamp)
     sweep_spaced = last_sweep is None or now - last_sweep >= min_age_s
     readers_safe = (now - superseded_bound >= min_age_s) and sweep_spaced
     dropped_gens, kept = [], []
-    for entry in sorted(os.listdir(root)):
+    for entry in fs.list_names(root):
         if not entry.startswith("gen-"):
             continue
         if entry in reachable:
             kept.append(entry)
             continue
         gen_dir = os.path.join(root, entry)
-        try:
-            staging_young = now - os.path.getmtime(gen_dir) < min_age_s
-        except FileNotFoundError:
+        dir_mtime = fs.mtime(gen_dir)
+        if dir_mtime is None:
             continue  # a concurrent sweep already took it
+        staging_young = now - dir_mtime < min_age_s
         if staging_young or not readers_safe:
             kept.append(entry)  # possibly staging / recent readers — next sweep
             continue
-        shutil.rmtree(gen_dir, ignore_errors=True)
+        fs.delete(gen_dir)
         dropped_gens.append(entry)
     # stamp sweeps that changed state (dropped pointers or deleted
     # data): a pointer dropped at sweep N must not see its generation
@@ -926,9 +1019,8 @@ def gen_index_gc(
         # the stamp is DATA-side bookkeeping (it spaces generation
         # deletion sweeps), so it lives next to the generations even when
         # the pointer backend is not the local one
-        os.makedirs(os.path.dirname(stamp), exist_ok=True)
-        with open(stamp, "w") as fh:
-            fh.write("")
+        fs.mkdirs(os.path.dirname(stamp))
+        fs.write_text(stamp, "")
     return {
         "dropped_pointers": dropped_ptrs,
         "dropped_generations": dropped_gens,
@@ -969,7 +1061,8 @@ def gen_index_import_posix(
     from .similarity import _ivf_index_path as _posix_path
     from .similarity import _read_fingerprint
 
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     ptr = _store_for(root, store)
     start_seq, start_latest = ptr.read_latest()
 
@@ -990,7 +1083,7 @@ def gen_index_import_posix(
         spark.read.parquet(os.path.join(gen_dir, "centroids")), "cent_id"
     )
     fp = _fp_core(stored_fp)
-    copied = _list_cell_files(gen_dir, gen_name)
+    copied = _list_cell_files(fs, gen_dir, gen_name)
     copied_files = [
         os.path.join(root, rel) for fs in copied.values() for rel in fs
     ]
@@ -1000,7 +1093,7 @@ def gen_index_import_posix(
         else {"rows": 0, "id_xor": 0}
     )
     if actual_fp != fp:
-        shutil.rmtree(gen_dir)
+        fs.delete(gen_dir)
         raise ValueError(
             f"POSIX index '{posix_index_name}' content {actual_fp} does not "
             f"match its stored fingerprint {fp} — the source is "
@@ -1015,7 +1108,7 @@ def gen_index_import_posix(
         "centroids": f"{gen_name}/centroids",
         "imported_from": posix_index_name,
     }
-    _write_manifest(gen_dir, manifest)
+    _write_manifest(fs, gen_dir, manifest)
     payload = {
         "gen": gen_name,
         "fingerprint": fp,
@@ -1027,7 +1120,7 @@ def gen_index_import_posix(
     }
     if ptr.try_commit((start_seq or 0) + 1, payload):
         return payload
-    shutil.rmtree(gen_dir)
+    fs.delete(gen_dir)
     raise CommitConflict(
         f"generational index '{index_name}' advanced while the import "
         f"from POSIX index '{posix_index_name}' was staging — re-run the "
@@ -1053,7 +1146,8 @@ def gen_index_cell_skew(
     manifest file lists — at scale this is parquet footers plus one tiny
     shuffle of ≤ centroid-count groups each. Feed the hot cells to
     :func:`gen_index_rebalance`."""
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     ptr = _store_for(root, store)
     ptrs = ptr.pointers()
     if not ptrs:
@@ -1074,7 +1168,7 @@ def gen_index_cell_skew(
         base_payload = by_seq[baseline_seq]
 
     def counts(payload, alias):
-        manifest = _read_manifest(root, payload["gen"])
+        manifest = _read_manifest(fs, root, payload["gen"])
         files = [
             os.path.join(root, rel)
             for fs in manifest["cells"].values()
@@ -1147,7 +1241,8 @@ def gen_index_rebalance(
     parent cell ids actually split."""
     from pyspark.sql import Window
 
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     ptr = _store_for(root, store)
     for _attempt in range(max_retries):
         seq, latest = ptr.read_latest()
@@ -1155,7 +1250,7 @@ def gen_index_rebalance(
             raise FileNotFoundError(
                 f"generational index '{index_name}' has no committed generation"
             )
-        manifest = _read_manifest(root, latest["gen"])
+        manifest = _read_manifest(fs, root, latest["gen"])
         cents = spark.read.parquet(os.path.join(root, manifest["centroids"]))
         all_cent_ids = {
             int(r["cent_id"]) for r in cents.select("cent_id").collect()
@@ -1270,14 +1365,14 @@ def gen_index_rebalance(
         }
         new_manifest = {
             "kind": "rebalance",
-            "cells": _merge_cells(surviving, _list_cell_files(gen_dir, gen_name)),
+            "cells": _merge_cells(surviving, _list_cell_files(fs, gen_dir, gen_name)),
             "fingerprint": manifest["fingerprint"],  # same rows, new layout
             "centroid_fp": cent_fp,
             "centroids": f"{gen_name}/centroids",
             "parent": latest["gen"],
             "split": split,
         }
-        _write_manifest(gen_dir, new_manifest)
+        _write_manifest(fs, gen_dir, new_manifest)
         payload = {
             "gen": gen_name,
             "fingerprint": manifest["fingerprint"],
@@ -1286,7 +1381,7 @@ def gen_index_rebalance(
         }
         if ptr.try_commit(seq + 1, payload):
             return split
-        shutil.rmtree(gen_dir)  # superseded mid-split: re-read and redo
+        fs.delete(gen_dir)  # superseded mid-split: re-read and redo
     raise CommitConflict(
         f"rebalance of '{index_name}' lost {max_retries} commit races; "
         "schedule structural maintenance apart from append traffic"
@@ -1308,7 +1403,8 @@ def gen_index_compact(
     lost race discards the rewrite and re-reads — compaction of a moved
     index must re-read, not rebase, because its content IS the parent
     snapshot. Old generations become GC-able history."""
-    root = _resolve_root(spark, index_name, root)
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
     ptr = _store_for(root, store)
     for _attempt in range(max_retries):
         seq, latest = ptr.read_latest()
@@ -1316,7 +1412,7 @@ def gen_index_compact(
             raise FileNotFoundError(
                 f"generational index '{index_name}' has no committed generation"
             )
-        manifest = _read_manifest(root, latest["gen"])
+        manifest = _read_manifest(fs, root, latest["gen"])
         all_files = [
             os.path.join(root, rel)
             for files in manifest["cells"].values()
@@ -1330,19 +1426,19 @@ def gen_index_compact(
             )
             _write_assigned_cells(live, gen_dir)
         else:
-            os.makedirs(os.path.join(gen_dir, "cells"), exist_ok=True)
+            fs.mkdirs(os.path.join(gen_dir, "cells"))
         spark.read.parquet(os.path.join(root, manifest["centroids"])).coalesce(
             1
         ).write.mode("overwrite").parquet(os.path.join(gen_dir, "centroids"))
         new_manifest = {
             "kind": "compact",
-            "cells": _list_cell_files(gen_dir, gen_name),
+            "cells": _list_cell_files(fs, gen_dir, gen_name),
             "fingerprint": manifest["fingerprint"],
             "centroid_fp": manifest["centroid_fp"],
             "centroids": f"{gen_name}/centroids",
             "parent": latest["gen"],
         }
-        _write_manifest(gen_dir, new_manifest)
+        _write_manifest(fs, gen_dir, new_manifest)
         payload = {
             "gen": gen_name,
             "fingerprint": manifest["fingerprint"],
@@ -1351,7 +1447,7 @@ def gen_index_compact(
         }
         if ptr.try_commit(seq + 1, payload):
             return payload
-        shutil.rmtree(gen_dir)  # superseded mid-rewrite: re-read and redo
+        fs.delete(gen_dir)  # superseded mid-rewrite: re-read and redo
     raise CommitConflict(
         f"compaction of '{index_name}' lost {max_retries} commit races; "
         "schedule it apart from heavy append traffic and retry"

@@ -25,6 +25,10 @@ def _ptrs(spark, name):
     return gs._store_for(root).pointers()
 
 
+def _manifest(spark, root, gen_name):
+    return gs._read_manifest(gs._HadoopFS(spark, root), root, gen_name)
+
+
 class _Backend:
     def __init__(self, name, cls):
         self.name, self.cls = name, cls
@@ -99,7 +103,7 @@ def test_gen_commit_is_one_pointer_create(spark, gen_shared):
     assert [seq for seq, _ in ptrs] == [1]
     assert ptrs[0][1]["gen"] == payload["gen"]
     root = gs._store_root(spark, idx)
-    manifest = gs._read_manifest(root, payload["gen"])
+    manifest = _manifest(spark, root, payload["gen"])
     # every manifest file lives inside the committed generation
     assert all(rel.startswith(payload["gen"] + "/") for files in manifest["cells"].values() for rel in files)
 
@@ -115,7 +119,7 @@ def test_gen_append_references_parent_files(spark, sf_dir, pointer_backend, nm):
     built = gs.gen_index_build(base, index_name=nm("t_gen_app"))
     appended = gs.gen_index_append(batch, index_name=nm("t_gen_app"))
     root = gs._store_root(spark, nm("t_gen_app"))
-    manifest = gs._read_manifest(root, appended["gen"])
+    manifest = _manifest(spark, root, appended["gen"])
     gens_used = {rel.split("/", 1)[0] for files in manifest["cells"].values() for rel in files}
     assert built["gen"] in gens_used and appended["gen"] in gens_used
     # the append's own directory contains only batch-sized state
@@ -337,7 +341,7 @@ def test_gen_compact_collapses_history_and_preserves_results(spark, sf_dir, poin
 
     compacted = gs.gen_index_compact(spark, nm("t_gen_cpt"))
     root = gs._store_root(spark, nm("t_gen_cpt"))
-    manifest = gs._read_manifest(root, compacted["gen"])
+    manifest = _manifest(spark, root, compacted["gen"])
     gens_used = {rel.split("/", 1)[0] for files in manifest["cells"].values() for rel in files}
     assert gens_used == {compacted["gen"]}
     assert _rows(gs.gen_index_probe(q, k=5, index_name=nm("t_gen_cpt"))) == before
@@ -377,7 +381,7 @@ def test_gen_rebalance_matches_posix_rebalanced_probe(spark, sf_dir, pointer_bac
     # pick the two biggest cells, deterministically, from the gen store
     root = gs._store_root(spark, nm("t_gen_rb"))
     _seq, latest = gs._store_for(root).read_latest()
-    manifest = gs._read_manifest(root, latest["gen"])
+    manifest = _manifest(spark, root, latest["gen"])
     files = [os.path.join(root, rel) for fs in manifest["cells"].values() for rel in fs]
     counts = sorted(
         ((r["count"], int(r["cell"])) for r in spark.read.parquet(*files).groupBy("cell").count().collect()),
@@ -398,8 +402,8 @@ def test_gen_rebalance_matches_posix_rebalanced_probe(spark, sf_dir, pointer_bac
     report = gs.gen_index_verify(spark, nm("t_gen_rb"))
     assert report["consistent"]
     assert report["actual"]["rows"] == emb.count()
-    new_manifest = gs._read_manifest(
-        root, gs._store_for(root).read_latest()[1]["gen"]
+    new_manifest = _manifest(
+        spark, root, gs._store_for(root).read_latest()[1]["gen"]
     )
     assert not (set(map(str, split_cells)) & set(new_manifest["cells"]))
 
@@ -416,7 +420,7 @@ def test_gen_rebalance_forces_concurrent_append_to_restage(spark, sf_dir, pointe
 
     root = gs._store_root(spark, nm("t_gen_rb_race"))
     _seq, latest = gs._store_for(root).read_latest()
-    manifest = gs._read_manifest(root, latest["gen"])
+    manifest = _manifest(spark, root, latest["gen"])
     files = [os.path.join(root, rel) for fs in manifest["cells"].values() for rel in fs]
     hot = int(
         max(
@@ -450,8 +454,8 @@ def test_gen_rebalance_forces_concurrent_append_to_restage(spark, sf_dir, pointe
     assert report["actual"]["rows"] == emb.count()
     # every manifest cell is a live centroid — no rows stranded in the
     # pre-split layout
-    final = gs._read_manifest(
-        root, gs._store_for(root).read_latest()[1]["gen"]
+    final = _manifest(
+        spark, root, gs._store_for(root).read_latest()[1]["gen"]
     )
     cents = spark.read.parquet(os.path.join(root, final["centroids"]))
     live = {int(r["cent_id"]) for r in cents.select("cent_id").collect()}
@@ -595,7 +599,7 @@ def test_gen_probe_reads_only_probed_cells_files(spark, gen_shared):
     out = gs.gen_index_probe(q, k=5, nprobe=1, index_name=idx)
 
     root = gs._store_root(spark, idx)
-    manifest = gs._read_manifest(root, payload["gen"])
+    manifest = _manifest(spark, root, payload["gen"])
     all_files = {
         os.path.realpath(os.path.join(root, rel))
         for files in manifest["cells"].values()
@@ -1062,3 +1066,48 @@ def test_inmemory_cas_exactly_once_across_threads():
     for me, seqs in wins.items():
         for s in seqs:
             assert by_seq[s]["writer"] == me
+
+
+@pytest.mark.slow  # end-to-end lifecycle over a URI root (slow tier)
+def test_gen_lifecycle_on_uri_root_with_injected_store(spark, sf_dir, tmp_path):
+    """The object-store deployment shape, end to end: an explicit URI
+    root (file:// stands in for s3a:// — same Hadoop FileSystem API,
+    different connector) plus an injected conditional-PUT pointer
+    store. No os.* call ever parses the URI: data I/O goes through
+    _HadoopFS, pointer CAS through the store — so
+    build → append → skew audit → verify → compact → GC → probe all
+    run, and the closing probe is row-identical to the in-memory IVF."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    root = "file://" + str(tmp_path / "uri_idx")
+    mem = gs.InMemoryPointerStore()
+
+    gs.gen_index_build(base, root=root, store=mem)
+    gs.gen_index_append(batch, root=root, store=mem, idempotency_token="uri:b0")
+    skew = gs.gen_index_cell_skew(spark, root=root, store=mem).collect()
+    assert sum(r["added"] for r in skew) == batch.count()
+    report = gs.gen_index_verify(spark, root=root, store=mem)
+    assert report["consistent"] and report["actual"]["rows"] == emb.count()
+
+    gs.gen_index_compact(spark, root=root, store=mem)
+    sweeps = [
+        gs.gen_index_gc(
+            spark, root=root, store=mem, keep_pointers=1, min_age_s=0.0
+        )
+        for _ in range(2)
+    ]
+    assert sweeps[0]["dropped_pointers"]  # history pointers retired
+    assert len(sweeps[1]["dropped_generations"]) >= 2  # build+append gone
+
+    q = emb.where(F.col("vec_id") < 10)
+    assert _rows(gs.gen_index_probe(q, k=5, root=root, store=mem)) == _rows(
+        ivf_topk(emb, q, k=5)
+    )
+    # a replayed delivery is still caught through the injected store
+    replay = gs.gen_index_append(
+        batch, root=root, store=mem, idempotency_token="uri:b0"
+    )
+    assert replay["last_token"] == "uri:b0"
+    # and the URI was never mistaken for a relative local directory
+    assert not os.path.exists("file:")
