@@ -195,11 +195,16 @@ def _extra_bench():
             gen_index_build(
                 emb.where(F.col("vec_id") % 50 != 17), index_name=name
             )
-            gen_index_append(
-                emb.where(F.col("vec_id") % 50 == 17),
-                index_name=name,
-                idempotency_token="bench:b0",
-            )
+        # OUTSIDE the build gate: a pointer can exist with the append
+        # missing (warm-run append failure), which would silently time a
+        # one-fileset probe as the accreted row — the idempotency token
+        # makes this a cheap replay no-op once applied, and a real
+        # append whenever it is not
+        gen_index_append(
+            emb.where(F.col("vec_id") % 50 == 17),
+            index_name=name,
+            idempotency_token="bench:b0",
+        )
         return gen_index_probe(
             emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
         )

@@ -101,6 +101,14 @@ class CommitConflict(RuntimeError):
     writers are racing one index — consider batching their inputs."""
 
 
+#: Probe shortlists (nprobe × |queries| rows of id + vector) up to this
+#: size get an explicit broadcast hint — comfortably driver-safe for
+#: serving traffic; beyond it (corpus-sized recall sweeps) AQE chooses
+#: from measured sizes so the probe degrades to a shuffled join rather
+#: than a driver-built broadcast blowup.
+_BROADCAST_SHORTLIST_ROWS = 1_000_000
+
+
 class LocalPointerStore:
     """Create-exactly-once pointer objects on a local filesystem.
 
@@ -371,6 +379,22 @@ class _HadoopFS:
             spark._jsc.hadoopConfiguration()
         )
 
+    @staticmethod
+    def _is_missing(exc: Exception) -> bool:
+        """True iff a py4j-raised Java exception is a FileNotFound —
+        the ONLY failure the metadata helpers may swallow. A throttling
+        / auth / socket error must PROPAGATE: treating it as 'no files'
+        would let a build commit an empty manifest under a full-corpus
+        fingerprint, the exact silent corruption this store refuses."""
+        java_exc = getattr(exc, "java_exception", None)
+        if java_exc is None:
+            return isinstance(exc, FileNotFoundError)
+        try:
+            cls = java_exc.getClass().getName()
+        except Exception:
+            return False
+        return "FileNotFoundException" in cls
+
     def list_names(self, path: str) -> list[str]:
         p = self._Path(path)
         if not self._fs.exists(p):
@@ -379,8 +403,10 @@ class _HadoopFS:
             return sorted(
                 st.getPath().getName() for st in self._fs.listStatus(p)
             )
-        except Exception:  # deleted between exists and list (GC race)
-            return []
+        except Exception as exc:
+            if self._is_missing(exc):
+                return []  # deleted between exists and list (GC race)
+            raise
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._Path(path))
@@ -404,23 +430,32 @@ class _HadoopFS:
     def delete(self, path: str) -> None:
         try:
             self._fs.delete(self._Path(path), True)
-        except Exception:  # already gone (concurrent sweep) — fine
-            pass
+        except Exception as exc:
+            if self._is_missing(exc):
+                return  # already gone (concurrent sweep) — fine
+            raise
 
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._Path(path))
 
     def mtime(self, path: str) -> float | None:
-        """Modification time in epoch seconds, None if missing. For a
-        DIRECTORY on a real filesystem this is the dir inode's mtime;
-        object stores have no directory objects (status may be a
-        synthetic 0-mtime entry), so fall back to the newest direct
-        child — the honest 'is a writer still staging here' signal."""
+        """Modification time in epoch seconds; ``None`` means 'no
+        trustworthy age' — missing path OR an age that cannot be
+        determined. For a DIRECTORY on a real filesystem this is the dir
+        inode's mtime; object stores have no directory objects (status
+        may be a synthetic 0-mtime entry), so fall back to the newest
+        direct child, and if THOSE are synthetic prefixes too (e.g. a
+        generation dir whose direct children are only the virtual
+        ``cells``/``centroids`` levels), return None rather than 0 —
+        callers must treat unknown age as YOUNG, never as infinitely
+        old (GC keeps, not deletes)."""
         p = self._Path(path)
         try:
             st = self._fs.getFileStatus(p)
-        except Exception:
-            return None
+        except Exception as exc:
+            if self._is_missing(exc):
+                return None
+            raise
         m = st.getModificationTime()
         if m > 0:
             return m / 1000.0
@@ -428,9 +463,12 @@ class _HadoopFS:
             children = [
                 c.getModificationTime() for c in self._fs.listStatus(p)
             ]
-        except Exception:
-            return None
-        return max(children) / 1000.0 if children else None
+        except Exception as exc:
+            if self._is_missing(exc):
+                return None
+            raise
+        best = max(children, default=0)
+        return best / 1000.0 if best > 0 else None
 
 
 def _store_root(spark: SparkSession, index_name: str) -> str:
@@ -819,27 +857,35 @@ def gen_index_probe(
         keep=nprobe,
     )
     # ONE execution of the assignment job, but only the DISTINCT probed
-    # cell ids ever reach the driver (≤ centroid-count rows, ≤
-    # max_centroids — bounded regardless of |queries|, so a recall sweep
-    # probing with the whole corpus cannot OOM the driver here). The
-    # eager lineage break materializes the assignment once; the join
-    # below broadcasts the materialized frame instead of re-running the
-    # queries×centroids scoring.
+    # cell ids ever reach the driver for manifest pruning (≤
+    # centroid-count rows, ≤ max_centroids — bounded regardless of
+    # |queries|). The eager lineage break materializes the assignment
+    # once; the join reuses it instead of re-running the
+    # queries×centroids scoring. NOTE the JOIN side is still
+    # nprobe×|queries| rows: the broadcast hint below is applied only
+    # while that stays under _BROADCAST_SHORTLIST_ROWS (a broadcast is
+    # built ON the driver, so hinting an unbounded query batch would be
+    # the very OOM the collect fix avoids); above it, AQE picks the
+    # strategy from measured sizes — big recall sweeps degrade to a
+    # shuffled join instead of a driver blowup.
     from ..session import eager_checkpoint
 
     q = eager_checkpoint(q_plan, "gen_probe_assignment")
-    probed = sorted(
-        str(r["cent_id"]) for r in q.select("cent_id").distinct().collect()
-    )
+    # one bounded collect serves both needs: the probed cell ids AND the
+    # shortlist size (≤ max_centroids rows come back, never the rows)
+    cell_counts = q.groupBy("cent_id").count().collect()
+    probed = sorted(str(r["cent_id"]) for r in cell_counts)
+    n_shortlist = sum(r["count"] for r in cell_counts)
     index = _probe_files(spark, root, manifest, probed)
     if index is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
+    q_side = q.withColumnRenamed("cent_id", "cell")
+    if n_shortlist <= _BROADCAST_SHORTLIST_ROWS:
+        q_side = F.broadcast(q_side)
     scored = (
-        index.join(
-            F.broadcast(q.withColumnRenamed("cent_id", "cell")), "cell"
-        )
+        index.join(q_side, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -1003,7 +1049,13 @@ def gen_index_gc(
         gen_dir = os.path.join(root, entry)
         dir_mtime = fs.mtime(gen_dir)
         if dir_mtime is None:
-            continue  # a concurrent sweep already took it
+            if not fs.exists(gen_dir):
+                continue  # a concurrent sweep already took it
+            # exists but age undeterminable (object-store virtual
+            # prefixes all the way down) — unknown age is YOUNG: a
+            # possibly-staging writer must never be swept on a guess
+            kept.append(entry)
+            continue
         staging_young = now - dir_mtime < min_age_s
         if staging_young or not readers_safe:
             kept.append(entry)  # possibly staging / recent readers — next sweep
@@ -1085,7 +1137,7 @@ def gen_index_import_posix(
     fp = _fp_core(stored_fp)
     copied = _list_cell_files(fs, gen_dir, gen_name)
     copied_files = [
-        os.path.join(root, rel) for fs in copied.values() for rel in fs
+        os.path.join(root, rel) for files in copied.values() for rel in files
     ]
     actual_fp = (
         _corpus_fingerprint(spark.read.parquet(*copied_files), "neighbor_id")
@@ -1171,8 +1223,8 @@ def gen_index_cell_skew(
         manifest = _read_manifest(fs, root, payload["gen"])
         files = [
             os.path.join(root, rel)
-            for fs in manifest["cells"].values()
-            for rel in fs
+            for files in manifest["cells"].values()
+            for rel in files
         ]
         if not files:
             return spark.createDataFrame([], f"cell_id long, {alias} long")

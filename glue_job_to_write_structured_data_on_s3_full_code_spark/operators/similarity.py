@@ -673,24 +673,37 @@ def _require_posix_warehouse(
     ``s3a://bucket/...`` as a relative local directory name. ``what``
     names the offending setting in the error (the generational store
     routes its explicit ``root=`` through here too)."""
-    from urllib.parse import urlsplit
+    import os
 
-    # Only treat the input as a URI when it actually uses URI syntax: a
-    # plain local path may legally contain a colon in a segment (e.g.
-    # 'runs:2026/idx'), which urlsplit would misparse as scheme 'runs'
-    # and reject. Spark local mode reports the warehouse as file:/... —
-    # POSIX-renameable, so accepted; file://host/... drops the (always
-    # local-or-meaningless) authority via urlsplit().path instead of a
-    # prefix strip that would leave '//host/path'.
-    if "://" not in uri and not uri.startswith("file:"):
+    # URI-vs-path classification, done by SYNTAX rather than urlsplit's
+    # permissive parse: a plain local path may legally contain a colon in
+    # a segment ('runs:2026/idx' — not a URI: what follows the colon is
+    # not a path-absolute or authority part), while Hadoop URIs appear
+    # both as scheme://authority/path AND the single-slash scheme:/path
+    # form ('hdfs:/user/hive/warehouse' is common) — BOTH must classify
+    # as URIs or a non-file scheme slips past the refusal and the index
+    # splits brain: os.* state under a local dir literally named
+    # 'hdfs:', Spark data on the real filesystem.
+    if os.path.isabs(uri):
+        return uri  # absolute local path, colons in segments and all
+    head, sep, rest = uri.partition(":")
+    if not sep or not (rest.startswith("/") or rest.startswith("//")):
+        # no colon, or colon-in-segment (rest is not a URI path/authority)
         return uri
-    parts = urlsplit(uri)
-    if parts.scheme in ("", "file"):
-        return parts.path
+    scheme = head.lower()
+    if scheme == "file":
+        # keep the path VERBATIM ('#'/'?' are legal in filenames; do not
+        # let URL fragment/query parsing truncate them); authority form
+        # file://host/path drops the (local-or-meaningless) authority
+        if rest.startswith("//"):
+            after = rest[2:]
+            slash = after.find("/")
+            return after[slash:] if slash >= 0 else "/"
+        return rest
     raise UnsupportedIndexFilesystem(
         f"stored-IVF indexes require a POSIX filesystem (atomic rename + "
         f"O_EXCL) but {what} is '{uri}' (scheme "
-        f"'{parts.scheme}'). Object stores lack atomic rename and exclusive "
+        f"'{scheme}'). Object stores lack atomic rename and exclusive "
         f"create, so the index's crash-atomicity and single-writer "
         f"guarantees would not hold. Point the warehouse at a local/NFS "
         f"path, or see COVERAGE.md 'Stored-IVF filesystem contract' for "

@@ -164,10 +164,20 @@ def replicate_tables(
                         msg = msg.replace(form, "***redacted***")
                 user = spec.get("user")
                 if user:
-                    # the username is a secret-adjacent identifier and
-                    # often appears right next to the password in echoed
-                    # URLs (user:pass@host) — scrub it too
-                    msg = msg.replace(str(user), "***redacted-user***")
+                    import re as _re
+
+                    # the username is secret-adjacent, but a blanket
+                    # substring replace garbles diagnostics for short
+                    # names ('sa' in 'transaction', 'root' in 'root
+                    # cause') — scrub only credential-shaped contexts:
+                    # the user:pass@host URL form and property echoes
+                    u = _re.escape(str(user))
+                    msg = _re.sub(
+                        rf"\b{u}(?=:[^\s@/]*@)", "***redacted-user***", msg
+                    )
+                    msg = _re.sub(
+                        rf"\b(user=){u}\b", r"\1***redacted-user***", msg
+                    )
             return {"table": table, "dest": dest, "status": "error", "error": msg}
 
     if max_concurrency <= 1:

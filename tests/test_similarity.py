@@ -2053,6 +2053,25 @@ def test_require_posix_warehouse_accepts_local_forms():
     # file://host/path: the authority is dropped, not glued onto the path
     assert _require_posix_warehouse("file:///abs/warehouse") == "/abs/warehouse"
     assert _require_posix_warehouse("file://localhost/abs/wh") == "/abs/wh"
+    # '#' and '?' are legal filename characters — URL fragment/query
+    # parsing must not truncate a file: path at them
+    assert _require_posix_warehouse("file:/data/run#3/wh") == "/data/run#3/wh"
+    assert _require_posix_warehouse("/data/run#3/wh") == "/data/run#3/wh"
+
+
+def test_require_posix_warehouse_refuses_single_slash_uris():
+    """Hadoop URIs appear as scheme:/path as well as scheme://auth/path
+    ('hdfs:/user/hive/warehouse' is a common form) — BOTH must refuse,
+    or the index splits brain: os.* state under a local dir literally
+    named 'hdfs:' while Spark resolves the real filesystem."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        UnsupportedIndexFilesystem,
+        _require_posix_warehouse,
+    )
+
+    for uri in ("hdfs:/user/hive/warehouse", "s3a:/bucket/wh", "viewfs:/cluster/wh"):
+        with pytest.raises(UnsupportedIndexFilesystem, match="atomic rename"):
+            _require_posix_warehouse(uri)
 
 
 def test_lock_payload_names_holder(spark, sf_dir):

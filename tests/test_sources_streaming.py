@@ -819,6 +819,24 @@ def test_replicate_tables_redacts_manifest_password(spark, tmp_path):
     # the username is scrubbed as well — it flanks the password in the URL
     assert "svc:" not in report[0]["error"]
 
+    def short_user_reader(spark, dbtable, **kwargs):
+        # a short username that is a substring of ordinary words must NOT
+        # be scrubbed outside credential-shaped contexts — a blanket
+        # replace would turn 'transaction' into 'tran<redacted>ction'
+        raise RuntimeError(
+            f"could not start transaction as user={kwargs.get('user')}"
+        )
+
+    report = replicate_tables(
+        spark,
+        [{"table": "accounts", "user": "sa", "password": "hunter2!"}],
+        dest_root=str(tmp_path),
+        snapshot_dt="20231122",
+        reader=short_user_reader,
+    )
+    assert "transaction" in report[0]["error"]  # prose intact
+    assert "user=***redacted-user***" in report[0]["error"]  # echo scrubbed
+
 
 @pytest.mark.slow  # streaming boundary parity (~8 s)
 def test_sessionization_subsecond_gap_parity(spark, tmp_path):
