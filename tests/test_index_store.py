@@ -1111,3 +1111,16 @@ def test_gen_lifecycle_on_uri_root_with_injected_store(spark, sf_dir, tmp_path):
     assert replay["last_token"] == "uri:b0"
     # and the URI was never mistaken for a relative local directory
     assert not os.path.exists("file:")
+
+
+def test_gen_probe_big_shortlist_path_row_identical(spark, gen_shared, monkeypatch):
+    """Above _BROADCAST_SHORTLIST_ROWS the probe drops the broadcast
+    hint (AQE picks the join strategy) — force that path with a zero
+    threshold and pin row-identity with the hinted path: the strategy
+    dial must never change answers."""
+    emb, _payload, idx = gen_shared
+    q = emb.where(F.col("vec_id") < 10)
+    hinted = _rows(gs.gen_index_probe(q, k=5, index_name=idx))
+    monkeypatch.setattr(gs, "_BROADCAST_SHORTLIST_ROWS", 0)
+    unhinted = _rows(gs.gen_index_probe(q, k=5, index_name=idx))
+    assert unhinted == hinted and len(hinted) > 0
