@@ -1124,3 +1124,57 @@ def test_gen_probe_big_shortlist_path_row_identical(spark, gen_shared, monkeypat
     monkeypatch.setattr(gs, "_BROADCAST_SHORTLIST_ROWS", 0)
     unhinted = _rows(gs.gen_index_probe(q, k=5, index_name=idx))
     assert unhinted == hinted and len(hinted) > 0
+
+
+@pytest.mark.slow  # hypothesis property suite (slow tier)
+def test_pointer_backend_bisimulation():
+    """The two pointer backends must be OBSERVATIONALLY IDENTICAL under
+    any operation sequence — commit/read/pointers/drop applied in
+    lockstep to a LocalPointerStore (tmp dir) and an
+    InMemoryPointerStore must return the same results at every step.
+    This is the conformance bar a real S3PointerStore implementation
+    should be held to before deployment (run it against a bucket with
+    the same harness)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("commit"), st.integers(0, 6), st.integers(0, 99)),
+        st.tuples(st.just("read"), st.just(0), st.just(0)),
+        st.tuples(st.just("pointers"), st.just(0), st.just(0)),
+        st.tuples(st.just("drop"), st.integers(0, 6), st.just(0)),
+    )
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(ops=st.lists(op, max_size=30))
+    def run(ops):
+        work = tempfile.mkdtemp(prefix="bisim_")
+        try:
+            local = gs.LocalPointerStore(work)
+            mem = gs.InMemoryPointerStore()
+            for kind, seq, pid in ops:
+                if kind == "commit":
+                    payload = {"gen": f"g-{pid}", "n": pid}
+                    assert local.try_commit(seq, payload) == mem.try_commit(
+                        seq, payload
+                    ), (kind, seq, pid)
+                elif kind == "read":
+                    assert local.read_latest() == mem.read_latest()
+                elif kind == "pointers":
+                    assert local.pointers() == mem.pointers()
+                else:
+                    local.drop(seq)
+                    mem.drop(seq)
+            assert local.pointers() == mem.pointers()
+            assert local.read_latest() == mem.read_latest()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    run()
