@@ -1076,12 +1076,14 @@ def test_gen_lifecycle_on_uri_root_with_injected_store(spark, sf_dir, tmp_path):
     store. No os.* call ever parses the URI: data I/O goes through
     _HadoopFS, pointer CAS through the store — so
     build → append → skew audit → verify → compact → GC → probe all
-    run, and the closing probe is row-identical to the in-memory IVF."""
+    run; the pre-rebalance probe is row-identical to the in-memory IVF
+    and compaction+GC preserve the post-rebalance results exactly."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
     root = "file://" + str(tmp_path / "uri_idx")
     mem = gs.InMemoryPointerStore()
+    q = emb.where(F.col("vec_id") < 10)
 
     gs.gen_index_build(base, root=root, store=mem)
     gs.gen_index_append(batch, root=root, store=mem, idempotency_token="uri:b0")
@@ -1089,6 +1091,27 @@ def test_gen_lifecycle_on_uri_root_with_injected_store(spark, sf_dir, tmp_path):
     assert sum(r["added"] for r in skew) == batch.count()
     report = gs.gen_index_verify(spark, root=root, store=mem)
     assert report["consistent"] and report["actual"]["rows"] == emb.count()
+    # pre-rebalance semantics pin: identical to the in-memory IVF
+    assert _rows(gs.gen_index_probe(q, k=5, root=root, store=mem)) == _rows(
+        ivf_topk(emb, q, k=5)
+    )
+
+    # hot-cell rebalance over the URI root: the sub-centroid fixpoint
+    # reads split-cell files and rewrites centroids through the same
+    # _HadoopFS paths (the refined centroid set legitimately changes
+    # probe results — the cross-store split-semantics pin lives in
+    # test_gen_rebalance_matches_posix_rebalanced_probe)
+    hot = max(
+        (r for r in skew), key=lambda r: (r["rows_now"], r["cell_id"])
+    )["cell_id"]
+    split = gs.gen_index_rebalance(
+        spark, root=root, store=mem, cells=[int(hot)]
+    )
+    assert split == [int(hot)]
+    report = gs.gen_index_verify(spark, root=root, store=mem)
+    assert report["consistent"] and report["actual"]["rows"] == emb.count()
+    post_rb = _rows(gs.gen_index_probe(q, k=5, root=root, store=mem))
+    assert len(post_rb) > 0
 
     gs.gen_index_compact(spark, root=root, store=mem)
     sweeps = [
@@ -1098,12 +1121,10 @@ def test_gen_lifecycle_on_uri_root_with_injected_store(spark, sf_dir, tmp_path):
         for _ in range(2)
     ]
     assert sweeps[0]["dropped_pointers"]  # history pointers retired
-    assert len(sweeps[1]["dropped_generations"]) >= 2  # build+append gone
+    assert len(sweeps[1]["dropped_generations"]) >= 3  # build+append+rebalance gone
 
-    q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, root=root, store=mem)) == _rows(
-        ivf_topk(emb, q, k=5)
-    )
+    # compaction + GC are layout-only: post-rebalance results unchanged
+    assert _rows(gs.gen_index_probe(q, k=5, root=root, store=mem)) == post_rb
     # a replayed delivery is still caught through the injected store
     replay = gs.gen_index_append(
         batch, root=root, store=mem, idempotency_token="uri:b0"
