@@ -1134,6 +1134,7 @@ def test_gen_lifecycle_on_uri_root_with_injected_store(spark, sf_dir, tmp_path):
     assert not os.path.exists("file:")
 
 
+@pytest.mark.slow  # two stored-index probes per backend (slow tier)
 def test_gen_probe_big_shortlist_path_row_identical(spark, gen_shared, monkeypatch):
     """Above _BROADCAST_SHORTLIST_ROWS the probe drops the broadcast
     hint (AQE picks the join strategy) — force that path with a zero
