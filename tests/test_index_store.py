@@ -1200,3 +1200,63 @@ def test_pointer_backend_bisimulation():
             shutil.rmtree(work, ignore_errors=True)
 
     run()
+
+
+@pytest.mark.slow  # 4 concurrent Spark applications (slow tier, ~90 s)
+def test_gen_concurrent_appends_across_processes(spark, sf_dir, tmp_path):
+    """The lock-free multi-writer claim under REAL concurrency: four
+    separate Spark applications append disjoint batches to one
+    shared-root index AT THE SAME TIME. CAS losers must rebase and
+    retry; the XOR fingerprint (checked by verify) catches any lost or
+    double-applied batch exactly — the in-process interposition tests
+    pin the rebase mechanics, this pins them across OS processes."""
+    import subprocess
+    import sys
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    root = str(tmp_path / "mw_idx")
+    gs.gen_index_build(base, root=root)
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+from glue_job_to_write_structured_data_on_s3_full_code_spark.operators import index_store as gs
+from glue_job_to_write_structured_data_on_s3_full_code_spark.sources import read_table
+
+root, sf_dir, residue = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .appName(f"mw_append_{residue}").getOrCreate())
+emb = read_table(spark, sf_dir, "embeddings")
+batch = emb.where(F.col("vec_id") % 200 == residue)
+gs.gen_index_append(
+    batch, root=root, idempotency_token=f"mw:{residue}", max_retries=12
+)
+print("done", residue)
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, root, sf_dir, str(residue)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for residue in (17, 67, 117, 167)  # disjoint %200 slices of %50==17
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err.decode()[-800:]
+
+    # every batch landed exactly once: rows AND id-XOR must both match
+    report = gs.gen_index_verify(spark, root=root)
+    assert report["consistent"], report
+    assert report["actual"]["rows"] == emb.count()
+    seqs = [s for s, _ in gs.LocalPointerStore(root).pointers()]
+    assert seqs == [1, 2, 3, 4, 5]  # build + one commit per writer
+    q = emb.where(F.col("vec_id") < 10)
+    assert _rows(gs.gen_index_probe(q, k=5, root=root)) == _rows(
+        ivf_topk(emb, q, k=5)
+    )
