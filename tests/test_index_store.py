@@ -1202,14 +1202,17 @@ def test_pointer_backend_bisimulation():
     run()
 
 
-@pytest.mark.slow  # 4 concurrent Spark applications (slow tier, ~90 s)
+@pytest.mark.slow  # 2 concurrent Spark applications (slow tier)
 def test_gen_concurrent_appends_across_processes(spark, sf_dir, tmp_path):
-    """The lock-free multi-writer claim under REAL concurrency: four
+    """The lock-free multi-writer claim under REAL concurrency: two
     separate Spark applications append disjoint batches to one
     shared-root index AT THE SAME TIME. CAS losers must rebase and
     retry; the XOR fingerprint (checked by verify) catches any lost or
     double-applied batch exactly — the in-process interposition tests
-    pin the rebase mechanics, this pins them across OS processes."""
+    pin the rebase mechanics, this pins them across OS processes.
+    (Two writers, not four: the point is cross-process contention, and
+    more concurrent JVMs than that made the test flake under full-suite
+    machine load.)"""
     import subprocess
     import sys
 
@@ -1232,7 +1235,7 @@ spark = (SparkSession.builder.master("local[4]")
          .config("spark.ui.enabled", "false")
          .appName(f"mw_append_{residue}").getOrCreate())
 emb = read_table(spark, sf_dir, "embeddings")
-batch = emb.where(F.col("vec_id") % 200 == residue)
+batch = emb.where(F.col("vec_id") % 100 == residue)
 gs.gen_index_append(
     batch, root=root, idempotency_token=f"mw:{residue}", max_retries=12
 )
@@ -1244,10 +1247,10 @@ print("done", residue)
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
         )
-        for residue in (17, 67, 117, 167)  # disjoint %200 slices of %50==17
+        for residue in (17, 67)  # disjoint %100 slices of %50==17
     ]
     for p in procs:
-        out, err = p.communicate(timeout=420)
+        out, err = p.communicate(timeout=600)
         assert p.returncode == 0, err.decode()[-800:]
 
     # every batch landed exactly once: rows AND id-XOR must both match
@@ -1255,7 +1258,7 @@ print("done", residue)
     assert report["consistent"], report
     assert report["actual"]["rows"] == emb.count()
     seqs = [s for s, _ in gs.LocalPointerStore(root).pointers()]
-    assert seqs == [1, 2, 3, 4, 5]  # build + one commit per writer
+    assert seqs == [1, 2, 3]  # build + one commit per writer
     q = emb.where(F.col("vec_id") < 10)
     assert _rows(gs.gen_index_probe(q, k=5, root=root)) == _rows(
         ivf_topk(emb, q, k=5)
