@@ -81,6 +81,7 @@ __all__ = [
     "CommitConflict",
     "LocalPointerStore",
     "InMemoryPointerStore",
+    "S3PointerStore",
     "gen_index_build",
     "gen_index_built",
     "gen_index_append",
@@ -346,6 +347,243 @@ class InMemoryPointerStore:
         with self._lock:
             self._objects.pop(seq, None)
             self._mtimes.pop(seq, None)
+
+
+class S3PointerStore:
+    """The documented S3 conditional-PUT pointer backend, as real code.
+
+    Maps the pointer contract (see :class:`LocalPointerStore`) onto the
+    S3 API exactly as COVERAGE.md's recipe states — all public
+    knowledge (conditional writes GA Nov 2024, strongly consistent
+    listing since Dec 2020):
+
+    - ``try_commit(seq, payload)`` = ``PutObject <prefix>ptr/LATEST.<seq>``
+      with ``If-None-Match: *``. 200 → True; a clean 412 → False (lost
+      the race). Ambiguous failures (5xx / connection-shaped — the PUT
+      may have landed) → GetObject read-back: equal body = mine (True),
+      different body = competitor won (False), absent = never landed
+      (retry); and once an attempt has been ambiguous, a later 412 in
+      the SAME call also read-backs, because it may be our own landed
+      object. Read-back is sound exactly there and nowhere else: every
+      commit attempt stages a fresh ``gen-<uuid>`` so our body is
+      writer-unique, but a FIRST-attempt 412 proves a competitor's
+      object and must report a plain loss without trusting body
+      equality (True exactly once, never a double commit, never a
+      false loss — same observable behavior as the in-memory
+      emulation, pinned by three-way bisimulation). 409
+      ``ConditionalRequestConflict`` (a concurrent conditional write
+      in flight) → backoff and retry the PUT.
+    - ``read_latest`` / ``pointers`` = paginated
+      ``ListObjectsV2(Prefix='…ptr/LATEST.')`` + GetObject, re-listing
+      on a 404 race with GC — the same tolerance the local store has.
+    - ``oldest_pointer_mtime`` = min ``LastModified`` from the listing;
+      ``drop`` = DeleteObject (idempotent, like S3 itself);
+      ``sweep_tmp`` = 0 (a conditional PUT stages no temp objects).
+
+    ``client`` is any boto3-shaped S3 client (``put_object`` /
+    ``get_object`` / ``delete_object`` / ``get_paginator``). The
+    default builds ``boto3.client('s3')`` lazily so the module keeps
+    zero hard AWS dependencies; tests drive the class through an
+    in-memory fake that injects 412 races inside the PUT window, 409
+    conflicts, and landed-but-lost responses, and the same bisimulation
+    harness that pins Local↔InMemory holds this class to lockstep
+    observational equality with both.
+
+    Pair with the data side by passing the matching ``s3a://`` URI as
+    ``root=`` — manifests/listings go through :class:`_HadoopFS`, row
+    data through Spark parquet jobs, pointer CAS through this store.
+    """
+
+    #: error codes S3 uses for retryable server trouble even when the
+    #: HTTP status is not parsed out of the response
+    _RETRYABLE_CODES = frozenset(
+        {"SlowDown", "RequestTimeout", "InternalError", "ServiceUnavailable"}
+    )
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        *,
+        client=None,
+        max_attempts: int = 8,
+        sleep=None,
+    ):
+        import time
+
+        self._bucket = bucket
+        prefix = prefix.strip("/")
+        self._pfx = f"{prefix}/ptr/" if prefix else "ptr/"
+        if client is None:  # lazy: no boto3 import unless actually deployed
+            import boto3
+
+            client = boto3.client("s3")
+        self._c = client
+        self._max_attempts = max_attempts
+        self._sleep = sleep if sleep is not None else time.sleep
+
+    @classmethod
+    def from_uri(cls, uri: str, **kw) -> "S3PointerStore":
+        """``s3://bucket/path/to/index`` (or the Hadoop scheme aliases
+        ``s3a``/``s3n`` of the same store) → ``S3PointerStore(bucket,
+        path)`` — so the pointer store can be built from the very URI
+        passed as the lifecycle's ``root=``."""
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(uri)
+        if parts.scheme not in ("s3", "s3a", "s3n"):
+            raise ValueError(f"not an S3 URI: {uri!r}")
+        if not parts.netloc:
+            raise ValueError(f"S3 URI has no bucket: {uri!r}")
+        return cls(parts.netloc, parts.path.lstrip("/"), **kw)
+
+    # --- error taxonomy ---------------------------------------------------
+    @classmethod
+    def _classify(cls, exc: Exception) -> str:
+        """'taken' (412) | 'conflict' (409) | 'missing' (404) |
+        'ambiguous' (the write may have landed: 5xx or a
+        connection-shaped failure). Anything else — auth errors,
+        NoSuchBucket, programming mistakes — re-raises: retrying into a
+        misconfiguration must stay loud."""
+        resp = getattr(exc, "response", None)
+        if resp is None:
+            if isinstance(exc, (ConnectionError, TimeoutError, OSError)):
+                return "ambiguous"
+            mod = type(exc).__module__ or ""
+            if mod.startswith(("botocore", "boto3", "urllib3")):
+                return "ambiguous"
+            raise exc
+        code = (resp.get("Error") or {}).get("Code", "")
+        http = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+        if code == "NoSuchBucket":
+            raise exc  # configuration error, not a race — never retry
+        if code == "PreconditionFailed" or http == 412:
+            return "taken"
+        if code == "ConditionalRequestConflict" or http == 409:
+            return "conflict"
+        if code in ("NoSuchKey", "404") or http == 404:
+            return "missing"
+        if (isinstance(http, int) and http >= 500) or code in cls._RETRYABLE_CODES:
+            return "ambiguous"
+        raise exc
+
+    @staticmethod
+    def _backoff(attempt: int) -> float:
+        return min(0.05 * (2**attempt), 1.0)
+
+    def _key(self, seq: int) -> str:
+        return f"{self._pfx}LATEST.{seq}"
+
+    def _seq_of(self, key: str) -> int | None:
+        tail = key.rsplit("LATEST.", 1)[-1]
+        try:
+            return int(tail)
+        except ValueError:
+            return None
+
+    def _body_at(self, key: str) -> str | None:
+        """GetObject body as text, ``None`` if absent; bounded retries
+        over transient (5xx/409/connection) GET failures."""
+        last: Exception | None = None
+        for attempt in range(self._max_attempts):
+            try:
+                obj = self._c.get_object(Bucket=self._bucket, Key=key)
+                return obj["Body"].read().decode("utf-8")
+            except Exception as exc:  # noqa: BLE001 — classified below
+                if self._classify(exc) == "missing":
+                    return None
+                last = exc
+                self._sleep(self._backoff(attempt))
+        raise last  # type: ignore[misc]
+
+    def _list(self) -> list[tuple[int, str, float | None]]:
+        """``[(seq, key, last_modified_epoch)]`` ascending, via
+        paginated ListObjectsV2 — strongly consistent on S3."""
+        out: list[tuple[int, str, float | None]] = []
+        paginator = self._c.get_paginator("list_objects_v2")
+        for page in paginator.paginate(
+            Bucket=self._bucket, Prefix=f"{self._pfx}LATEST."
+        ):
+            for obj in page.get("Contents", []):
+                seq = self._seq_of(obj["Key"])
+                if seq is None:
+                    continue
+                lm = obj.get("LastModified")
+                if lm is not None and hasattr(lm, "timestamp"):
+                    lm = lm.timestamp()  # boto3 returns datetimes
+                out.append((seq, obj["Key"], lm))
+        return sorted(out)
+
+    # --- the PointerStore contract ----------------------------------------
+    def read_latest(self) -> tuple[int | None, dict | None]:
+        while True:
+            entries = self._list()
+            if not entries:
+                return None, None
+            seq, key, _ = entries[-1]
+            body = self._body_at(key)
+            if body is None:
+                # GC dropped the listed pointer between the list and the
+                # GET; the sweep keeps newer sequences, so this terminates
+                continue
+            return seq, json.loads(body)
+
+    def try_commit(self, seq: int, payload: dict) -> bool:
+        key, body = self._key(seq), json.dumps(payload)
+        last: Exception | None = None
+        ambiguous_before = False  # a prior attempt in THIS call may have landed
+        for attempt in range(self._max_attempts):
+            try:
+                self._c.put_object(
+                    Bucket=self._bucket,
+                    Key=key,
+                    Body=body.encode("utf-8"),
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as exc:  # noqa: BLE001 — classified below
+                kind = self._classify(exc)
+                last = exc
+                if kind == "taken":
+                    if not ambiguous_before:
+                        return False  # plain lost race, nothing of ours in flight
+                    # the 412 may be OUR earlier attempt whose response
+                    # was lost — only then is read-back sound (the body is
+                    # provably writer-unique: no competitor can have PUT
+                    # these exact bytes, and we know one of our PUTs may
+                    # have landed)
+                    return self._body_at(key) == body
+                if kind in ("ambiguous", "missing"):
+                    ambiguous_before = True
+                    existing = self._body_at(key)
+                    if existing is not None:
+                        return existing == body
+                    # never landed — fall through and retry the PUT
+                self._sleep(self._backoff(attempt))
+        raise RuntimeError(
+            f"conditional PUT of s3://{self._bucket}/{key} unresolved "
+            f"after {self._max_attempts} attempts"
+        ) from last
+
+    def pointers(self) -> list[tuple[int, dict]]:
+        out = []
+        for seq, key, _ in self._list():
+            body = self._body_at(key)
+            if body is None:
+                continue  # GC race, same tolerance as the local store
+            out.append((seq, json.loads(body)))
+        return out
+
+    def oldest_pointer_mtime(self) -> float | None:
+        times = [lm for _, _, lm in self._list() if lm is not None]
+        return min(times) if times else None
+
+    def sweep_tmp(self, min_age_s: float) -> int:
+        return 0  # conditional PUT leaves no temp objects to leak
+
+    def drop(self, seq: int) -> None:
+        # S3 DeleteObject of an absent key succeeds — idempotent already
+        self._c.delete_object(Bucket=self._bucket, Key=self._key(seq))
 
 
 def _store_for(root: str, store=None):

@@ -1219,7 +1219,13 @@ def test_gen_concurrent_appends_across_processes(spark, sf_dir, tmp_path):
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     root = str(tmp_path / "mw_idx")
-    gs.gen_index_build(base, root=root)
+    # the subprocess writers commit through the LOCAL store (their
+    # default seam in fresh processes); the parent's build and reads
+    # must hit the same backend even when this test lands inside the
+    # module's memory-param block (whose fixture patches the seam), so
+    # inject it explicitly — same guard as the shared-root test
+    local = gs.LocalPointerStore(root)
+    gs.gen_index_build(base, root=root, store=local)
 
     script = r"""
 import sys
@@ -1254,12 +1260,298 @@ print("done", residue)
         assert p.returncode == 0, err.decode()[-800:]
 
     # every batch landed exactly once: rows AND id-XOR must both match
-    report = gs.gen_index_verify(spark, root=root)
+    report = gs.gen_index_verify(spark, root=root, store=local)
     assert report["consistent"], report
     assert report["actual"]["rows"] == emb.count()
-    seqs = [s for s, _ in gs.LocalPointerStore(root).pointers()]
+    seqs = [s for s, _ in local.pointers()]
     assert seqs == [1, 2, 3]  # build + one commit per writer
     q = emb.where(F.col("vec_id") < 10)
-    assert _rows(gs.gen_index_probe(q, k=5, root=root)) == _rows(
+    assert _rows(gs.gen_index_probe(q, k=5, root=root, store=local)) == _rows(
         ivf_topk(emb, q, k=5)
     )
+
+
+class _FakeS3Client:
+    """A botocore-shaped in-memory S3 — the fault harness S3PointerStore
+    is developed against. put_object honors ``IfNoneMatch='*'``
+    create-exactly-once (412 on existing key); listing is paginated at
+    TWO keys per page so the pagination path actually runs; and three
+    injectable object-store faults:
+
+    - ``pre_put_hooks`` — fired inside the next put_object BEFORE the
+      existence check, so a competitor can take the key in the widest
+      window (list said free, PUT finds taken);
+    - ``conflicts`` — the next N conditional PUTs are rejected 409
+      ``ConditionalRequestConflict`` (a concurrent conditional write in
+      flight — S3's documented transient for this API);
+    - ``lost_responses`` — the next N conditional PUTs LAND but the
+      response is a 500 (the ambiguous failure the read-back
+      disambiguation exists for).
+    """
+
+    def __init__(self):
+        import threading
+        import time
+
+        self._time = time
+        self._lock = threading.Lock()
+        self.objects: dict[str, tuple[bytes, float]] = {}
+        self.pre_put_hooks: list = []
+        self.conflicts = 0
+        self.lost_responses = 0
+
+    @staticmethod
+    def _err(code, status, op):
+        from botocore.exceptions import ClientError
+
+        return ClientError(
+            {
+                "Error": {"Code": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            },
+            op,
+        )
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
+        assert IfNoneMatch == "*", "pointer PUTs must be conditional"
+        while self.pre_put_hooks:
+            self.pre_put_hooks.pop(0)(self, Key)
+        with self._lock:
+            if self.conflicts > 0:
+                self.conflicts -= 1
+                raise self._err("ConditionalRequestConflict", 409, "PutObject")
+            if Key in self.objects:
+                raise self._err("PreconditionFailed", 412, "PutObject")
+            self.objects[Key] = (bytes(Body), self._time.time())
+            if self.lost_responses > 0:
+                self.lost_responses -= 1
+                raise self._err("InternalError", 500, "PutObject")
+        return {"ResponseMetadata": {"HTTPStatusCode": 200}}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        with self._lock:
+            if Key not in self.objects:
+                raise self._err("NoSuchKey", 404, "GetObject")
+            body = self.objects[Key][0]
+        return {"Body": io.BytesIO(body)}
+
+    def delete_object(self, Bucket, Key):
+        with self._lock:
+            self.objects.pop(Key, None)
+        return {"ResponseMetadata": {"HTTPStatusCode": 204}}
+
+    def get_paginator(self, op):
+        assert op == "list_objects_v2"
+        client = self
+
+        class _Paginator:
+            def paginate(self, Bucket, Prefix):
+                with client._lock:
+                    keys = sorted(
+                        k for k in client.objects if k.startswith(Prefix)
+                    )
+                    snap = {k: client.objects[k] for k in keys}
+                if not keys:
+                    yield {}  # S3 omits Contents on an empty listing
+                    return
+                for i in range(0, len(keys), 2):
+                    yield {
+                        "Contents": [
+                            {"Key": k, "LastModified": snap[k][1]}
+                            for k in keys[i : i + 2]
+                        ]
+                    }
+
+        return _Paginator()
+
+
+def _s3_store(fake=None, **kw):
+    fake = fake if fake is not None else _FakeS3Client()
+    store = gs.S3PointerStore(
+        "test-bucket",
+        "indexes/t_s3",
+        client=fake,
+        sleep=lambda s: None,
+        **kw,
+    )
+    return store, fake
+
+
+def test_s3_pointer_store_contract():
+    """S3PointerStore over the botocore-shaped fake, held to the same
+    pure-store contract as the in-memory emulation: create-exactly-once
+    per sequence, highest-sequence read, lost-PUT read-back (True
+    exactly once), a race injected inside the PUT window (clean loss),
+    and pointer keys living under the configured bucket prefix."""
+    store, fake = _s3_store()
+    assert store.read_latest() == (None, None)
+    assert store.try_commit(1, {"gen": "g-a"})
+    assert not store.try_commit(1, {"gen": "g-b"})  # 412, competitor's
+    assert store.read_latest() == (1, {"gen": "g-a"})
+
+    # lost response: the PUT lands, the reply is a 500 — read-back says True
+    fake.lost_responses = 1
+    assert store.try_commit(2, {"gen": "g-c"})
+    assert store.read_latest() == (2, {"gen": "g-c"})
+
+    # race inside the PUT window: a competitor takes the sequence between
+    # the caller's read_latest and its conditional PUT — caller must lose
+    fake.pre_put_hooks.append(
+        lambda c, key: c.put_object(
+            Bucket="test-bucket", Key=key, Body=b'{"gen": "g-x"}', IfNoneMatch="*"
+        )
+    )
+    assert not store.try_commit(3, {"gen": "g-d"})
+    assert store.read_latest() == (3, {"gen": "g-x"})
+
+    # 409 ConditionalRequestConflict is transient: retry wins
+    fake.conflicts = 2
+    assert store.try_commit(4, {"gen": "g-e"})
+
+    assert [s for s, _ in store.pointers()] == [1, 2, 3, 4]
+    assert store.oldest_pointer_mtime() is not None
+    store.drop(1)
+    store.drop(1)  # idempotent, like DeleteObject itself
+    assert [s for s, _ in store.pointers()] == [2, 3, 4]
+    assert store.sweep_tmp(0.0) == 0
+    # five keys passed through the bucket, all under the prefix
+    assert all(k.startswith("indexes/t_s3/ptr/LATEST.") for k in fake.objects)
+
+
+def test_s3_pointer_store_error_taxonomy():
+    """The edges of the S3 client's retry loop: exhausted ambiguity
+    raises (never silently False), NoSuchBucket raises immediately
+    (configuration, not a race), from_uri parses s3/s3a and rejects
+    everything else."""
+    # every PUT 500s and never lands (fake drops the object again) —
+    # after max_attempts the commit must RAISE, not report a loss
+    store, fake = _s3_store(max_attempts=3)
+    real_put = fake.put_object
+
+    def put_500(Bucket, Key, Body, IfNoneMatch=None, **kw):
+        raise _FakeS3Client._err("InternalError", 500, "PutObject")
+
+    fake.put_object = put_500
+    with pytest.raises(RuntimeError, match="unresolved"):
+        store.try_commit(1, {"gen": "g-a"})
+    fake.put_object = real_put
+
+    # NoSuchBucket propagates from the first attempt
+    def put_no_bucket(Bucket, Key, Body, IfNoneMatch=None, **kw):
+        raise _FakeS3Client._err("NoSuchBucket", 404, "PutObject")
+
+    fake.put_object = put_no_bucket
+    from botocore.exceptions import ClientError
+
+    with pytest.raises(ClientError, match="NoSuchBucket"):
+        store.try_commit(1, {"gen": "g-a"})
+
+    # a programming error (no .response, not network-shaped) propagates
+    fake.put_object = lambda **kw: (_ for _ in ()).throw(TypeError("boom"))
+    with pytest.raises(TypeError):
+        store.try_commit(1, {"gen": "g-a"})
+
+    # from_uri: bucket/prefix split, scheme gate
+    st = gs.S3PointerStore.from_uri(
+        "s3a://bkt/warehouse/idx", client=_FakeS3Client(), sleep=lambda s: None
+    )
+    assert st._bucket == "bkt" and st._pfx == "warehouse/idx/ptr/"
+    with pytest.raises(ValueError, match="not an S3 URI"):
+        gs.S3PointerStore.from_uri("file:///tmp/idx", client=_FakeS3Client())
+    with pytest.raises(ValueError, match="no bucket"):
+        gs.S3PointerStore.from_uri("s3:///no-bucket", client=_FakeS3Client())
+
+
+@pytest.mark.slow  # hypothesis property suite (slow tier)
+def test_s3_pointer_backend_bisimulation():
+    """Three-way lockstep: LocalPointerStore (tmp dir),
+    InMemoryPointerStore, and S3PointerStore-over-fake must return the
+    same results for every commit/read/pointers/drop in any sequence —
+    the conformance bar COVERAGE.md sets for a deployable backend, now
+    actually run against the S3 code path."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("commit"), st.integers(0, 6), st.integers(0, 99)),
+        st.tuples(st.just("read"), st.just(0), st.just(0)),
+        st.tuples(st.just("pointers"), st.just(0), st.just(0)),
+        st.tuples(st.just("drop"), st.integers(0, 6), st.just(0)),
+    )
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(ops=st.lists(op, max_size=30))
+    def run(ops):
+        work = tempfile.mkdtemp(prefix="bisim3_")
+        try:
+            stores = [
+                gs.LocalPointerStore(work),
+                gs.InMemoryPointerStore(),
+                _s3_store()[0],
+            ]
+            for kind, seq, pid in ops:
+                if kind == "commit":
+                    payload = {"gen": f"g-{pid}", "n": pid}
+                    results = {s.try_commit(seq, payload) for s in stores}
+                    assert len(results) == 1, (kind, seq, pid)
+                elif kind == "read":
+                    assert len({str(s.read_latest()) for s in stores}) == 1
+                elif kind == "pointers":
+                    assert len({str(s.pointers()) for s in stores}) == 1
+                else:
+                    for s in stores:
+                        s.drop(seq)
+            assert len({str(s.pointers()) for s in stores}) == 1
+            assert len({str(s.read_latest()) for s in stores}) == 1
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    run()
+
+
+@pytest.mark.slow  # lifecycle against the S3 store (slow tier)
+def test_gen_lifecycle_with_s3_store_over_fake_client(spark, sf_dir, tmp_path):
+    """The S3 deployment shape end-to-end, minus only the network: the
+    pointer CAS goes through S3PointerStore (conditional PUTs against
+    the botocore-shaped fake, with the build's commit response lost and
+    an append racing a competitor inside its PUT window), the data
+    through the usual root directory. Closing probe must be
+    row-identical to the in-memory IVF and the fake bucket must hold
+    exactly the pointer objects, in CAS order."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    b_a = emb.where(F.col("vec_id") % 100 == 17)
+    b_b = emb.where(F.col("vec_id") % 100 == 67)
+    root = str(tmp_path / "s3_idx")
+    store, fake = _s3_store()
+
+    fake.lost_responses = 1  # build's commit PUT lands, response lost
+    built = gs.gen_index_build(base, root=root, store=store)
+    assert store.read_latest()[1]["gen"] == built["gen"]
+
+    def competing(client, key):
+        gs.gen_index_append(b_b, root=root, store=store, idempotency_token="s3:b")
+
+    fake.pre_put_hooks.append(competing)
+    gs.gen_index_append(b_a, root=root, store=store, idempotency_token="s3:a")
+
+    report = gs.gen_index_verify(spark, root=root, store=store)
+    assert report["consistent"] and report["actual"]["rows"] == emb.count()
+    q = emb.where(F.col("vec_id") < 10)
+    assert _rows(gs.gen_index_probe(q, k=5, root=root, store=store)) == _rows(
+        ivf_topk(emb, q, k=5)
+    )
+    # both appends landed exactly once, in CAS order, after the race
+    assert [s for s, _ in store.pointers()] == [1, 2, 3]
+    # pointer state lives solely in the (fake) bucket — not on disk
+    assert not os.path.exists(os.path.join(root, "ptr"))
+    assert len(fake.objects) == 3
