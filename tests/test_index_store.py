@@ -39,31 +39,45 @@ class _Backend:
         return f"{index_name}_{self.name}"
 
 
-@pytest.fixture(scope="module", params=["local", "memory"])
+@pytest.fixture(scope="module", params=["local", "memory", "s3"])
 def pointer_backend(request):
-    """Runs the lifecycle suite against BOTH pointer backends. 'local'
-    is the production default (seam untouched). 'memory' repoints the
-    `_store_for` seam at a per-root InMemoryPointerStore — the
-    conditional-PUT emulation of the documented S3 backend. Every
-    lifecycle call site must resolve its store through the seam for the
-    memory run to pass, which is exactly the drop-in property this
-    parametrization pins (a call site naming LocalPointerStore directly
-    would keep committing to disk and the memory run would see no
-    pointers)."""
+    """Runs the lifecycle suite against ALL THREE pointer backends.
+    'local' is the production default (seam untouched). 'memory'
+    repoints the `_store_for` seam at a per-root InMemoryPointerStore —
+    the conditional-PUT emulation of the documented S3 backend. 's3'
+    repoints it at a per-root S3PointerStore over the botocore-shaped
+    fake — the REAL S3 client code (conditional PUTs, read-back,
+    paginated listing), minus only the network. Every lifecycle call
+    site must resolve its store through the seam for the non-local runs
+    to pass, which is exactly the drop-in property this parametrization
+    pins (a call site naming LocalPointerStore directly would keep
+    committing to disk and the other runs would see no pointers)."""
     if request.param == "local":
         yield _Backend("local", gs.LocalPointerStore)
         return
     stores: dict = {}
     orig = gs._store_for
 
+    if request.param == "memory":
+        make = lambda root: gs.InMemoryPointerStore()  # noqa: E731
+        cls = gs.InMemoryPointerStore
+    else:
+        make = lambda root: gs.S3PointerStore(  # noqa: E731
+            "test-bucket",
+            root.strip("/"),
+            client=_FakeS3Client(),
+            sleep=lambda s: None,
+        )
+        cls = gs.S3PointerStore
+
     def seam(root, store=None):
         if store is not None:
             return store
-        return stores.setdefault(root, gs.InMemoryPointerStore())
+        return stores.setdefault(root, make(root))
 
     gs._store_for = seam
     try:
-        yield _Backend("memory", gs.InMemoryPointerStore)
+        yield _Backend(request.param, cls)
     finally:
         gs._store_for = orig
 
@@ -558,8 +572,13 @@ def test_gen_gc_measures_reader_age_from_supersession(spark, sf_dir, pointer_bac
             os.utime(p, (old, old))
     else:
         store = gs._store_for(root)
-        for s in list(store._mtimes):
-            store._mtimes[s] = old
+        if pointer_backend.name == "memory":
+            for s in list(store._mtimes):
+                store._mtimes[s] = old
+        else:  # s3: LastModified lives on the fake bucket's objects
+            fake = store._c
+            for key, (body, _mtime) in list(fake.objects.items()):
+                fake.objects[key] = (body, old)
         stamp = os.path.join(root, "ptr", ".last_gc")
         if os.path.exists(stamp):
             os.utime(stamp, (old, old))
@@ -1555,3 +1574,59 @@ def test_gen_lifecycle_with_s3_store_over_fake_client(spark, sf_dir, tmp_path):
     # pointer state lives solely in the (fake) bucket — not on disk
     assert not os.path.exists(os.path.join(root, "ptr"))
     assert len(fake.objects) == 3
+
+
+def test_s3_cas_exactly_once_across_threads():
+    """The S3 client's retry contract under REAL concurrency: 8 threads
+    loop read-latest → try_commit(seq+1) against one fake bucket with
+    landed-but-lost responses AND 409 conflict storms sprinkled
+    throughout — exactly one winner per sequence, contiguous, every
+    payload intact and owned by its true winner. The thread-edition
+    twin of the in-memory hammer, now through the actual S3 code path
+    (conditional PUT → classify → read-back)."""
+    import threading
+
+    fake = _FakeS3Client()
+    fake.lost_responses = 20  # sprinkle ambiguity over the whole run
+    fake.conflicts = 15  # and transient 409s
+    n_threads, commits_each = 8, 12
+    wins: dict[str, list[int]] = {f"w{i}": [] for i in range(n_threads)}
+    stores = {
+        w: gs.S3PointerStore(
+            "test-bucket",
+            "hammer_idx",
+            client=fake,
+            sleep=lambda s: None,
+            # above the total injected-fault budget: a writer can draw at
+            # most 15 conflict retries, so the bounded-retry guard (pinned
+            # separately in the taxonomy test) can never fire here
+            max_attempts=40,
+        )
+        for w in wins
+    }
+
+    def writer(me):
+        store = stores[me]
+        while len(wins[me]) < commits_each:
+            seq, _latest = store.read_latest()
+            nxt = (seq or 0) + 1
+            if store.try_commit(
+                nxt, {"writer": me, "gen": f"g-{me}-{len(wins[me])}"}
+            ):
+                wins[me].append(nxt)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in wins]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in threads)
+
+    total = n_threads * commits_each
+    flat = sorted(s for w in wins.values() for s in w)
+    assert flat == list(range(1, total + 1))
+    by_seq = dict(stores["w0"].pointers())
+    assert sorted(by_seq) == list(range(1, total + 1))
+    for me, seqs in wins.items():
+        for s in seqs:
+            assert by_seq[s]["writer"] == me
