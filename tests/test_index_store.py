@@ -1088,20 +1088,34 @@ def test_inmemory_cas_exactly_once_across_threads():
 
 
 @pytest.mark.slow  # end-to-end lifecycle over a URI root (slow tier)
-def test_gen_lifecycle_on_uri_root_with_injected_store(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("injected", ["memory", "s3"])
+def test_gen_lifecycle_on_uri_root_with_injected_store(
+    spark, sf_dir, tmp_path, injected
+):
     """The object-store deployment shape, end to end: an explicit URI
     root (file:// stands in for s3a:// — same Hadoop FileSystem API,
     different connector) plus an injected conditional-PUT pointer
-    store. No os.* call ever parses the URI: data I/O goes through
-    _HadoopFS, pointer CAS through the store — so
-    build → append → skew audit → verify → compact → GC → probe all
-    run; the pre-rebalance probe is row-identical to the in-memory IVF
-    and compaction+GC preserve the post-rebalance results exactly."""
+    store (the in-memory emulation AND the real S3PointerStore over
+    the botocore-shaped fake — the latter is the exact production
+    pairing: URI data root + S3 pointer CAS). No os.* call ever parses
+    the URI: data I/O goes through _HadoopFS, pointer CAS through the
+    store — so build → append → skew audit → verify → compact → GC →
+    probe all run; the pre-rebalance probe is row-identical to the
+    in-memory IVF and compaction+GC preserve the post-rebalance
+    results exactly."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
     root = "file://" + str(tmp_path / "uri_idx")
-    mem = gs.InMemoryPointerStore()
+    if injected == "memory":
+        mem = gs.InMemoryPointerStore()
+    else:
+        mem = gs.S3PointerStore(
+            "test-bucket",
+            "uri_idx",
+            client=_FakeS3Client(),
+            sleep=lambda s: None,
+        )
     q = emb.where(F.col("vec_id") < 10)
 
     gs.gen_index_build(base, root=root, store=mem)
