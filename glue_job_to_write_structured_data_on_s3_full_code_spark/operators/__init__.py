@@ -23,6 +23,9 @@ from .similarity import (
     pq_topk,
 )
 from .index_store import (
+    InMemoryPointerStore,
+    LocalPointerStore,
+    S3PointerStore,
     gen_index_append,
     gen_index_build,
     gen_index_cell_skew,
@@ -58,6 +61,9 @@ __all__ = [
     "ivf_index_repair",
     "ivf_index_verify",
     "ivf_topk",
+    "InMemoryPointerStore",
+    "LocalPointerStore",
+    "S3PointerStore",
     "gen_index_append",
     "gen_index_build",
     "gen_index_cell_skew",

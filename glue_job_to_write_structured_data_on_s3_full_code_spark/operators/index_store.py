@@ -498,21 +498,33 @@ class S3PointerStore:
 
     def _list(self) -> list[tuple[int, str, float | None]]:
         """``[(seq, key, last_modified_epoch)]`` ascending, via
-        paginated ListObjectsV2 — strongly consistent on S3."""
-        out: list[tuple[int, str, float | None]] = []
-        paginator = self._c.get_paginator("list_objects_v2")
-        for page in paginator.paginate(
-            Bucket=self._bucket, Prefix=f"{self._pfx}LATEST."
-        ):
-            for obj in page.get("Contents", []):
-                seq = self._seq_of(obj["Key"])
-                if seq is None:
-                    continue
-                lm = obj.get("LastModified")
-                if lm is not None and hasattr(lm, "timestamp"):
-                    lm = lm.timestamp()  # boto3 returns datetimes
-                out.append((seq, obj["Key"], lm))
-        return sorted(out)
+        paginated ListObjectsV2 — strongly consistent on S3. Bounded
+        retries over transient (5xx/connection) listing failures, same
+        policy as ``_body_at``: one SlowDown must not crash a
+        read_latest that sits on every lifecycle path."""
+        last: Exception | None = None
+        for attempt in range(self._max_attempts):
+            try:
+                out: list[tuple[int, str, float | None]] = []
+                paginator = self._c.get_paginator("list_objects_v2")
+                for page in paginator.paginate(
+                    Bucket=self._bucket, Prefix=f"{self._pfx}LATEST."
+                ):
+                    for obj in page.get("Contents", []):
+                        seq = self._seq_of(obj["Key"])
+                        if seq is None:
+                            continue
+                        lm = obj.get("LastModified")
+                        if lm is not None and hasattr(lm, "timestamp"):
+                            lm = lm.timestamp()  # boto3 returns datetimes
+                        out.append((seq, obj["Key"], lm))
+                return sorted(out)
+            except Exception as exc:  # noqa: BLE001 — classified below
+                if self._classify(exc) == "missing":
+                    return []  # a prefix listing can't 404; tolerate anyway
+                last = exc
+                self._sleep(self._backoff(attempt))
+        raise last  # type: ignore[misc]
 
     # --- the PointerStore contract ----------------------------------------
     def read_latest(self) -> tuple[int | None, dict | None]:

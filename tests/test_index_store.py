@@ -1332,6 +1332,7 @@ class _FakeS3Client:
         self.pre_put_hooks: list = []
         self.conflicts = 0
         self.lost_responses = 0
+        self.list_errors = 0  # next N listings 503 (transient SlowDown)
 
     @staticmethod
     def _err(code, status, op):
@@ -1382,6 +1383,9 @@ class _FakeS3Client:
         class _Paginator:
             def paginate(self, Bucket, Prefix):
                 with client._lock:
+                    if client.list_errors > 0:
+                        client.list_errors -= 1
+                        raise client._err("SlowDown", 503, "ListObjectsV2")
                     keys = sorted(
                         k for k in client.objects if k.startswith(Prefix)
                     )
@@ -1485,6 +1489,16 @@ def test_s3_pointer_store_error_taxonomy():
     fake.put_object = lambda **kw: (_ for _ in ()).throw(TypeError("boom"))
     with pytest.raises(TypeError):
         store.try_commit(1, {"gen": "g-a"})
+
+    # transient listing failures (SlowDown storms) retry, not crash —
+    # read_latest sits on every lifecycle path
+    fake.put_object = real_put
+    store2, fake2 = _s3_store()
+    assert store2.try_commit(1, {"gen": "g-l"})
+    fake2.list_errors = 2
+    assert store2.read_latest() == (1, {"gen": "g-l"})
+    fake2.list_errors = 2
+    assert [s for s, _ in store2.pointers()] == [1]
 
     # from_uri: bucket/prefix split, scheme gate
     st = gs.S3PointerStore.from_uri(
