@@ -1658,3 +1658,108 @@ def test_s3_cas_exactly_once_across_threads():
     for me, seqs in wins.items():
         for s in seqs:
             assert by_seq[s]["writer"] == me
+
+
+def test_s3_pointer_store_against_moto():
+    """Independent-emulator conformance: the SAME store class, driven
+    through a REAL boto3 client against moto's S3 (a community
+    implementation of the API, including conditional-write
+    enforcement) — so the contract claims don't rest solely on our own
+    hand-written fake. Pins create-exactly-once (real 412), pointer
+    ordering, datetime→epoch LastModified conversion, GET-404
+    tolerance, and deletes; plus a scripted lockstep with
+    LocalPointerStore over the same operation sequence."""
+    moto = pytest.importorskip("moto")
+    import shutil
+    import tempfile
+
+    import boto3
+
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="conformance-bucket")
+        store = gs.S3PointerStore(
+            "conformance-bucket",
+            "warehouse/idx",
+            client=client,
+            sleep=lambda s: None,
+        )
+        work = tempfile.mkdtemp(prefix="moto_bisim_")
+        try:
+            local = gs.LocalPointerStore(work)
+            script = [
+                ("commit", 1, {"gen": "g-a"}),
+                ("commit", 1, {"gen": "g-b"}),  # real 412 from moto
+                ("read", None, None),
+                ("commit", 3, {"gen": "g-c"}),  # gap is legal
+                ("commit", 2, {"gen": "g-d"}),  # late lower seq
+                ("read", None, None),  # highest (3) wins
+                ("pointers", None, None),
+                ("drop", 1, None),
+                ("drop", 1, None),  # idempotent
+                ("pointers", None, None),
+                ("read", None, None),
+            ]
+            for kind, seq, payload in script:
+                if kind == "commit":
+                    assert store.try_commit(seq, payload) == local.try_commit(
+                        seq, payload
+                    ), (kind, seq)
+                elif kind == "read":
+                    assert store.read_latest() == local.read_latest()
+                elif kind == "pointers":
+                    assert store.pointers() == local.pointers()
+                else:
+                    store.drop(seq)
+                    local.drop(seq)
+            # LastModified datetimes converted to comparable epochs
+            mt = store.oldest_pointer_mtime()
+            assert isinstance(mt, float) and mt > 0
+            assert store.sweep_tmp(0.0) == 0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.slow  # lifecycle over moto's S3 (slow tier)
+def test_gen_lifecycle_with_moto_s3_store(spark, sf_dir, tmp_path):
+    """The generational lifecycle committing through a REAL boto3
+    client against moto's S3: build → append (idempotent replay caught)
+    → verify → probe row-identical to the in-memory IVF, pointer state
+    living solely in the mocked bucket. Complements the fake-client
+    twin: the fake injects faults the emulator can't, the emulator
+    validates the happy-path API shapes the fake merely imitates."""
+    moto = pytest.importorskip("moto")
+    import boto3
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    root = str(tmp_path / "moto_idx")
+
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="conformance-bucket")
+        store = gs.S3PointerStore(
+            "conformance-bucket", "moto_idx", client=client, sleep=lambda s: None
+        )
+        gs.gen_index_build(base, root=root, store=store)
+        gs.gen_index_append(
+            batch, root=root, store=store, idempotency_token="moto:b0"
+        )
+        replay = gs.gen_index_append(
+            batch, root=root, store=store, idempotency_token="moto:b0"
+        )
+        assert replay["last_token"] == "moto:b0"
+        report = gs.gen_index_verify(spark, root=root, store=store)
+        assert report["consistent"] and report["actual"]["rows"] == emb.count()
+        q = emb.where(F.col("vec_id") < 10)
+        assert _rows(
+            gs.gen_index_probe(q, k=5, root=root, store=store)
+        ) == _rows(ivf_topk(emb, q, k=5))
+        # pointer objects live in the mocked bucket, not on disk
+        assert [s for s, _ in store.pointers()] == [1, 2]
+        assert not os.path.exists(os.path.join(root, "ptr"))
+        listed = client.list_objects_v2(
+            Bucket="conformance-bucket", Prefix="moto_idx/ptr/"
+        )
+        assert listed["KeyCount"] == 2
