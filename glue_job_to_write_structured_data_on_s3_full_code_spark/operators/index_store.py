@@ -358,21 +358,21 @@ class S3PointerStore:
     listing since Dec 2020):
 
     - ``try_commit(seq, payload)`` = ``PutObject <prefix>ptr/LATEST.<seq>``
-      with ``If-None-Match: *``. 200 → True; a clean 412 → False (lost
-      the race). Ambiguous failures (5xx / connection-shaped — the PUT
-      may have landed) → GetObject read-back: equal body = mine (True),
-      different body = competitor won (False), absent = never landed
-      (retry); and once an attempt has been ambiguous, a later 412 in
-      the SAME call also read-backs, because it may be our own landed
-      object. Read-back is sound exactly there and nowhere else: every
-      commit attempt stages a fresh ``gen-<uuid>`` so our body is
-      writer-unique, but a FIRST-attempt 412 proves a competitor's
-      object and must report a plain loss without trusting body
-      equality (True exactly once, never a double commit, never a
-      false loss — same observable behavior as the in-memory
-      emulation, pinned by three-way bisimulation). 409
-      ``ConditionalRequestConflict`` (a concurrent conditional write
-      in flight) → backoff and retry the PUT.
+      with ``If-None-Match: *``. 200 → True. EVERY 412 read-backs
+      before reporting a loss: the taken sequence may be a
+      competitor's object OR our own PUT whose success we never saw —
+      an ambiguous 5xx, or a client-layer transparent retry that
+      swallowed the 200 and surfaced only the follow-up 412 (botocore
+      retries PutObject on 5xx by default, which is why the default
+      client is built with retries disabled; an injected client with
+      retries on is still safe for exactly this reason). Bodies are
+      writer-unique — every commit attempt stages a fresh
+      ``gen-<uuid>`` — so body equality means mine (True) and anything
+      else means a clean loss (False): True exactly once, never a
+      double commit, never a false loss. Ambiguous failures (5xx /
+      connection-shaped) read back the same way, retrying the PUT if
+      nothing landed. 409 ``ConditionalRequestConflict`` (a concurrent
+      conditional write in flight) → backoff and retry the PUT.
     - ``read_latest`` / ``pointers`` = paginated
       ``ListObjectsV2(Prefix='…ptr/LATEST.')`` + GetObject, re-listing
       on a 404 race with GC — the same tolerance the local store has.
@@ -416,8 +416,16 @@ class S3PointerStore:
         self._pfx = f"{prefix}/ptr/" if prefix else "ptr/"
         if client is None:  # lazy: no boto3 import unless actually deployed
             import boto3
+            from botocore.config import Config
 
-            client = boto3.client("s3")
+            # retries OURS to own: botocore's transparent PutObject
+            # retry would turn a landed-but-5xx conditional PUT into a
+            # first-visible 412 before this class ever saw the
+            # ambiguity — try_commit's read-back covers that too, but
+            # double retry layers multiply worst-case latency
+            client = boto3.client(
+                "s3", config=Config(retries={"max_attempts": 1})
+            )
         self._c = client
         self._max_attempts = max_attempts
         self._sleep = sleep if sleep is not None else time.sleep
@@ -447,10 +455,19 @@ class S3PointerStore:
         misconfiguration must stay loud."""
         resp = getattr(exc, "response", None)
         if resp is None:
-            if isinstance(exc, (ConnectionError, TimeoutError, OSError)):
+            if isinstance(exc, OSError):  # incl. ConnectionError/TimeoutError
                 return "ambiguous"
+            # response-less client-library errors are ambiguous ONLY when
+            # network-shaped; NoCredentialsError, ParamValidationError and
+            # friends are misconfigurations and must raise immediately
             mod = type(exc).__module__ or ""
-            if mod.startswith(("botocore", "boto3", "urllib3")):
+            name = type(exc).__name__
+            if mod.startswith(("botocore", "boto3", "urllib3")) and (
+                "Connection" in name
+                or "Timeout" in name
+                or "HTTPClient" in name
+                or name in ("ResponseStreamingError", "IncompleteReadError")
+            ):
                 return "ambiguous"
             raise exc
         code = (resp.get("Error") or {}).get("Code", "")
@@ -493,7 +510,8 @@ class S3PointerStore:
                 if self._classify(exc) == "missing":
                     return None
                 last = exc
-                self._sleep(self._backoff(attempt))
+                if attempt < self._max_attempts - 1:
+                    self._sleep(self._backoff(attempt))
         raise last  # type: ignore[misc]
 
     def _list(self) -> list[tuple[int, str, float | None]]:
@@ -523,7 +541,8 @@ class S3PointerStore:
                 if self._classify(exc) == "missing":
                     return []  # a prefix listing can't 404; tolerate anyway
                 last = exc
-                self._sleep(self._backoff(attempt))
+                if attempt < self._max_attempts - 1:
+                    self._sleep(self._backoff(attempt))
         raise last  # type: ignore[misc]
 
     # --- the PointerStore contract ----------------------------------------
@@ -543,7 +562,6 @@ class S3PointerStore:
     def try_commit(self, seq: int, payload: dict) -> bool:
         key, body = self._key(seq), json.dumps(payload)
         last: Exception | None = None
-        ambiguous_before = False  # a prior attempt in THIS call may have landed
         for attempt in range(self._max_attempts):
             try:
                 self._c.put_object(
@@ -557,21 +575,21 @@ class S3PointerStore:
                 kind = self._classify(exc)
                 last = exc
                 if kind == "taken":
-                    if not ambiguous_before:
-                        return False  # plain lost race, nothing of ours in flight
-                    # the 412 may be OUR earlier attempt whose response
-                    # was lost — only then is read-back sound (the body is
-                    # provably writer-unique: no competitor can have PUT
-                    # these exact bytes, and we know one of our PUTs may
-                    # have landed)
+                    # the sequence is taken — by a competitor, or by OUR
+                    # own PUT whose success we never saw (an ambiguous
+                    # 5xx below, or a client-layer transparent retry that
+                    # swallowed it before we looked). Bodies are
+                    # writer-unique — every commit attempt stages a fresh
+                    # ``gen-<uuid>`` — so read-back equality decides:
+                    # mine → True, anything else → clean loss
                     return self._body_at(key) == body
                 if kind in ("ambiguous", "missing"):
-                    ambiguous_before = True
                     existing = self._body_at(key)
                     if existing is not None:
                         return existing == body
                     # never landed — fall through and retry the PUT
-                self._sleep(self._backoff(attempt))
+                if attempt < self._max_attempts - 1:
+                    self._sleep(self._backoff(attempt))
         raise RuntimeError(
             f"conditional PUT of s3://{self._bucket}/{key} unresolved "
             f"after {self._max_attempts} attempts"
@@ -594,8 +612,21 @@ class S3PointerStore:
         return 0  # conditional PUT leaves no temp objects to leak
 
     def drop(self, seq: int) -> None:
-        # S3 DeleteObject of an absent key succeeds — idempotent already
-        self._c.delete_object(Bucket=self._bucket, Key=self._key(seq))
+        # S3 DeleteObject of an absent key succeeds — idempotent, so a
+        # landed-but-lost delete is safe to retry; same bounded policy as
+        # the read paths (GC's drop loop must shrug off one SlowDown)
+        last: Exception | None = None
+        for attempt in range(self._max_attempts):
+            try:
+                self._c.delete_object(Bucket=self._bucket, Key=self._key(seq))
+                return
+            except Exception as exc:  # noqa: BLE001 — classified below
+                if self._classify(exc) == "missing":
+                    return
+                last = exc
+                if attempt < self._max_attempts - 1:
+                    self._sleep(self._backoff(attempt))
+        raise last  # type: ignore[misc]
 
 
 def _store_for(root: str, store=None):

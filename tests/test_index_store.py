@@ -1333,6 +1333,7 @@ class _FakeS3Client:
         self.conflicts = 0
         self.lost_responses = 0
         self.list_errors = 0  # next N listings 503 (transient SlowDown)
+        self.delete_errors = 0  # next N deletes 503 (transient SlowDown)
 
     @staticmethod
     def _err(code, status, op):
@@ -1373,6 +1374,9 @@ class _FakeS3Client:
 
     def delete_object(self, Bucket, Key):
         with self._lock:
+            if self.delete_errors > 0:
+                self.delete_errors -= 1
+                raise self._err("SlowDown", 503, "DeleteObject")
             self.objects.pop(Key, None)
         return {"ResponseMetadata": {"HTTPStatusCode": 204}}
 
@@ -1490,6 +1494,22 @@ def test_s3_pointer_store_error_taxonomy():
     with pytest.raises(TypeError):
         store.try_commit(1, {"gen": "g-a"})
 
+    # a misconfiguration without an HTTP response (here: missing
+    # credentials) raises immediately — zero retries, zero backoff sleeps
+    from botocore.exceptions import NoCredentialsError
+
+    sleeps = []
+    store_nc, fake_nc = _s3_store()
+    store_nc._sleep = sleeps.append
+
+    def put_no_creds(**kw):
+        raise NoCredentialsError()
+
+    fake_nc.put_object = put_no_creds
+    with pytest.raises(NoCredentialsError):
+        store_nc.try_commit(1, {"gen": "g-a"})
+    assert sleeps == []
+
     # transient listing failures (SlowDown storms) retry, not crash —
     # read_latest sits on every lifecycle path
     fake.put_object = real_put
@@ -1499,6 +1519,25 @@ def test_s3_pointer_store_error_taxonomy():
     assert store2.read_latest() == (1, {"gen": "g-l"})
     fake2.list_errors = 2
     assert [s for s, _ in store2.pointers()] == [1]
+
+    # transient delete failures retry the same way (GC's drop loop must
+    # shrug off one SlowDown), and the delete still lands
+    fake2.delete_errors = 2
+    store2.drop(1)
+    assert store2.pointers() == []
+
+    # the client-transparent-retry shape: our conditional PUT landed but
+    # a retrying client layer swallowed the 200 and surfaced only the
+    # follow-up 412 — from this class's view, a first-visible 412 over
+    # our own body. Read-back must claim it (True), exactly once.
+    store3, fake3 = _s3_store()
+    landed = {"gen": "g-landed"}
+    fake3.objects["indexes/t_s3/ptr/LATEST.7"] = (
+        json.dumps(landed).encode("utf-8"),
+        0.0,
+    )
+    assert store3.try_commit(7, landed)  # mine: body-equal 412
+    assert not store3.try_commit(7, {"gen": "g-other"})  # competitor's: loss
 
     # from_uri: bucket/prefix split, scheme gate
     st = gs.S3PointerStore.from_uri(
@@ -1545,9 +1584,12 @@ def test_s3_pointer_backend_bisimulation():
                 gs.InMemoryPointerStore(),
                 _s3_store()[0],
             ]
-            for kind, seq, pid in ops:
+            for i, (kind, seq, pid) in enumerate(ops):
                 if kind == "commit":
-                    payload = {"gen": f"g-{pid}", "n": pid}
+                    # attempt-unique bodies, as the production contract
+                    # guarantees (every commit stages a fresh gen-<uuid>) —
+                    # the S3 class's 412 read-back relies on it
+                    payload = {"gen": f"g-{i}-{pid}", "n": pid}
                     results = {s.try_commit(seq, payload) for s in stores}
                     assert len(results) == 1, (kind, seq, pid)
                 elif kind == "read":
