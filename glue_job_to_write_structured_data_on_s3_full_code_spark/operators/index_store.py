@@ -106,8 +106,12 @@ class CommitConflict(RuntimeError):
 #: size get an explicit broadcast hint — comfortably driver-safe for
 #: serving traffic; beyond it (corpus-sized recall sweeps) AQE chooses
 #: from measured sizes so the probe degrades to a shuffled join rather
-#: than a driver-built broadcast blowup.
+#: than a driver-built broadcast blowup. BOTH caps must hold: rows
+#: bound the join hash table, bytes bound the driver-collected vector
+#: payload (row count alone would wave through ~6 GB of 768-dim
+#: doubles at 900k rows).
 _BROADCAST_SHORTLIST_ROWS = 1_000_000
+_BROADCAST_SHORTLIST_BYTES = 128 << 20  # 128 MB of estimated payload
 
 
 class LocalPointerStore:
@@ -629,6 +633,18 @@ class S3PointerStore:
         raise last  # type: ignore[misc]
 
 
+def _sweep_unpointed(fs: "_HadoopFS", gen_dir: str) -> None:
+    """Best-effort delete of a STAGED (never-pointed) generation dir.
+    The dir is unreachable garbage either way — GC's reachability sweep
+    is the durable cleanup — so a transient delete failure here must
+    never mask the primary outcome it accompanies (a CommitConflict
+    diagnostic, a twin-delivery return, a restage retry)."""
+    try:
+        fs.delete(gen_dir)
+    except Exception:  # noqa: BLE001 — GC is the backstop
+        pass
+
+
 def _store_for(root: str, store=None):
     """THE injection seam: every lifecycle entry point resolves its
     pointer backend here and nowhere else. ``store=None`` (production
@@ -655,26 +671,36 @@ class _HadoopFS:
 
     def __init__(self, spark: SparkSession, root: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._Path = spark._jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(root).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
 
-    @staticmethod
-    def _is_missing(exc: Exception) -> bool:
+    def _is_missing(self, exc: Exception) -> bool:
         """True iff a py4j-raised Java exception is a FileNotFound —
         the ONLY failure the metadata helpers may swallow. A throttling
         / auth / socket error must PROPAGATE: treating it as 'no files'
         would let a build commit an empty manifest under a full-corpus
-        fingerprint, the exact silent corruption this store refuses."""
+        fingerprint, the exact silent corruption this store refuses.
+        A real instanceof check, because connectors throw SUBCLASSES
+        whose names need not contain the substring (e.g. Hadoop's
+        PathNotFoundException extends java.io.FileNotFoundException)."""
         java_exc = getattr(exc, "java_exception", None)
         if java_exc is None:
             return isinstance(exc, FileNotFoundError)
         try:
-            cls = java_exc.getClass().getName()
+            from py4j.java_gateway import is_instance_of
+
+            return is_instance_of(
+                self._gateway, java_exc, "java.io.FileNotFoundException"
+            )
         except Exception:
-            return False
-        return "FileNotFoundException" in cls
+            # gateway unavailable mid-teardown: fall back to name match
+            try:
+                return "FileNotFoundException" in java_exc.getClass().getName()
+            except Exception:
+                return False
 
     def list_names(self, path: str) -> list[str]:
         p = self._Path(path)
@@ -930,7 +956,7 @@ def gen_index_build(
     }
     if ptr.try_commit((start_seq or 0) + 1, payload):
         return payload
-    fs.delete(gen_dir)  # unpointed; GC would sweep it anyway
+    _sweep_unpointed(fs, gen_dir)  # unpointed; GC is the backstop
     raise CommitConflict(
         f"index '{index_name}' advanced while this build was staging "
         f"(another commit took sequence {(start_seq or 0) + 1}); "
@@ -1031,10 +1057,10 @@ def gen_index_append(
                 idempotency_token is not None
                 and latest.get("last_token") == idempotency_token
             ):
-                fs.delete(gen_dir)  # twin delivery won the race
+                _sweep_unpointed(fs, gen_dir)  # twin delivery won the race
                 return latest
             if latest["centroid_fp"] != parent_manifest["centroid_fp"]:
-                fs.delete(gen_dir)  # assignment is against dead cells
+                _sweep_unpointed(fs, gen_dir)  # assignment is against dead cells
                 break  # outer loop restages against the new centroids
             base = _read_manifest(fs, root, latest["gen"])
             fp = {
@@ -1066,7 +1092,7 @@ def gen_index_append(
         else:
             # inner loop exhausted the budget while the staged gen is
             # still on disk (plain commit contention, no restage)
-            fs.delete(gen_dir)
+            _sweep_unpointed(fs, gen_dir)
         attempts -= 1  # a restage (centroid churn) also spends one
     raise CommitConflict(
         f"append to '{index_name}' lost {max_retries} commit races "
@@ -1152,18 +1178,31 @@ def gen_index_probe(
     from ..session import eager_checkpoint
 
     q = eager_checkpoint(q_plan, "gen_probe_assignment")
-    # one bounded collect serves both needs: the probed cell ids AND the
-    # shortlist size (≤ max_centroids rows come back, never the rows)
-    cell_counts = q.groupBy("cent_id").count().collect()
+    # one bounded collect serves all three needs: the probed cell ids,
+    # the shortlist row count, AND the vector width (≤ max_centroids
+    # rows come back, never the shortlist itself)
+    cell_counts = (
+        q.groupBy("cent_id")
+        .agg(F.count("*").alias("count"), F.max(F.size("qv")).alias("dim"))
+        .collect()
+    )
     probed = sorted(str(r["cent_id"]) for r in cell_counts)
     n_shortlist = sum(r["count"] for r in cell_counts)
+    dim = max((r["dim"] or 0) for r in cell_counts) if cell_counts else 0
     index = _probe_files(spark, root, manifest, probed)
     if index is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     q_side = q.withColumnRenamed("cent_id", "cell")
-    if n_shortlist <= _BROADCAST_SHORTLIST_ROWS:
+    # the hint gate must be BYTE-aware, not row-only: 900k rows of
+    # 768-dim doubles is ~6 GB — under any sane row cap yet far past
+    # what a driver-built broadcast should carry
+    shortlist_bytes = n_shortlist * (dim * 8 + 48)
+    if (
+        n_shortlist <= _BROADCAST_SHORTLIST_ROWS
+        and shortlist_bytes <= _BROADCAST_SHORTLIST_BYTES
+    ):
         q_side = F.broadcast(q_side)
     scored = (
         index.join(q_side, "cell")
@@ -1426,7 +1465,7 @@ def gen_index_import_posix(
         else {"rows": 0, "id_xor": 0}
     )
     if actual_fp != fp:
-        fs.delete(gen_dir)
+        _sweep_unpointed(fs, gen_dir)
         raise ValueError(
             f"POSIX index '{posix_index_name}' content {actual_fp} does not "
             f"match its stored fingerprint {fp} — the source is "
@@ -1714,7 +1753,7 @@ def gen_index_rebalance(
         }
         if ptr.try_commit(seq + 1, payload):
             return split
-        fs.delete(gen_dir)  # superseded mid-split: re-read and redo
+        _sweep_unpointed(fs, gen_dir)  # superseded mid-split: re-read and redo
     raise CommitConflict(
         f"rebalance of '{index_name}' lost {max_retries} commit races; "
         "schedule structural maintenance apart from append traffic"
@@ -1780,7 +1819,7 @@ def gen_index_compact(
         }
         if ptr.try_commit(seq + 1, payload):
             return payload
-        fs.delete(gen_dir)  # superseded mid-rewrite: re-read and redo
+        _sweep_unpointed(fs, gen_dir)  # superseded mid-rewrite: re-read and redo
     raise CommitConflict(
         f"compaction of '{index_name}' lost {max_retries} commit races; "
         "schedule it apart from heavy append traffic and retry"

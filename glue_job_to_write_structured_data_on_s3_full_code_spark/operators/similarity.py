@@ -674,32 +674,45 @@ def _require_posix_warehouse(
     names the offending setting in the error (the generational store
     routes its explicit ``root=`` through here too)."""
     import os
+    import re
 
     # URI-vs-path classification, done by SYNTAX rather than urlsplit's
     # permissive parse: a plain local path may legally contain a colon in
     # a segment ('runs:2026/idx' — not a URI: what follows the colon is
-    # not a path-absolute or authority part), while Hadoop URIs appear
-    # both as scheme://authority/path AND the single-slash scheme:/path
-    # form ('hdfs:/user/hive/warehouse' is common) — BOTH must classify
-    # as URIs or a non-file scheme slips past the refusal and the index
-    # splits brain: os.* state under a local dir literally named
-    # 'hdfs:', Spark data on the real filesystem.
+    # not a path-absolute or authority part; 'data/v1:/idx' and
+    # '2026:/idx' — not URIs either: the head is not a legal RFC 3986
+    # scheme), while Hadoop URIs appear both as scheme://authority/path
+    # AND the single-slash scheme:/path form ('hdfs:/user/hive/warehouse'
+    # is common) — BOTH must classify as URIs or a non-file scheme slips
+    # past the refusal and the index splits brain: os.* state under a
+    # local dir literally named 'hdfs:', Spark data on the real
+    # filesystem.
     if os.path.isabs(uri):
         return uri  # absolute local path, colons in segments and all
     head, sep, rest = uri.partition(":")
-    if not sep or not (rest.startswith("/") or rest.startswith("//")):
-        # no colon, or colon-in-segment (rest is not a URI path/authority)
+    if not sep or not re.fullmatch(r"[A-Za-z][A-Za-z0-9+.\-]*", head):
+        # no colon, or the head cannot be a URI scheme (must be a letter
+        # followed by letters/digits/+/-/.) — a local path either way
         return uri
     scheme = head.lower()
     if scheme == "file":
-        # keep the path VERBATIM ('#'/'?' are legal in filenames; do not
-        # let URL fragment/query parsing truncate them); authority form
-        # file://host/path drops the (local-or-meaningless) authority
+        # normalize EVERY file: form to the plain OS path Hadoop would
+        # resolve it to, keeping the path VERBATIM ('#'/'?' are legal in
+        # filenames; no URL fragment/query truncation): file://host/path
+        # drops the (local-or-meaningless) authority, file:/abs stays
+        # absolute, and file:rel is relative to the working directory —
+        # the same base the os.* layer resolves 'rel' against (returning
+        # it verbatim instead would split pointer state into a local dir
+        # literally named 'file:rel' while Spark wrote data to ./rel)
         if rest.startswith("//"):
             after = rest[2:]
             slash = after.find("/")
             return after[slash:] if slash >= 0 else "/"
         return rest
+    if not rest.startswith("/"):
+        # scheme-shaped head but the remainder is not a URI path — a
+        # relative local name like 'runs:2026/idx'
+        return uri
     raise UnsupportedIndexFilesystem(
         f"stored-IVF indexes require a POSIX filesystem (atomic rename + "
         f"O_EXCL) but {what} is '{uri}' (scheme "

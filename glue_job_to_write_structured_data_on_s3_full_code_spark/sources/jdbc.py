@@ -153,30 +153,43 @@ def replicate_tables(
             if isinstance(spec, dict):
                 from urllib.parse import quote, quote_plus
 
+                import re as _re
+
                 pw = spec.get("password")
                 if pw:
                     # drivers echo credentials verbatim, URL-encoded, or
-                    # embedded in a connection URL — scrub every form;
+                    # embedded in a connection URL — scrub every form,
                     # longest-first so a quoted form is not half-eaten by
-                    # its raw substring
+                    # its raw substring, and CASE-INSENSITIVELY on the
+                    # encoded variants (a normalizer may emit %2f where
+                    # urllib's quote emits %2F)
                     forms = {str(pw), quote(str(pw), safe=""), quote_plus(str(pw))}
                     for form in sorted(forms, key=len, reverse=True):
-                        msg = msg.replace(form, "***redacted***")
+                        msg = _re.sub(
+                            _re.escape(form),
+                            "***redacted***",
+                            msg,
+                            flags=_re.IGNORECASE if "%" in form else 0,
+                        )
                 user = spec.get("user")
                 if user:
-                    import re as _re
-
                     # the username is secret-adjacent, but a blanket
                     # substring replace garbles diagnostics for short
                     # names ('sa' in 'transaction', 'root' in 'root
                     # cause') — scrub only credential-shaped contexts:
-                    # the user:pass@host URL form and property echoes
+                    # the user:pass@host URL form and property echoes.
+                    # (?<![\w.-]) instead of \b so usernames that start
+                    # or end with non-word characters ('svc$') anchor too
                     u = _re.escape(str(user))
                     msg = _re.sub(
-                        rf"\b{u}(?=:[^\s@/]*@)", "***redacted-user***", msg
+                        rf"(?<![\w.-]){u}(?=:[^\s@/]*@)",
+                        "***redacted-user***",
+                        msg,
                     )
                     msg = _re.sub(
-                        rf"\b(user=){u}\b", r"\1***redacted-user***", msg
+                        rf"\b(user=){u}(?![\w.-])",
+                        r"\1***redacted-user***",
+                        msg,
                     )
             return {"table": table, "dest": dest, "status": "error", "error": msg}
 

@@ -486,7 +486,8 @@ def test_gen_build_refuses_to_clobber_interleaved_append(spark, sf_dir, pointer_
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 50 != 17)
     batch = emb.where(F.col("vec_id") % 50 == 17)
-    gs.gen_index_build(base, index_name="t_gen_clobber")
+    idx = nm("t_gen_clobber")  # per-backend root, per the nm contract
+    gs.gen_index_build(base, index_name=idx)
 
     real = pointer_backend.cls.try_commit
     state = {"interposed": False}
@@ -497,7 +498,7 @@ def test_gen_build_refuses_to_clobber_interleaved_append(spark, sf_dir, pointer_
             pointer_backend.cls.try_commit = real
             try:
                 gs.gen_index_append(
-                    batch, index_name="t_gen_clobber", idempotency_token="ck:b7"
+                    batch, index_name=idx, idempotency_token="ck:b7"
                 )
             finally:
                 pointer_backend.cls.try_commit = appending
@@ -506,19 +507,19 @@ def test_gen_build_refuses_to_clobber_interleaved_append(spark, sf_dir, pointer_
     pointer_backend.cls.try_commit = appending
     try:
         with pytest.raises(gs.CommitConflict, match="advanced while this build"):
-            gs.gen_index_build(base, index_name="t_gen_clobber")
+            gs.gen_index_build(base, index_name=idx)
     finally:
         pointer_backend.cls.try_commit = real
 
     assert state["interposed"]
     # the interleaved batch is still served, its token still armed
-    report = gs.gen_index_verify(spark, "t_gen_clobber")
+    report = gs.gen_index_verify(spark, idx)
     assert report["consistent"] and report["actual"]["rows"] == emb.count()
     replay = gs.gen_index_append(
-        batch, index_name="t_gen_clobber", idempotency_token="ck:b7"
+        batch, index_name=idx, idempotency_token="ck:b7"
     )
     assert replay["last_token"] == "ck:b7"
-    assert gs.gen_index_verify(spark, "t_gen_clobber")["actual"]["rows"] == emb.count()
+    assert gs.gen_index_verify(spark, idx)["actual"]["rows"] == emb.count()
 
 
 def test_gen_build_refuses_empty_centroid_set(spark, sf_dir, pointer_backend, nm):
@@ -1169,16 +1170,21 @@ def test_gen_lifecycle_on_uri_root_with_injected_store(
 
 @pytest.mark.slow  # two stored-index probes per backend (slow tier)
 def test_gen_probe_big_shortlist_path_row_identical(spark, gen_shared, monkeypatch):
-    """Above _BROADCAST_SHORTLIST_ROWS the probe drops the broadcast
-    hint (AQE picks the join strategy) — force that path with a zero
-    threshold and pin row-identity with the hinted path: the strategy
-    dial must never change answers."""
+    """Above _BROADCAST_SHORTLIST_ROWS — or _BROADCAST_SHORTLIST_BYTES,
+    the byte-aware twin that catches wide embeddings a row cap would
+    wave through — the probe drops the broadcast hint (AQE picks the
+    join strategy). Force each gate with a zero threshold and pin
+    row-identity with the hinted path: the strategy dial must never
+    change answers."""
     emb, _payload, idx = gen_shared
     q = emb.where(F.col("vec_id") < 10)
     hinted = _rows(gs.gen_index_probe(q, k=5, index_name=idx))
+    assert len(hinted) > 0
     monkeypatch.setattr(gs, "_BROADCAST_SHORTLIST_ROWS", 0)
-    unhinted = _rows(gs.gen_index_probe(q, k=5, index_name=idx))
-    assert unhinted == hinted and len(hinted) > 0
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=idx)) == hinted
+    monkeypatch.undo()
+    monkeypatch.setattr(gs, "_BROADCAST_SHORTLIST_BYTES", 0)
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=idx)) == hinted
 
 
 @pytest.mark.slow  # hypothesis property suite (slow tier)

@@ -2057,6 +2057,13 @@ def test_require_posix_warehouse_accepts_local_forms():
     # parsing must not truncate a file: path at them
     assert _require_posix_warehouse("file:/data/run#3/wh") == "/data/run#3/wh"
     assert _require_posix_warehouse("/data/run#3/wh") == "/data/run#3/wh"
+    # a head that cannot be an RFC 3986 scheme (slash inside, leading
+    # digit) is a local path even when a '/' follows the colon
+    assert _require_posix_warehouse("data/v1:/idx") == "data/v1:/idx"
+    assert _require_posix_warehouse("2026:/idx") == "2026:/idx"
+    # file:<relative> normalizes to the relative path Hadoop would
+    # resolve it to — NOT a literal './file:rel' directory (split-brain)
+    assert _require_posix_warehouse("file:rel/wh") == "rel/wh"
 
 
 def test_require_posix_warehouse_refuses_single_slash_uris():
