@@ -150,8 +150,14 @@ class LocalPointerStore:
         except ValueError:
             return None
 
+    #: list/open race retries in read_latest — a concurrent GC resolves in
+    #: one re-list (it keeps newer sequences); only an external process
+    #: deleting LIVE pointers could exhaust this, and that should raise,
+    #: not spin. Same bound the S3 backend applies via max_attempts.
+    _MAX_READ_RACES = 8
+
     def read_latest(self) -> tuple[int | None, dict | None]:
-        while True:
+        for _ in range(self._MAX_READ_RACES):
             best: tuple[int, str] | None = None
             for fname in os.listdir(self._dir):
                 seq = self._seq_of(fname)
@@ -165,9 +171,15 @@ class LocalPointerStore:
             except FileNotFoundError:
                 # a concurrent GC dropped the listed pointer between the
                 # listdir and the open (its keep_pointers window moved) —
-                # re-list, same tolerance pointers() already has; the
-                # sweep keeps newer sequences, so this terminates
+                # re-list, same tolerance pointers() already has
                 continue
+        raise RuntimeError(
+            f"read_latest of {self._dir} unresolved after "
+            f"{self._MAX_READ_RACES} list/open races — the newest pointer "
+            f"keeps vanishing between listing and read; an external "
+            f"process is deleting live pointers (GC only ever removes "
+            f"superseded sequences)"
+        )
 
     def try_commit(self, seq: int, payload: dict) -> bool:
         tmp = os.path.join(self._dir, f".tmp.{uuid.uuid4().hex}")
@@ -457,9 +469,25 @@ class S3PointerStore:
         connection-shaped failure). Anything else — auth errors,
         NoSuchBucket, programming mistakes — re-raises: retrying into a
         misconfiguration must stay loud."""
+        import socket
+        import ssl
+
         resp = getattr(exc, "response", None)
         if resp is None:
-            if isinstance(exc, OSError):  # incl. ConnectionError/TimeoutError
+            # only NETWORK-shaped OSErrors are ambiguous (the request may
+            # have reached the store); PermissionError / FileNotFoundError
+            # from a wrapping layer are misconfigurations that must raise
+            # immediately, not burn the full backoff budget first
+            if isinstance(
+                exc,
+                (
+                    ConnectionError,
+                    TimeoutError,
+                    socket.gaierror,
+                    socket.herror,
+                    ssl.SSLError,
+                ),
+            ):
                 return "ambiguous"
             # response-less client-library errors are ambiguous ONLY when
             # network-shaped; NoCredentialsError, ParamValidationError and
@@ -551,7 +579,7 @@ class S3PointerStore:
 
     # --- the PointerStore contract ----------------------------------------
     def read_latest(self) -> tuple[int | None, dict | None]:
-        while True:
+        for _ in range(self._max_attempts):
             entries = self._list()
             if not entries:
                 return None, None
@@ -559,11 +587,32 @@ class S3PointerStore:
             body = self._body_at(key)
             if body is None:
                 # GC dropped the listed pointer between the list and the
-                # GET; the sweep keeps newer sequences, so this terminates
+                # GET; the sweep keeps newer sequences, so one re-list
+                # normally resolves it. Bounded: only a MISBEHAVING
+                # external deleter (deleting the newest pointer over and
+                # over) could exhaust this, and that must surface loudly
+                # rather than spin forever.
                 continue
             return seq, json.loads(body)
+        raise RuntimeError(
+            f"read_latest of s3://{self._bucket}/{self._pfx} unresolved "
+            f"after {self._max_attempts} list/GET races — the newest "
+            f"pointer keeps vanishing between listing and read; an "
+            f"external process is deleting live pointers (GC only ever "
+            f"removes superseded sequences)"
+        )
 
     def try_commit(self, seq: int, payload: dict) -> bool:
+        """Conditional PUT of ``LATEST.<seq>``; True iff THIS call won.
+
+        PRECONDITION (callers, not just the class docstring): ``payload``
+        must be writer-unique per attempt — the 412/ambiguity read-back
+        decides ownership by body equality, so two writers committing a
+        byte-identical payload to the same sequence would BOTH see True
+        for the single slot. Every lifecycle caller satisfies this by
+        staging a fresh ``gen-<uuid>`` per commit; direct callers must
+        include their own nonce (a uuid field) in ``payload``.
+        """
         key, body = self._key(seq), json.dumps(payload)
         last: Exception | None = None
         for attempt in range(self._max_attempts):

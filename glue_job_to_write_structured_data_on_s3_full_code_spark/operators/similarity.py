@@ -708,6 +708,14 @@ def _require_posix_warehouse(
             after = rest[2:]
             slash = after.find("/")
             return after[slash:] if slash >= 0 else "/"
+        if not rest:
+            # bare 'file:' — returning '' would make downstream
+            # os.path.join silently resolve to the CURRENT WORKING
+            # DIRECTORY, a surprise location for durable index state
+            raise ValueError(
+                f"{what} is the bare URI 'file:' with no path — give an "
+                f"explicit location ('file:/abs/path' or a plain path)"
+            )
         return rest
     if not rest.startswith("/"):
         # scheme-shaped head but the remainder is not a URI path — a

@@ -160,16 +160,20 @@ def replicate_tables(
                     # drivers echo credentials verbatim, URL-encoded, or
                     # embedded in a connection URL — scrub every form,
                     # longest-first so a quoted form is not half-eaten by
-                    # its raw substring, and CASE-INSENSITIVELY on the
-                    # encoded variants (a normalizer may emit %2f where
-                    # urllib's quote emits %2F)
-                    forms = {str(pw), quote(str(pw), safe=""), quote_plus(str(pw))}
+                    # its raw substring, and CASE-INSENSITIVELY only on
+                    # the ENCODED variants (a normalizer may emit %2f
+                    # where urllib's quote emits %2F; the raw password —
+                    # even one containing a literal '%' — stays
+                    # case-sensitive so unrelated case variants of its
+                    # letters in prose are not garbled)
+                    raw = str(pw)
+                    forms = {raw, quote(raw, safe=""), quote_plus(raw)}
                     for form in sorted(forms, key=len, reverse=True):
                         msg = _re.sub(
                             _re.escape(form),
                             "***redacted***",
                             msg,
-                            flags=_re.IGNORECASE if "%" in form else 0,
+                            flags=_re.IGNORECASE if form != raw else 0,
                         )
                 user = spec.get("user")
                 if user:

@@ -1467,6 +1467,68 @@ def test_s3_pointer_store_contract():
     assert all(k.startswith("indexes/t_s3/ptr/LATEST.") for k in fake.objects)
 
 
+def test_read_latest_bounded_under_misbehaving_deleter():
+    """A concurrent GC deleting the just-listed pointer resolves in one
+    re-list (it keeps newer sequences). A MISBEHAVING external deleter —
+    one that keeps deleting the newest live pointer between every list
+    and read — must make read_latest raise loudly after a bounded number
+    of races, not spin forever. Pinned for BOTH backends."""
+    import shutil
+    import tempfile
+
+    # --- local backend: the pointer is listed, then vanishes before the
+    # open — EVERY time (the deleter re-creates and re-deletes around
+    # each listing, the worst-case interleave)
+    work = tempfile.mkdtemp(prefix="deleter_local_")
+    try:
+        local = gs.LocalPointerStore(work)
+        assert local.try_commit(1, {"gen": "g-a"})
+        victim = os.path.join(work, "ptr", "LATEST.1")
+
+        real_listdir = os.listdir
+
+        def vanishing_listdir(path):
+            with open(victim, "w") as fh:
+                fh.write('{"gen": "g-a"}')
+            names = real_listdir(path)
+            os.unlink(victim)
+            return names
+
+        from unittest import mock
+
+        with mock.patch(
+            "glue_job_to_write_structured_data_on_s3_full_code_spark.operators."
+            "index_store.os.listdir",
+            side_effect=vanishing_listdir,
+        ):
+            with pytest.raises(RuntimeError, match="deleting live pointers"):
+                local.read_latest()
+        # a SINGLE benign GC race (one deletion, newer pointer kept)
+        # still resolves quietly on the re-list
+        assert local.try_commit(2, {"gen": "g-b"})
+        assert local.read_latest() == (2, {"gen": "g-b"})
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # --- S3 backend: the listing shows a pointer, the GET finds it
+    # deleted — every time (the deleter re-seeds around each listing)
+    store, fake = _s3_store(max_attempts=3)
+
+    def deleted_after_list_get(Bucket, Key, **kw):
+        raise _FakeS3Client._err("NoSuchKey", 404, "GetObject")
+
+    real_get_paginator = fake.get_paginator
+
+    def reseeding_get_paginator(op):
+        fake.objects["indexes/t_s3/ptr/LATEST.1"] = (b'{"gen": "g-a"}', 0.0)
+        return real_get_paginator(op)
+
+    fake.get_object = deleted_after_list_get
+    fake.get_paginator = reseeding_get_paginator
+    with pytest.raises(RuntimeError, match="deleting live pointers"):
+        store.read_latest()
+
+
 def test_s3_pointer_store_error_taxonomy():
     """The edges of the S3 client's retry loop: exhausted ambiguity
     raises (never silently False), NoSuchBucket raises immediately
@@ -1515,6 +1577,35 @@ def test_s3_pointer_store_error_taxonomy():
     with pytest.raises(NoCredentialsError):
         store_nc.try_commit(1, {"gen": "g-a"})
     assert sleeps == []
+
+    # response-less OSErrors: only NETWORK-shaped ones are ambiguous.
+    # A PermissionError from a wrapping layer is a misconfiguration and
+    # must raise immediately — zero retries, zero backoff sleeps —
+    # instead of burning the full 8-attempt budget first.
+    for bad in (PermissionError("denied"), FileNotFoundError("gone")):
+        sleeps_os = []
+        store_os, fake_os = _s3_store()
+        store_os._sleep = sleeps_os.append
+        fake_os.put_object = lambda _b=bad, **kw: (_ for _ in ()).throw(_b)
+        with pytest.raises(type(bad)):
+            store_os.try_commit(1, {"gen": "g-a"})
+        assert sleeps_os == []
+    # ...while a ConnectionError (the write may have landed) stays
+    # ambiguous: read-back sees nothing landed, the PUT retries, and the
+    # commit succeeds once the connection recovers
+    store_cx, fake_cx = _s3_store()
+    real_put_cx = fake_cx.put_object
+    flaky = {"n": 2}
+
+    def put_flaky(**kw):
+        if flaky["n"] > 0:
+            flaky["n"] -= 1
+            raise ConnectionResetError("peer reset")
+        return real_put_cx(**kw)
+
+    fake_cx.put_object = put_flaky
+    assert store_cx.try_commit(1, {"gen": "g-cx"})
+    assert store_cx.read_latest() == (1, {"gen": "g-cx"})
 
     # transient listing failures (SlowDown storms) retry, not crash —
     # read_latest sits on every lifecycle path

@@ -2064,6 +2064,10 @@ def test_require_posix_warehouse_accepts_local_forms():
     # file:<relative> normalizes to the relative path Hadoop would
     # resolve it to — NOT a literal './file:rel' directory (split-brain)
     assert _require_posix_warehouse("file:rel/wh") == "rel/wh"
+    # bare 'file:' must refuse, not return '' (which os.path.join would
+    # silently resolve to the current working directory)
+    with pytest.raises(ValueError, match="bare URI 'file:'"):
+        _require_posix_warehouse("file:")
 
 
 def test_require_posix_warehouse_refuses_single_slash_uris():

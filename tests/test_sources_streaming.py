@@ -859,6 +859,29 @@ def test_replicate_tables_redacts_manifest_password(spark, tmp_path):
     # the $-suffixed username anchors too (\b fails between '$' and ':')
     assert "svc$:" not in err
 
+    def percent_password_reader(spark, dbtable, **kwargs):
+        # a password containing a LITERAL '%' must still be scrubbed
+        # case-SENSITIVELY in its raw form: the IGNORECASE flag is for
+        # encoded variants only, keyed on form != raw — keying it on '%'
+        # membership would garble unrelated case variants of the
+        # password's letters in surrounding prose
+        raise RuntimeError(
+            f"login failed with {kwargs.get('password')}; "
+            f"grant on TOP%5 reports still pending"
+        )
+
+    report = replicate_tables(
+        spark,
+        [{"table": "accounts", "user": "svc", "password": "top%5"}],
+        dest_root=str(tmp_path),
+        snapshot_dt="20231122",
+        reader=percent_password_reader,
+    )
+    err = report[0]["error"]
+    assert "top%5" not in err  # raw form scrubbed
+    assert "***redacted***" in err
+    assert "TOP%5" in err  # different-case prose NOT garbled
+
 
 @pytest.mark.slow  # streaming boundary parity (~8 s)
 def test_sessionization_subsecond_gap_parity(spark, tmp_path):
