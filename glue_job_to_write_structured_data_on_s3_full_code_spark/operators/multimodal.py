@@ -3,10 +3,12 @@
 Media assets are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing is real and tested: Arrow-batched ``mapInPandas``
 with an explicit output schema, payload-size–aware batching, and
-deterministic feature extraction. The actual image/audio decode is a
-clearly-marked stub (the sandbox has no codec libraries): plug a real
-decoder into :func:`decode_media` and every downstream stage keeps
-working.
+deterministic feature extraction. :func:`decode_media` REALLY decodes
+WAV/PCM audio (stdlib ``wave`` — 8/16/24/32-bit, any channel count; see
+``audio_frame_energy(decode=True)``); compressed codecs (PNG/JPEG/MP4/
+Ogg/FLAC/MP3) refuse loudly naming the library a real deployment plugs
+in — the sandbox has none of them, and every downstream stage keeps
+working either way.
 
 Scale notes: payloads never pass through Python row-at-a-time — Arrow
 moves whole batches; ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -30,16 +32,92 @@ MEDIA_FEATURE_SCHEMA = (
 )
 
 
-def decode_media(payload: bytes) -> object:
-    """STUB — real deployments plug PIL/ffmpeg/soundfile here.
+#: container magic → human name, for the refusal message when the codec
+#: library is genuinely absent in this environment
+_KNOWN_MAGICS = (
+    (b"\x89PNG\r\n\x1a\n", "PNG image (needs PIL/pillow)"),
+    (b"\xff\xd8\xff", "JPEG image (needs PIL/pillow)"),
+    (b"GIF8", "GIF image (needs PIL/pillow)"),
+    (b"OggS", "Ogg audio (needs soundfile/libsndfile)"),
+    (b"fLaC", "FLAC audio (needs soundfile/libsndfile)"),
+    (b"ID3", "MP3 audio (needs ffmpeg/audioread)"),
+)
 
-    Kept separate so the Spark plumbing (schema, batching, partitioning)
-    is testable without codec libraries in the container.
+
+def decode_media(payload: bytes) -> dict:
+    """Decode a binary media payload into samples + typed metadata.
+
+    REAL for WAV/PCM: RIFF/WAVE containers (8/16/24/32-bit integer PCM,
+    any channel count) decode via the stdlib ``wave`` module — no
+    external codec — returning::
+
+        {"kind": "audio", "sample_rate": int, "n_channels": int,
+         "sample_width": int, "n_frames": int,
+         "samples": np.ndarray[int32|int64, shape (n_frames, n_channels)]}
+
+    Samples are SIGNED integers centered on zero (8-bit WAV stores
+    unsigned bytes; 128 is subtracted here so every width shares the
+    same convention) and exactly representable as doubles, so downstream
+    energy/feature math is bit-reproducible across engines.
+
+    Still a stub for compressed codecs: payloads whose magic identifies
+    PNG/JPEG/MP4/Ogg/FLAC/MP3 raise :class:`NotImplementedError` naming
+    the library a real deployment would plug in — the sandbox has none
+    of them. Unrecognized payloads raise ``ValueError`` (corrupt or
+    unknown container), distinct from "codec unavailable".
     """
-    raise NotImplementedError(
-        "media decoding requires codec libraries not present in this "
-        "environment; extract_media_features uses the deterministic fake "
-        "extractor instead"
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = bytes(payload) if payload is not None else b""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(buf)) as w:
+            n_channels = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+        if width == 1:  # unsigned 8-bit → center on zero like the rest
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+        elif width == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+        elif width == 3:  # packed little-endian signed 24-bit
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            samples = np.where(samples >= 1 << 23, samples - (1 << 24), samples)
+        elif width == 4:
+            samples = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+        else:
+            raise ValueError(f"unsupported WAV sample width: {width} bytes")
+        # truncate a ragged tail (a truncated final frame) rather than crash
+        usable = (len(samples) // n_channels) * n_channels
+        samples = samples[:usable].reshape(-1, n_channels)
+        return {
+            "kind": "audio",
+            "sample_rate": rate,
+            "n_channels": n_channels,
+            "sample_width": width,
+            "n_frames": samples.shape[0],
+            "samples": samples,
+        }
+    for magic, name in _KNOWN_MAGICS:
+        if buf.startswith(magic):
+            raise NotImplementedError(
+                f"payload is a {name}; that codec library is not present "
+                f"in this environment — WAV/PCM decodes natively"
+            )
+    if buf[4:8] == b"ftyp":  # ISO-BMFF magic sits at offset 4
+        raise NotImplementedError(
+            "payload is an ISO-BMFF/MP4 container (needs ffmpeg/pyav); "
+            "that codec library is not present in this environment — "
+            "WAV/PCM decodes natively"
+        )
+    raise ValueError(
+        f"unrecognized media container (first bytes {buf[:8]!r}); "
+        f"decode_media handles RIFF/WAVE natively and refuses known "
+        f"compressed codecs loudly"
     )
 
 
@@ -243,20 +321,32 @@ def audio_frame_energy(
     frame_samples: int = 64,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    decode: bool = False,
 ) -> DataFrame:
-    """Audio-style frame energy: the payload is interpreted as unsigned
-    8-bit PCM, framed into ``frame_samples``-sample windows, and each
-    frame reports its RMS energy around the 128 midpoint — the
-    silence-detection / VAD-precursor shape. A real implementation decodes
-    via :func:`decode_media` first; the framing, fan-out, and vectorized
-    per-frame reduction are exactly what the real thing rides.
+    """Audio-style frame energy, the silence-detection / VAD-precursor
+    shape: samples are framed into ``frame_samples``-sample windows and
+    each frame reports its RMS energy.
 
-    Exactness note: samples are integers, so the squared-sum fits a
-    double EXACTLY (no accumulation-order noise) and frame RMS is
-    bit-identical across engines — which is why this Pandas-UDF operator
-    can still be hash-verified against the DuckDB oracle. Payloads
-    shorter than one frame yield a single partial frame; empty payloads
-    yield one silent frame (rms 0, 0 samples).
+    Two sample sources:
+
+    - ``decode=False`` (default): the payload is interpreted as raw
+      unsigned 8-bit PCM around the 128 midpoint — headerless, so the
+      DuckDB oracle can replay it byte-for-byte (this is the registered
+      gate query's mode).
+    - ``decode=True``: the payload is REALLY decoded via
+      :func:`decode_media` (RIFF/WAVE, 8/16/24/32-bit PCM); frames run
+      over the decoder's channel-interleaved signed samples, so a stereo
+      window covers ``frame_samples/2`` audio frames per channel.
+      Undecodable payloads propagate decode_media's error — at scale,
+      quarantine them upstream with a magic-sniff filter rather than
+      letting one bad object kill the job.
+
+    Exactness note (both modes): samples are integers, so the
+    squared-sum fits a double EXACTLY (no accumulation-order noise) and
+    frame RMS is bit-identical across engines — which is why this
+    Pandas-UDF operator can still be hash-verified against the DuckDB
+    oracle. Payloads shorter than one frame yield a single partial
+    frame; empty payloads yield one silent frame (rms 0, 0 samples).
     """
     import numpy as np
 
@@ -266,9 +356,17 @@ def audio_frame_energy(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:  # NULL payload == empty
                     payload = b""
-                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
-                    np.float64
-                ) - 128.0
+                if decode:
+                    if len(payload) == 0:  # NULL/empty: silent frame, no
+                        a = np.empty(0)  # container to sniff
+                    else:
+                        a = decode_media(payload)["samples"].ravel().astype(
+                            np.float64
+                        )
+                else:
+                    a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                        np.float64
+                    ) - 128.0
                 if len(a) == 0:
                     ids.append(doc_id); idxs.append(0); ns.append(0); rms.append(0.0)
                     continue
