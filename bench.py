@@ -128,92 +128,48 @@ GROWN = {
 def _extra_bench():
     """Production-path variants benched alongside the registered queries.
 
-    minhash_lsh_fast is minhash_lsh_candidates(hash_family='xxhash64') —
-    the fast path whose final pair set equals the registered md5cw oracle
-    mode (asserted in tests/test_dedup.py); xxhash64 has no DuckDB
-    equivalent so only the oracle mode carries a registry row.
+    All four are now PLAN functions (single source of truth shared with
+    the r13 swap-candidate parity tests in
+    tests/test_r13_swap_candidates.py) — this shim only maps bench row
+    names to them:
 
-    ann_recall_report_fast is ann_recall_report narrowed to the deployed
-    IVF nprobe curve plus the cheap LSH family — the scheduled-audit shape
-    (the full six-family report exists for the gate; its per-method rows
-    are identical for the shared methods, asserted in tests/test_retrieval.py).
+    minhash_lsh_fast (plans.llm_ops) is
+    minhash_lsh_candidates(hash_family='xxhash64') — the fast path whose
+    final pair set equals the registered md5cw oracle mode (asserted in
+    tests/test_dedup.py); xxhash64 has no DuckDB equivalent so only the
+    oracle mode carries a registry row.
 
-    gen_ivf_probe / gen_ivf_append are the GENERATIONAL index's serving
-    paths (operators/index_store.py): probe = one pointer read +
-    manifest-pruned file reads over a single compact build generation;
-    append's probe serves the two-fileset (build + appended batch)
-    manifest — the accreted shape a long-appended index pays. The store
-    has no registry row (registry frozen at 200), but its probes are
-    row-identical to ivf_topk by test; the bench watches the serving
-    cost cross-round like the POSIX lifecycle rows. Builds happen once
-    per (session, sf_dir) — timed invocations measure serving only.
+    ann_recall_report_fast (plans.llm_ops) is ann_recall_report narrowed
+    to the deployed IVF nprobe curve plus the cheap LSH family — the
+    scheduled-audit shape (the full six-family report exists for the
+    gate; its per-method rows are identical for the shared methods,
+    asserted in tests/test_retrieval.py).
+
+    gen_ivf_probe / gen_ivf_append (plans.gen_serving) are the
+    GENERATIONAL index's serving paths (operators/index_store.py): probe
+    = one pointer read + manifest-pruned file reads over a single
+    compact build generation; append's probe serves the two-fileset
+    (build + appended batch) manifest — the accreted shape a
+    long-appended index pays. The store has no registry row (registry
+    frozen at 200; staged for the r13 swap), but its probes hash-match
+    EMBEDDING_IVF_ORACLE by test; the bench watches the serving cost
+    cross-round like the POSIX lifecycle rows. Builds happen once per
+    (session, sf_dir) — timed invocations measure serving only.
     """
-    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.dedup import (
-        minhash_lsh_candidates,
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.gen_serving import (
+        gen_ivf_append_probe,
+        gen_ivf_probe,
     )
     from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops import (
-        ann_recall_report,
+        ann_recall_report_fast,
+        minhash_lsh_fast,
     )
-    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.parquet import (
-        read_table,
-    )
-
-    def minhash_lsh_fast(spark, sf_dir):
-        docs = read_table(spark, sf_dir, "documents")
-        return minhash_lsh_candidates(docs, "text", "doc_id", hash_family="xxhash64")
-
-    def ann_recall_report_fast(spark, sf_dir):
-        return ann_recall_report(
-            spark, sf_dir, methods=("ivf_np1", "ivf_np2", "ivf_np3", "lsh_p4")
-        )
-
-    from pyspark.sql import functions as F
-
-    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.index_store import (
-        gen_index_append,
-        gen_index_build,
-        gen_index_built,
-        gen_index_probe,
-    )
-
-    def _sf_tag(sf_dir):
-        return os.path.basename(os.path.normpath(sf_dir))
-
-    def gen_ivf_probe(spark, sf_dir):
-        emb = read_table(spark, sf_dir, "embeddings")
-        name = f"gen_ivf_bench_{_sf_tag(sf_dir)}"
-        if not gen_index_built(spark, name):
-            gen_index_build(emb, index_name=name)
-        return gen_index_probe(
-            emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
-        )
-
-    def gen_ivf_append(spark, sf_dir):
-        emb = read_table(spark, sf_dir, "embeddings")
-        name = f"gen_ivf_app_bench_{_sf_tag(sf_dir)}"
-        if not gen_index_built(spark, name):
-            gen_index_build(
-                emb.where(F.col("vec_id") % 50 != 17), index_name=name
-            )
-        # OUTSIDE the build gate: a pointer can exist with the append
-        # missing (warm-run append failure), which would silently time a
-        # one-fileset probe as the accreted row — the idempotency token
-        # makes this a cheap replay no-op once applied, and a real
-        # append whenever it is not
-        gen_index_append(
-            emb.where(F.col("vec_id") % 50 == 17),
-            index_name=name,
-            idempotency_token="bench:b0",
-        )
-        return gen_index_probe(
-            emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
-        )
 
     return {
         "minhash_lsh_fast": minhash_lsh_fast,
         "ann_recall_report_fast": ann_recall_report_fast,
         "gen_ivf_probe": gen_ivf_probe,
-        "gen_ivf_append": gen_ivf_append,
+        "gen_ivf_append": gen_ivf_append_probe,
     }
 
 

@@ -1,0 +1,84 @@
+"""Generational-index serving queries — r13 registry swap candidates.
+
+These are the GENERATIONAL (object-store-safe) stored-IVF index's two
+serving paths, in registrable ``(spark, sf_dir) -> DataFrame`` form.
+They are deliberately NOT in any ``REGISTRY`` list yet: the registry is
+rotation-saturated and frozen through round 12 (COVERAGE.md
+"Retire-and-swap shortlist") — registering them in r13 is a two-line
+edit here plus a retirement, because their oracle
+(:data:`~.llm_ops.EMBEDDING_IVF_ORACLE`) already hash-matches
+(tests/test_r13_swap_candidates.py pins it locally every session) and
+``bench.py`` has timed these exact callables since round 11.
+
+Scale shape (the reason these deserve gate slots): a probe is one
+pointer GET + nprobe·Q manifest-listed file reads — zero object-store
+LIST, zero rename — and an append commit is two small PUTs regardless
+of index size. See operators/index_store.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index_store import (
+    gen_index_append,
+    gen_index_build,
+    gen_index_built,
+    gen_index_probe,
+)
+from ..session import tune
+from ..sources.parquet import read_table
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def gen_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-5 (nprobe=3) from a committed single-generation index.
+
+    The index is built once per (session, sf_dir) and reused — repeated
+    invocations (the bench loop, a query service) measure the SERVING
+    cost: one pointer read + manifest-pruned cell-file reads. Rows are
+    identical to the in-memory ``ivf_topk`` (same centroids, probe set,
+    scoring), so the query hash-matches ``EMBEDDING_IVF_ORACLE``.
+    """
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    name = f"gen_ivf_bench_{_sf_tag(sf_dir)}"
+    if not gen_index_built(spark, name):
+        gen_index_build(emb, index_name=name)
+    return gen_index_probe(
+        emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
+    )
+
+
+def gen_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve from a TWO-fileset manifest (build + appended batch) — the
+    accreted shape a long-appended index pays before compaction.
+
+    The append sits OUTSIDE the build gate: a pointer can exist with the
+    append missing (warm-run append failure), which would silently time
+    a one-fileset probe as the accreted row — the idempotency token
+    makes this a cheap replay no-op once applied, and a real append
+    whenever it is not. The appended corpus is the FULL embeddings
+    table, so the same ``EMBEDDING_IVF_ORACLE`` applies (the build's
+    base excludes ``vec_id % 50 == 17``, which never removes a
+    ``vec_id % 50 == 0`` centroid).
+    """
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    name = f"gen_ivf_app_bench_{_sf_tag(sf_dir)}"
+    if not gen_index_built(spark, name):
+        gen_index_build(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
+    gen_index_append(
+        emb.where(F.col("vec_id") % 50 == 17),
+        index_name=name,
+        idempotency_token="bench:b0",
+    )
+    return gen_index_probe(
+        emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
+    )

@@ -155,6 +155,40 @@ GROUP BY 1
 """
 
 
+def name_pair_candidates_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic blocked-linkage swap-in, surfaced directly: the
+    distinct-name candidate pairs (with row-pair multiplicities) that a
+    string kernel would run on, blocked by ``p_type``. This is what makes
+    large name vocabularies tractable — kernels run O(|V|²) per block,
+    never O(N²) rows — and the multiplicity algebra guarantees recall:
+    sum(n_pairs) per block == C(rows_in_block, 2) exactly (pinned by
+    tests/test_r13_swap_candidates.py), so no row-level pair can escape
+    blocking. r13 swap candidate — NOT registered while the registry is
+    frozen; the oracle below replays it exactly in DuckDB."""
+    from ..operators.linkage import name_pair_candidates
+
+    tune(spark)
+    part = read_table(spark, sf_dir, "part")
+    return name_pair_candidates(part, "p_name", "p_type")
+
+
+NAME_PAIR_CANDIDATES_ORACLE = """
+WITH names AS (
+    SELECT p_type AS blk, p_name AS name, count(*) AS n
+    FROM part GROUP BY 1, 2
+)
+SELECT a.blk, a.name AS name_a, b.name AS name_b,
+       a.n AS n_a, b.n AS n_b,
+       CASE WHEN a.name = b.name
+            THEN CAST(a.n * (a.n - 1) / 2 AS BIGINT)
+            ELSE a.n * b.n END AS n_pairs
+FROM names a JOIN names b ON a.blk = b.blk AND a.name <= b.name
+WHERE (CASE WHEN a.name = b.name
+            THEN CAST(a.n * (a.n - 1) / 2 AS BIGINT)
+            ELSE a.n * b.n END) > 0
+"""
+
+
 def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution (the MDM pipeline): name histogram →
     fuzzy match (levenshtein ≤ 2 on DISTINCT names, exact length-band

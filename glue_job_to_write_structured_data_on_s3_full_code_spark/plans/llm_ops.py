@@ -1153,11 +1153,14 @@ def ann_recall_report(
     )
 
 
-def _ann_recall_oracle(k: int = 5) -> str:
+def _ann_recall_oracle(k: int = 5, methods: tuple[str, ...] | None = None) -> str:
     """DuckDB replay of ann_recall_report by CTE composition: each family
     block IS that family's registered oracle verbatim (so the scoreboard
     can never drift from the per-family gate rows), unioned under its
-    method label and scored against the exact-baseline oracle."""
+    method label and scored against the exact-baseline oracle.
+    ``methods`` restricts the scoreboard the same way the report's own
+    ``methods=`` does — the ``ann_recall_report_fast`` bench/swap variant
+    oracles through ``methods=('ivf_np1','ivf_np2','ivf_np3','lsh_p4')``."""
     blocks = (
         ("ivf_np1", _ivf_oracle(nprobe=1)),
         ("ivf_np2", _ivf_oracle(nprobe=2)),
@@ -1166,6 +1169,8 @@ def _ann_recall_oracle(k: int = 5) -> str:
         ("lsh_p4", EMBEDDING_LSH_ORACLE),
         ("pq_m4", EMBEDDING_PQ_ORACLE),
     )
+    if methods is not None:
+        blocks = tuple(b for b in blocks if b[0] in methods)
     union = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, query_id, neighbor_id FROM ({sql})"
         for m, sql in blocks
@@ -1193,6 +1198,35 @@ FROM methods m CROSS JOIN nq LEFT JOIN hits h USING (method)
 
 
 ANN_RECALL_ORACLE = _ann_recall_oracle()
+
+#: the deployed-audit method subset ann_recall_report_fast scores
+_ANN_RECALL_FAST_METHODS = ("ivf_np1", "ivf_np2", "ivf_np3", "lsh_p4")
+
+
+def ann_recall_report_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduled-audit scoreboard: ann_recall_report narrowed to the
+    deployed IVF nprobe curve plus the cheap LSH family. Benched since
+    round 5 (bench.py EXTRA_BENCH); shared-method rows are identical to
+    the full report's by test. r13 swap candidate — NOT registered while
+    the registry is frozen; its oracle is :data:`ANN_RECALL_FAST_ORACLE`
+    (the full oracle's CTE composition restricted the same way), pinned
+    locally by tests/test_r13_swap_candidates.py."""
+    return ann_recall_report(spark, sf_dir, methods=_ANN_RECALL_FAST_METHODS)
+
+
+ANN_RECALL_FAST_ORACLE = _ann_recall_oracle(methods=_ANN_RECALL_FAST_METHODS)
+
+
+def minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash hash family: xxhash64 (one JVM hash per
+    shingle per band row) instead of the md5-derived Carter-Wegman family
+    the oracle replays. Final pair set equals minhash_lsh_dedup's by test
+    (tests/test_dedup.py); xxhash64 has no DuckDB equivalent, so a
+    registry row for this query is rows-only — which is exactly what the
+    r13 swap shortlist stages it as."""
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id", hash_family="xxhash64")
 
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
