@@ -469,6 +469,7 @@ class S3PointerStore:
         connection-shaped failure). Anything else — auth errors,
         NoSuchBucket, programming mistakes — re-raises: retrying into a
         misconfiguration must stay loud."""
+        import errno
         import socket
         import ssl
 
@@ -477,7 +478,10 @@ class S3PointerStore:
             # only NETWORK-shaped OSErrors are ambiguous (the request may
             # have reached the store); PermissionError / FileNotFoundError
             # from a wrapping layer are misconfigurations that must raise
-            # immediately, not burn the full backoff budget first
+            # immediately, not burn the full backoff budget first.
+            # ECONNRESET/EPIPE/ETIMEDOUT arrive as the mapped OSError
+            # subclasses below; the route-flap errnos have NO subclass
+            # mapping and must be matched by number.
             if isinstance(
                 exc,
                 (
@@ -487,6 +491,15 @@ class S3PointerStore:
                     socket.herror,
                     ssl.SSLError,
                 ),
+            ) or (
+                isinstance(exc, OSError)
+                and getattr(exc, "errno", None)
+                in (
+                    errno.ENETUNREACH,
+                    errno.EHOSTUNREACH,
+                    errno.ENETDOWN,
+                    errno.ENETRESET,
+                )
             ):
                 return "ambiguous"
             # response-less client-library errors are ambiguous ONLY when
@@ -578,8 +591,14 @@ class S3PointerStore:
         raise last  # type: ignore[misc]
 
     # --- the PointerStore contract ----------------------------------------
+    #: list/GET race retries in read_latest — deliberately NOT
+    #: max_attempts: that knob tunes NETWORK retries (a fail-fast
+    #: max_attempts=1 store must still tolerate benign concurrent-GC
+    #: races, which are not failures). Same bound as the local backend.
+    _MAX_READ_RACES = 8
+
     def read_latest(self) -> tuple[int | None, dict | None]:
-        for _ in range(self._max_attempts):
+        for _ in range(self._MAX_READ_RACES):
             entries = self._list()
             if not entries:
                 return None, None
@@ -596,7 +615,7 @@ class S3PointerStore:
             return seq, json.loads(body)
         raise RuntimeError(
             f"read_latest of s3://{self._bucket}/{self._pfx} unresolved "
-            f"after {self._max_attempts} list/GET races — the newest "
+            f"after {self._MAX_READ_RACES} list/GET races — the newest "
             f"pointer keeps vanishing between listing and read; an "
             f"external process is deleting live pointers (GC only ever "
             f"removes superseded sequences)"

@@ -73,12 +73,25 @@ def decode_media(payload: bytes) -> dict:
 
     buf = bytes(payload) if payload is not None else b""
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
-        with wave.open(io.BytesIO(buf)) as w:
-            n_channels = w.getnchannels()
-            width = w.getsampwidth()
-            rate = w.getframerate()
-            n_frames = w.getnframes()
-            raw = w.readframes(n_frames)
+        try:
+            with wave.open(io.BytesIO(buf)) as w:
+                n_channels = w.getnchannels()
+                width = w.getsampwidth()
+                rate = w.getframerate()
+                n_frames = w.getnframes()
+                raw = w.readframes(n_frames)
+        except wave.Error as exc:
+            # the stdlib reader only does integer PCM: format tag 3
+            # (IEEE float) and other legitimate WAV variants are a
+            # codec gap, not corruption
+            if "unknown format" in str(exc):
+                raise NotImplementedError(
+                    f"WAV with a non-integer-PCM format ({exc}); needs "
+                    f"soundfile/libsndfile — integer PCM decodes natively"
+                ) from exc
+            raise ValueError(f"corrupt RIFF/WAVE container: {exc}") from exc
+        except EOFError as exc:  # truncated chunk headers
+            raise ValueError(f"corrupt RIFF/WAVE container: {exc}") from exc
         if width == 1:  # unsigned 8-bit → center on zero like the rest
             samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
         elif width == 2:
@@ -113,6 +126,21 @@ def decode_media(payload: bytes) -> dict:
             "payload is an ISO-BMFF/MP4 container (needs ffmpeg/pyav); "
             "that codec library is not present in this environment — "
             "WAV/PCM decodes natively"
+        )
+    if buf[:4] == b"RIFF":  # RIFF but not WAVE: WEBP/AVI ride RIFF too
+        kind = buf[8:12].decode("ascii", "replace").strip()
+        raise NotImplementedError(
+            f"payload is a RIFF/{kind or '????'} container (needs the "
+            f"matching codec library: WEBP → PIL/pillow, AVI → "
+            f"ffmpeg/pyav) — only RIFF/WAVE decodes natively"
+        )
+    if len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0:
+        # a bare MPEG-audio frame sync (most raw .mp3 payloads carry no
+        # ID3v2 header) — codec gap, not corruption. JPEG's \xff\xd8\xff
+        # was already claimed by the magic table above.
+        raise NotImplementedError(
+            "payload is a raw MPEG-audio stream (frame sync, no ID3 tag; "
+            "needs ffmpeg/audioread) — WAV/PCM decodes natively"
         )
     raise ValueError(
         f"unrecognized media container (first bytes {buf[:8]!r}); "
@@ -341,11 +369,17 @@ def audio_frame_energy(
       quarantine them upstream with a magic-sniff filter rather than
       letting one bad object kill the job.
 
-    Exactness note (both modes): samples are integers, so the
-    squared-sum fits a double EXACTLY (no accumulation-order noise) and
-    frame RMS is bit-identical across engines — which is why this
-    Pandas-UDF operator can still be hash-verified against the DuckDB
-    oracle. Payloads shorter than one frame yield a single partial
+    Exactness note: samples are integers, so whenever the squared-sum
+    stays under 2^53 the double accumulation is EXACT (no
+    accumulation-order noise) and frame RMS is bit-identical across
+    engines — true always for 8/16-bit samples at any practical frame
+    size (16-bit: 2^30 per square, 2^23 frames before overflow) and for
+    24-bit up to frame_samples ≤ 128; the registered gate query rides
+    the 8-bit raw mode, which is why this Pandas-UDF operator can be
+    hash-verified against the DuckDB oracle. 32-bit PCM squares exceed
+    2^53, so decode=True over 32-bit WAVs carries ordinary float64
+    rounding — fine for VAD-style thresholds, NOT for cross-engine hash
+    gates. Payloads shorter than one frame yield a single partial
     frame; empty payloads yield one silent frame (rms 0, 0 samples).
     """
     import numpy as np

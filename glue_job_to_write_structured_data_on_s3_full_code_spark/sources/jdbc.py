@@ -160,21 +160,45 @@ def replicate_tables(
                     # drivers echo credentials verbatim, URL-encoded, or
                     # embedded in a connection URL — scrub every form,
                     # longest-first so a quoted form is not half-eaten by
-                    # its raw substring, and CASE-INSENSITIVELY only on
-                    # the ENCODED variants (a normalizer may emit %2f
-                    # where urllib's quote emits %2F; the raw password —
-                    # even one containing a literal '%' — stays
-                    # case-sensitive so unrelated case variants of its
-                    # letters in prose are not garbled)
+                    # its raw substring. Case rules: ENCODED variants
+                    # match case-insensitively as a whole (a normalizer
+                    # may emit %2f where urllib's quote emits %2F); the
+                    # raw form stays case-sensitive in its LETTERS (so
+                    # unrelated case variants in prose are not garbled)
+                    # but any %xx hex pair INSIDE a raw password still
+                    # matches either hex case — RFC 3986 normalizers
+                    # uppercase percent-encodings, so a driver may echo
+                    # 'secret%2fpath' back as 'secret%2Fpath' and both
+                    # must scrub.
                     raw = str(pw)
-                    forms = {raw, quote(raw, safe=""), quote_plus(raw)}
-                    for form in sorted(forms, key=len, reverse=True):
-                        msg = _re.sub(
-                            _re.escape(form),
-                            "***redacted***",
-                            msg,
-                            flags=_re.IGNORECASE if form != raw else 0,
-                        )
+
+                    def _raw_pattern(s: str) -> str:
+                        out, i = [], 0
+                        while i < len(s):
+                            if s[i] == "%" and _re.fullmatch(
+                                r"[0-9A-Fa-f]{2}", s[i + 1 : i + 3]
+                            ):
+                                out.append("%")
+                                for h in s[i + 1 : i + 3]:
+                                    out.append(
+                                        f"[{h.lower()}{h.upper()}]"
+                                        if h.isalpha()
+                                        else h
+                                    )
+                                i += 3
+                            else:
+                                out.append(_re.escape(s[i]))
+                                i += 1
+                        return "".join(out)
+
+                    encoded = {quote(raw, safe=""), quote_plus(raw)} - {raw}
+                    forms = [(raw, _raw_pattern(raw), 0)] + [
+                        (f, _re.escape(f), _re.IGNORECASE) for f in encoded
+                    ]
+                    for _f, pattern, flags in sorted(
+                        forms, key=lambda t: len(t[0]), reverse=True
+                    ):
+                        msg = _re.sub(pattern, "***redacted***", msg, flags=flags)
                 user = spec.get("user")
                 if user:
                     # the username is secret-adjacent, but a blanket

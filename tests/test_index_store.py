@@ -1606,6 +1606,23 @@ def test_s3_pointer_store_error_taxonomy():
     fake_cx.put_object = put_flaky
     assert store_cx.try_commit(1, {"gen": "g-cx"})
     assert store_cx.read_latest() == (1, {"gen": "g-cx"})
+    # ...and so do the route-flap errnos that have no OSError-subclass
+    # mapping (ENETUNREACH et al. arrive as PLAIN OSError by number)
+    import errno as _errno
+
+    store_nu, fake_nu = _s3_store()
+    real_put_nu = fake_nu.put_object
+    flaky_nu = {"n": 2}
+
+    def put_unreachable(**kw):
+        if flaky_nu["n"] > 0:
+            flaky_nu["n"] -= 1
+            raise OSError(_errno.ENETUNREACH, "Network is unreachable")
+        return real_put_nu(**kw)
+
+    fake_nu.put_object = put_unreachable
+    assert store_nu.try_commit(1, {"gen": "g-nu"})
+    assert store_nu.read_latest() == (1, {"gen": "g-nu"})
 
     # transient listing failures (SlowDown storms) retry, not crash —
     # read_latest sits on every lifecycle path
@@ -1948,23 +1965,28 @@ def test_gen_lifecycle_all_on_one_emulated_s3(spark, sf_dir):
 
     server = ThreadedMotoServer(port=0)
     server.start()
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    # endpoint + path-style + static dummy creds: the standard
+    # emulated-S3 wiring (same keys MinIO deployments use). The session
+    # fixture is shared, so prior values are snapshotted and restored —
+    # a later test must not inherit fs.s3a.* pointed at a dead endpoint.
+    s3a_keys = {
+        "fs.s3a.endpoint": None,
+        "fs.s3a.path.style.access": "true",
+        "fs.s3a.access.key": "test",
+        "fs.s3a.secret.key": "test",
+        "fs.s3a.connection.ssl.enabled": "false",
+        "fs.s3a.change.detection.mode": "none",
+        "fs.s3a.aws.credentials.provider": (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        ),
+    }
+    saved = {k: hconf.get(k) for k in s3a_keys}
     try:
         host, port = server.get_host_and_port()
         endpoint = f"http://{host}:{port}"
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        # endpoint + path-style + static dummy creds: the standard
-        # emulated-S3 wiring (same keys MinIO deployments use)
-        for k, v in {
-            "fs.s3a.endpoint": endpoint,
-            "fs.s3a.path.style.access": "true",
-            "fs.s3a.access.key": "test",
-            "fs.s3a.secret.key": "test",
-            "fs.s3a.connection.ssl.enabled": "false",
-            "fs.s3a.change.detection.mode": "none",
-            "fs.s3a.aws.credentials.provider": (
-                "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
-            ),
-        }.items():
+        s3a_keys["fs.s3a.endpoint"] = endpoint
+        for k, v in s3a_keys.items():
             hconf.set(k, v)
         client = boto3.client(
             "s3",
@@ -2011,4 +2033,9 @@ def test_gen_lifecycle_all_on_one_emulated_s3(spark, sf_dir):
         assert any(k.startswith("warehouse/idx/ptr/LATEST.") for k in keys)
         assert any(k.endswith(".parquet") for k in keys)
     finally:
+        for k, old in saved.items():
+            if old is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, old)
         server.stop()

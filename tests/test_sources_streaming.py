@@ -367,6 +367,33 @@ def test_decode_media_refusal_taxonomy():
         decode_media(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 64)
     with pytest.raises(NotImplementedError, match="FLAC"):
         decode_media(b"fLaC" + b"\x00" * 64)
+    # RIFF but not WAVE (WEBP/AVI share the RIFF envelope) — codec gap
+    with pytest.raises(NotImplementedError, match="RIFF/WEBP"):
+        decode_media(b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 32)
+    # raw MPEG-audio frame sync: most .mp3 payloads carry no ID3v2 tag
+    with pytest.raises(NotImplementedError, match="MPEG-audio"):
+        decode_media(b"\xff\xfb\x90\x64" + b"\x00" * 64)
+    # IEEE-float WAV (format tag 3): a legitimate WAV variant the stdlib
+    # integer-PCM reader cannot decode — codec gap, not corruption
+    import struct
+
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt3) + 8 + 8)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt3))
+        + fmt3
+        + b"data"
+        + struct.pack("<I", 8)
+        + b"\x00" * 8
+    )
+    with pytest.raises(NotImplementedError, match="non-integer-PCM"):
+        decode_media(float_wav)
+    # truncated RIFF/WAVE (no chunks at all) is CORRUPT, not a codec gap
+    with pytest.raises(ValueError, match="corrupt RIFF/WAVE"):
+        decode_media(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError, match="unrecognized media container"):
         decode_media(b"not-a-container")
 
@@ -998,6 +1025,25 @@ def test_replicate_tables_redacts_manifest_password(spark, tmp_path):
     assert "top%5" not in err  # raw form scrubbed
     assert "***redacted***" in err
     assert "TOP%5" in err  # different-case prose NOT garbled
+
+    def normalized_hex_reader(spark, dbtable, **kwargs):
+        # RFC 3986 normalizers UPPERCASE percent-encodings: a raw
+        # password containing '%2f' may be echoed back as '%2F'. The
+        # %xx pairs inside a raw password must match either hex case
+        # (while its ordinary letters stay case-sensitive).
+        echoed = kwargs.get("password").replace("%2f", "%2F")
+        raise RuntimeError(f"rejected jdbc:postgresql://u:{echoed}@h/db")
+
+    report = replicate_tables(
+        spark,
+        [{"table": "accounts", "user": "svc", "password": "secret%2fpath"}],
+        dest_root=str(tmp_path),
+        snapshot_dt="20231122",
+        reader=normalized_hex_reader,
+    )
+    err = report[0]["error"]
+    assert "secret%2Fpath" not in err and "secret%2fpath" not in err
+    assert "***redacted***" in err
 
 
 @pytest.mark.slow  # streaming boundary parity (~8 s)
