@@ -425,3 +425,57 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         ).collect()
     }
     assert got == _model_asof(lefts, rights)
+
+
+@given(
+    pw=st.text(
+        alphabet="ABCFabcf019%/@!:+ ", min_size=3, max_size=14
+    ).map(lambda s: "Q" + s)
+)
+@settings(max_examples=60, deadline=None)
+def test_jdbc_redaction_scrubs_every_echo_form(pw):
+    """Model check of the error-report credential scrub: for ANY
+    password, every form a driver might echo — verbatim, URL-encoded
+    (either hex case), plus-encoded, and the RFC-3986-normalized
+    variant where %xx pairs inside the RAW password flip hex case —
+    must be absent from the report. The 'Q' prefix keeps generated
+    passwords from being substrings of the replacement marker. No
+    SparkSession needed: the injected reader raises before any Spark
+    work."""
+    import re
+    from urllib.parse import quote, quote_plus
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.jdbc import (
+        replicate_tables,
+    )
+
+    def hex_case(s: str, fn) -> str:
+        # normalizers only touch the hex INSIDE %xx pairs, never the
+        # password's ordinary letters
+        return re.sub(r"%([0-9A-Fa-f]{2})", lambda m: "%" + fn(m.group(1)), s)
+
+    enc = quote(pw, safe="")
+    forms = {
+        pw,
+        enc,
+        quote_plus(pw),
+        hex_case(pw, str.swapcase),
+        hex_case(enc, str.lower),
+        hex_case(enc, str.upper),
+        hex_case(quote_plus(pw), str.lower),
+    }
+
+    def echoing_reader(spark, dbtable, **kwargs):
+        raise RuntimeError("connect failed: " + " | ".join(sorted(forms)))
+
+    report = replicate_tables(
+        None,
+        [{"table": "t", "user": "svc", "password": pw}],
+        dest_root="/nonexistent-never-written",
+        snapshot_dt="20231122",
+        reader=echoing_reader,
+    )
+    err = report[0]["error"]
+    assert "***redacted***" in err
+    for form in forms:
+        assert form not in err, (pw, form, err)
