@@ -181,6 +181,18 @@ class LocalPointerStore:
             f"superseded sequences)"
         )
 
+    def read_at(self, seq: int) -> dict | None:
+        """The pointer at EXACTLY ``seq`` — one targeted read, no
+        listing. ``None`` if that sequence was never committed or was
+        garbage-collected (historical reads are valid only within GC's
+        ``keep_pointers`` retention window — the same supersession-lease
+        contract live probes ride)."""
+        try:
+            with open(os.path.join(self._dir, f"LATEST.{seq}")) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
     def try_commit(self, seq: int, payload: dict) -> bool:
         tmp = os.path.join(self._dir, f".tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -331,6 +343,11 @@ class InMemoryPointerStore:
                 return None, None
             seq = max(self._objects)
             return seq, json.loads(self._objects[seq])
+
+    def read_at(self, seq: int) -> dict | None:
+        with self._lock:
+            body = self._objects.get(seq)
+        return json.loads(body) if body is not None else None
 
     def try_commit(self, seq: int, payload: dict) -> bool:
         while self._pre_put_hooks:
@@ -620,6 +637,15 @@ class S3PointerStore:
             f"external process is deleting live pointers (GC only ever "
             f"removes superseded sequences)"
         )
+
+    def read_at(self, seq: int) -> dict | None:
+        """The pointer at EXACTLY ``seq`` — ONE GetObject, no listing
+        (the historical-probe serving shape: same O(1) pointer cost as
+        a live probe). ``None`` if never committed or GC'd; historical
+        reads are valid only within GC's ``keep_pointers`` retention
+        window, the same supersession-lease contract live probes ride."""
+        body = self._body_at(self._key(seq))
+        return json.loads(body) if body is not None else None
 
     def try_commit(self, seq: int, payload: dict) -> bool:
         """Conditional PUT of ``LATEST.<seq>``; True iff THIS call won.
@@ -1192,6 +1218,7 @@ def gen_index_probe(
     expected_fingerprint: dict | None = None,
     root: str | None = None,
     store=None,
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """Serve top-k from the pointed generation. One pointer read pins the
     ENTIRE snapshot (manifest + files are immutable), so a probe can
@@ -1199,17 +1226,41 @@ def gen_index_probe(
     caveat the POSIX store documents for rebalance/compact windows does
     not exist here. Reads exactly the probed cells' manifest files.
     Output schema and values are row-identical to
-    :func:`.similarity.ivf_index_probe` (pinned by test)."""
+    :func:`.similarity.ivf_index_probe` (pinned by test).
+
+    ``as_of_seq`` is the TIME-TRAVEL dial: probe the snapshot a PAST
+    commit published (e.g. reproduce exactly the shortlist a prior
+    training-data build retrieved) instead of the latest one. Same O(1)
+    serving cost — one targeted pointer read, zero listing — because
+    every commit's pointer names its full immutable snapshot.
+    Historical sequences are servable only while GC retains them
+    (``gen_index_gc(keep_pointers=N)`` — the documented supersession
+    lease); a swept or never-committed sequence raises
+    ``FileNotFoundError`` naming the retained range.
+    """
     from pyspark.sql import Window
 
     spark = queries.sparkSession
     root = _resolve_root(spark, index_name, root, store)
     fs = _HadoopFS(spark, root)
-    _seq, latest = _store_for(root, store).read_latest()
-    if latest is None:
-        raise FileNotFoundError(
-            f"generational index '{index_name}' has no committed generation"
-        )
+    ptr = _store_for(root, store)
+    if as_of_seq is None:
+        _seq, latest = ptr.read_latest()
+        if latest is None:
+            raise FileNotFoundError(
+                f"generational index '{index_name}' has no committed "
+                f"generation"
+            )
+    else:
+        latest = ptr.read_at(as_of_seq)
+        if latest is None:
+            retained = [s for s, _ in ptr.pointers()]
+            raise FileNotFoundError(
+                f"generational index '{index_name}' has no pointer at "
+                f"sequence {as_of_seq} — never committed, or already "
+                f"garbage-collected past the keep_pointers window "
+                f"(retained sequences: {retained or 'none'})"
+            )
     if expected_fingerprint is not None:
         stored = _fp_core(latest["fingerprint"])
         want = _fp_core(expected_fingerprint)

@@ -123,6 +123,54 @@ def test_gen_commit_is_one_pointer_create(spark, gen_shared):
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
+def test_gen_probe_as_of_seq_time_travel(spark, sf_dir, pointer_backend, nm):
+    """Time-travel probes: as_of_seq serves EXACTLY the snapshot that
+    sequence's commit published (reproducing a past training-data
+    build's shortlist), at the same one-pointer-read cost. After an
+    append, as_of_seq=1 still returns the pre-append results; a
+    never-committed sequence raises naming the retained range; and once
+    GC sweeps sequence 1 past keep_pointers, the historical probe
+    raises instead of serving deleted files."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    idx = nm("t_gen_asof")
+    q = emb.where(F.col("vec_id") < 10)
+
+    gs.gen_index_build(base, index_name=idx)
+    pre_append = _rows(gs.gen_index_probe(q, k=5, index_name=idx))
+    assert pre_append == _rows(ivf_topk(base, q, k=5))
+
+    gs.gen_index_append(batch, index_name=idx, idempotency_token="asof:b0")
+    # latest serves the appended corpus; as_of 1 reproduces the past
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=idx)) == _rows(
+        ivf_topk(emb, q, k=5)
+    )
+    assert (
+        _rows(gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=1))
+        == pre_append
+    )
+    # identical to latest when explicitly pinned at the head sequence
+    assert _rows(
+        gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=2)
+    ) == _rows(gs.gen_index_probe(q, k=5, index_name=idx))
+
+    with pytest.raises(FileNotFoundError, match=r"sequence 9.*retained"):
+        gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=9)
+
+    # GC retires sequence 1 (keep_pointers=1, no age grace): the lease
+    # is over — the historical probe must refuse, not read swept files
+    root = gs._store_root(spark, idx)
+    gs.gen_index_gc(spark, root=root, keep_pointers=1, min_age_s=0.0)
+    with pytest.raises(FileNotFoundError, match="sequence 1"):
+        gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=1)
+    # the surviving sequence still serves
+    assert _rows(
+        gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=2)
+    ) == _rows(ivf_topk(emb, q, k=5))
+
+
+@pytest.mark.slow  # index mutation lifecycle (slow tier)
 def test_gen_append_references_parent_files(spark, sf_dir, pointer_backend, nm):
     """An append generation holds ONLY the batch's files; untouched
     parent files are REFERENCED by manifest, not copied — the O(|batch|)
@@ -976,8 +1024,12 @@ def test_inmemory_pointer_store_contract():
 
     assert [s for s, _ in mem.pointers()] == [1, 2, 3]
     assert mem.oldest_pointer_mtime() is not None
+    # read_at: one targeted read, None for never-committed
+    assert mem.read_at(1) == {"gen": "g-a"}
+    assert mem.read_at(99) is None
     mem.drop(1)
     assert [s for s, _ in mem.pointers()] == [2, 3]
+    assert mem.read_at(1) is None  # GC'd sequence reads as absent
     assert mem.sweep_tmp(0.0) == 0  # conditional PUT leaves no temp objects
 
 
@@ -1459,9 +1511,13 @@ def test_s3_pointer_store_contract():
 
     assert [s for s, _ in store.pointers()] == [1, 2, 3, 4]
     assert store.oldest_pointer_mtime() is not None
+    # read_at: one targeted GetObject, None for never-committed
+    assert store.read_at(1) == {"gen": "g-a"}
+    assert store.read_at(99) is None
     store.drop(1)
     store.drop(1)  # idempotent, like DeleteObject itself
     assert [s for s, _ in store.pointers()] == [2, 3, 4]
+    assert store.read_at(1) is None  # GC'd sequence reads as absent
     assert store.sweep_tmp(0.0) == 0
     # five keys passed through the bucket, all under the prefix
     assert all(k.startswith("indexes/t_s3/ptr/LATEST.") for k in fake.objects)
@@ -1851,8 +1907,11 @@ def test_s3_pointer_store_against_moto():
                 ("commit", 2, {"gen": "g-d"}),  # late lower seq
                 ("read", None, None),  # highest (3) wins
                 ("pointers", None, None),
+                ("read_at", 2, None),  # targeted historical read
+                ("read_at", 9, None),  # never committed -> None
                 ("drop", 1, None),
                 ("drop", 1, None),  # idempotent
+                ("read_at", 1, None),  # dropped -> None
                 ("pointers", None, None),
                 ("read", None, None),
             ]
@@ -1863,6 +1922,8 @@ def test_s3_pointer_store_against_moto():
                     ), (kind, seq)
                 elif kind == "read":
                     assert store.read_latest() == local.read_latest()
+                elif kind == "read_at":
+                    assert store.read_at(seq) == local.read_at(seq), seq
                 elif kind == "pointers":
                     assert store.pointers() == local.pointers()
                 else:
