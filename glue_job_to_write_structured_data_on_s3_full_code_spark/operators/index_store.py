@@ -126,6 +126,10 @@ class LocalPointerStore:
       exactly sequence ``seq``; at most ONE concurrent caller per
       sequence returns True. Atomic: a crashed caller either committed
       or didn't.
+    - ``read_at(seq) -> payload | None`` — the pointer at EXACTLY that
+      integer sequence, one targeted read (no listing); ``None`` for a
+      never-committed or garbage-collected sequence. Serves
+      ``gen_index_probe(as_of_seq=...)`` time-travel reads.
 
     Local emulation: payload is written to a private temp file, then
     ``os.link(temp, ptr/LATEST.<seq>)`` — link(2) is one atomic
@@ -345,8 +349,11 @@ class InMemoryPointerStore:
             return seq, json.loads(self._objects[seq])
 
     def read_at(self, seq: int) -> dict | None:
+        # type-strict lookup so the backends stay observationally equal:
+        # Local/S3 format the key ('LATEST.2.0' → absent) while a dict
+        # .get would let 2.0/True hit int keys by value-equality
         with self._lock:
-            body = self._objects.get(seq)
+            body = self._objects.get(seq) if type(seq) is int else None
         return json.loads(body) if body is not None else None
 
     def try_commit(self, seq: int, payload: dict) -> bool:
@@ -1252,7 +1259,20 @@ def gen_index_probe(
                 f"generation"
             )
     else:
-        latest = ptr.read_at(as_of_seq)
+        if not isinstance(as_of_seq, int) or isinstance(as_of_seq, bool):
+            raise TypeError(
+                f"as_of_seq must be an integer sequence number, got "
+                f"{as_of_seq!r} — pointer sequences are the ints "
+                f"read_latest()/pointers() report"
+            )
+        read_at = getattr(ptr, "read_at", None)
+        if read_at is None:
+            raise TypeError(
+                f"{type(ptr).__name__} does not implement read_at(seq), "
+                f"required for as_of_seq historical probes — see the "
+                f"PointerStore contract in LocalPointerStore's docstring"
+            )
+        latest = read_at(as_of_seq)
         if latest is None:
             retained = [s for s, _ in ptr.pointers()]
             raise FileNotFoundError(

@@ -157,6 +157,28 @@ def test_gen_probe_as_of_seq_time_travel(spark, sf_dir, pointer_backend, nm):
 
     with pytest.raises(FileNotFoundError, match=r"sequence 9.*retained"):
         gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=9)
+    # non-int sequences refuse up front (bool IS int to isinstance; a
+    # float would silently behave differently across backends otherwise)
+    for bad in (1.0, True, "1"):
+        with pytest.raises(TypeError, match="integer sequence"):
+            gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=bad)
+    # a contract-minimal store without read_at gets a contract error,
+    # not an AttributeError
+    class _NoReadAt:
+        def read_latest(self):
+            return None, None
+
+        def pointers(self):
+            return []
+
+    with pytest.raises(TypeError, match="read_at"):
+        gs.gen_index_probe(
+            q,
+            k=5,
+            root=gs._store_root(spark, idx),
+            store=_NoReadAt(),
+            as_of_seq=1,
+        )
 
     # GC retires sequence 1 (keep_pointers=1, no age grace): the lease
     # is over — the historical probe must refuse, not read swept files
@@ -1024,9 +1046,12 @@ def test_inmemory_pointer_store_contract():
 
     assert [s for s, _ in mem.pointers()] == [1, 2, 3]
     assert mem.oldest_pointer_mtime() is not None
-    # read_at: one targeted read, None for never-committed
+    # read_at: one targeted read, None for never-committed; non-int
+    # sequences miss on EVERY backend (Local/S3 format the key, so the
+    # dict-backed store must not let 1.0/True hit by value-equality)
     assert mem.read_at(1) == {"gen": "g-a"}
     assert mem.read_at(99) is None
+    assert mem.read_at(1.0) is None and mem.read_at(True) is None
     mem.drop(1)
     assert [s for s, _ in mem.pointers()] == [2, 3]
     assert mem.read_at(1) is None  # GC'd sequence reads as absent
