@@ -1417,6 +1417,95 @@ def gen_index_verify(
     }
 
 
+def gen_index_diff(
+    spark: SparkSession,
+    seq_a: int,
+    seq_b: int | None = None,
+    index_name: str = "gen_ivf",
+    root: str | None = None,
+    store=None,
+) -> DataFrame:
+    """MANIFEST-ONLY diff between two committed snapshots: which files
+    each cell gained or lost going from ``seq_a`` to ``seq_b`` (default:
+    the latest commit) — "what did this append/rebalance/compact
+    physically change", answered without touching row data.
+
+    Cost is two targeted pointer reads + two manifest reads — zero
+    parquet I/O, zero object-store LIST — so it is safe to run on every
+    commit of a 100 TB index (contrast :func:`gen_index_cell_skew`,
+    which reads per-cell ROW counts and answers the drift question).
+    Columns: ``cell_id, files_then, files_now, added_files,
+    removed_files, centroids_changed`` (the last is the same value on
+    every row: a rebalance/rebuild publishes a new centroid set, an
+    append never does). Row count is bounded by the union of cell sets
+    (≤ max_centroids + splits), never by index size. Sequences obey the
+    same GC retention lease as :func:`gen_index_probe`'s ``as_of_seq``.
+    """
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
+    ptr = _store_for(root, store)
+
+    def payload_at(seq, which):
+        if seq is None:
+            got_seq, payload = ptr.read_latest()
+            if payload is None:
+                raise FileNotFoundError(
+                    f"generational index '{index_name}' has no committed "
+                    f"generation"
+                )
+            return got_seq, payload
+        if not isinstance(seq, int) or isinstance(seq, bool):
+            raise TypeError(
+                f"{which} must be an integer sequence number, got {seq!r}"
+            )
+        payload = ptr.read_at(seq)
+        if payload is None:
+            retained = [s for s, _ in ptr.pointers()]
+            raise FileNotFoundError(
+                f"generational index '{index_name}' has no pointer at "
+                f"sequence {seq} — never committed, or garbage-collected "
+                f"past the keep_pointers window (retained sequences: "
+                f"{retained or 'none'})"
+            )
+        return seq, payload
+
+    _sa, pa = payload_at(seq_a, "seq_a")
+    _sb, pb = payload_at(seq_b, "seq_b")
+    ma = _read_manifest(fs, root, pa["gen"])
+    mb = _read_manifest(fs, root, pb["gen"])
+    # compare the centroid FINGERPRINT, not the path: a compact copies
+    # the same centroids into its own generation dir (path moves, set
+    # doesn't), while a rebalance/rebuild publishes a genuinely new set
+    cents_changed = ma["centroid_fp"] != mb["centroid_fp"]
+
+    def _cell_key(c: str):
+        try:
+            return (0, int(c), c)
+        except ValueError:  # split cells may carry non-numeric ids
+            return (1, 0, c)
+
+    rows = []
+    for cell in sorted(set(ma["cells"]) | set(mb["cells"]), key=_cell_key):
+        fa = set(ma["cells"].get(cell, ()))
+        fb = set(mb["cells"].get(cell, ()))
+        rows.append(
+            (
+                cell,
+                len(fa),
+                len(fb),
+                sorted(fb - fa),
+                sorted(fa - fb),
+                cents_changed,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "cell_id string, files_then int, files_now int, "
+        "added_files array<string>, removed_files array<string>, "
+        "centroids_changed boolean",
+    )
+
+
 def gen_index_gc(
     spark: SparkSession,
     index_name: str = "gen_ivf",

@@ -193,6 +193,56 @@ def test_gen_probe_as_of_seq_time_travel(spark, sf_dir, pointer_backend, nm):
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
+def test_gen_index_diff_is_manifest_only(spark, sf_dir, pointer_backend, nm):
+    """gen_index_diff answers "what did this commit physically change"
+    from the two manifests alone: an append only ADDS files (centroids
+    unchanged), a compact swaps accreted files for the compacted set,
+    a rebalance flips centroids_changed — and missing/invalid sequences
+    refuse exactly like as_of_seq probes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    idx = nm("t_gen_diff")
+
+    gs.gen_index_build(base, index_name=idx)
+    gs.gen_index_append(batch, index_name=idx, idempotency_token="diff:b0")
+
+    d12 = gs.gen_index_diff(spark, 1, 2, index_name=idx).collect()
+    assert all(r.removed_files == [] for r in d12)  # appends never remove
+    assert any(r.added_files for r in d12)
+    assert all(r.centroids_changed is False for r in d12)
+    # seq_b defaults to the latest commit
+    dlatest = gs.gen_index_diff(spark, 1, index_name=idx).collect()
+    assert [tuple(r) for r in dlatest] == [tuple(r) for r in d12]
+    # every added file belongs to the APPEND's generation
+    ptrs = dict(_ptrs(spark, idx))
+    gen2 = ptrs[2]["gen"]
+    assert all(f.startswith(gen2 + "/") for r in d12 for f in r.added_files)
+
+    # compact collapses the accreted file-sets: the touched cells both
+    # remove (the build+append files) and add (the compacted file)
+    gs.gen_index_compact(spark, index_name=idx)
+    d23 = gs.gen_index_diff(spark, 2, 3, index_name=idx).collect()
+    touched = [r for r in d23 if r.removed_files]
+    assert touched and all(r.added_files for r in touched)
+    assert all(r.centroids_changed is False for r in d23)
+
+    # a rebalance publishes a NEW centroid set
+    skew = gs.gen_index_cell_skew(spark, index_name=idx).collect()
+    hot = max(skew, key=lambda r: (r["rows_now"], r["cell_id"]))["cell_id"]
+    gs.gen_index_rebalance(spark, index_name=idx, cells=[int(hot)])
+    d34 = gs.gen_index_diff(spark, 3, 4, index_name=idx).collect()
+    assert all(r.centroids_changed is True for r in d34)
+
+    with pytest.raises(FileNotFoundError, match=r"sequence 9.*retained"):
+        gs.gen_index_diff(spark, 9, index_name=idx)
+    with pytest.raises(TypeError, match="seq_a"):
+        gs.gen_index_diff(spark, 1.0, index_name=idx)
+    with pytest.raises(TypeError, match="seq_b"):
+        gs.gen_index_diff(spark, 1, True, index_name=idx)
+
+
+@pytest.mark.slow  # index mutation lifecycle (slow tier)
 def test_gen_append_references_parent_files(spark, sf_dir, pointer_backend, nm):
     """An append generation holds ONLY the batch's files; untouched
     parent files are REFERENCED by manifest, not copied — the O(|batch|)
