@@ -1458,7 +1458,14 @@ def gen_index_diff(
             raise TypeError(
                 f"{which} must be an integer sequence number, got {seq!r}"
             )
-        payload = ptr.read_at(seq)
+        read_at = getattr(ptr, "read_at", None)
+        if read_at is None:
+            raise TypeError(
+                f"{type(ptr).__name__} does not implement read_at(seq), "
+                f"required for historical reads — see the PointerStore "
+                f"contract in LocalPointerStore's docstring"
+            )
+        payload = read_at(seq)
         if payload is None:
             retained = [s for s, _ in ptr.pointers()]
             raise FileNotFoundError(

@@ -241,6 +241,20 @@ def test_gen_index_diff_is_manifest_only(spark, sf_dir, pointer_backend, nm):
     with pytest.raises(TypeError, match="seq_b"):
         gs.gen_index_diff(spark, 1, True, index_name=idx)
 
+    # contract-minimal store without read_at: contract error, not
+    # AttributeError (same guarantee the as_of_seq probe gives)
+    class _NoReadAt:
+        def read_latest(self):
+            return None, None
+
+        def pointers(self):
+            return []
+
+    with pytest.raises(TypeError, match="read_at"):
+        gs.gen_index_diff(
+            spark, 1, root=gs._store_root(spark, idx), store=_NoReadAt()
+        )
+
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
 def test_gen_append_references_parent_files(spark, sf_dir, pointer_backend, nm):
