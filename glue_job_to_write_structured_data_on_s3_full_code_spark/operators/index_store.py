@@ -38,6 +38,13 @@ document's "Object-store commit design", implemented and tested:
   (files are immutable, so only the manifest and the XOR-composed
   fingerprint change) and the commit retries at the next sequence. The
   POSIX store's single-writer contract becomes optimistic concurrency.
+- **History for free.** Because every pointer names a full immutable
+  snapshot, retained sequences are directly servable:
+  :func:`gen_index_probe` ``as_of_seq=`` time-travels to a past commit
+  (reproduce a prior build's shortlist) and :func:`gen_index_diff`
+  explains any two commits' physical delta from manifests alone — both
+  at O(1) pointer-read cost, with GC's ``keep_pointers`` window as the
+  retention lease.
 
 Deployability: pointer CAS resolves through the :func:`_store_for`
 seam (``store=`` on every public function; the local default refuses
