@@ -30,6 +30,7 @@ from .index_store import (
     gen_index_build,
     gen_index_cell_skew,
     gen_index_compact,
+    gen_index_diff,
     gen_index_gc,
     gen_index_import_posix,
     gen_index_probe,
@@ -68,6 +69,7 @@ __all__ = [
     "gen_index_build",
     "gen_index_cell_skew",
     "gen_index_compact",
+    "gen_index_diff",
     "gen_index_gc",
     "gen_index_import_posix",
     "gen_index_probe",

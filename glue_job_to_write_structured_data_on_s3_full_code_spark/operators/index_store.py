@@ -356,11 +356,14 @@ class InMemoryPointerStore:
             return seq, json.loads(self._objects[seq])
 
     def read_at(self, seq: int) -> dict | None:
-        # type-strict lookup so the backends stay observationally equal:
-        # Local/S3 format the key ('LATEST.2.0' → absent) while a dict
-        # .get would let 2.0/True hit int keys by value-equality
+        # type-gated lookup so the backends stay observationally equal:
+        # Local/S3 format the key ('LATEST.2.0'/'LATEST.True' → absent)
+        # while a bare dict .get would let 2.0/True hit int keys by
+        # value-equality. Non-bool int SUBCLASSES (IntEnum) stay
+        # accepted — they format as their numeric value everywhere.
+        ok = isinstance(seq, int) and not isinstance(seq, bool)
         with self._lock:
-            body = self._objects.get(seq) if type(seq) is int else None
+            body = self._objects.get(int(seq)) if ok else None
         return json.loads(body) if body is not None else None
 
     def try_commit(self, seq: int, payload: dict) -> bool:
@@ -751,6 +754,40 @@ def _sweep_unpointed(fs: "_HadoopFS", gen_dir: str) -> None:
         fs.delete(gen_dir)
     except Exception:  # noqa: BLE001 — GC is the backstop
         pass
+
+
+def _pointer_at(ptr, seq: int, index_name: str, which: str = "as_of_seq") -> dict:
+    """THE historical-read contract, shared by every entry point that
+    accepts a pinned sequence (``gen_index_probe(as_of_seq=)``,
+    ``gen_index_diff``): validates the sequence is a true int (bool
+    excluded — and a float would hit the dict-backed store but miss the
+    key-formatting ones), raises a contract-naming TypeError for
+    injected stores without ``read_at``, and reports the retained range
+    when the sequence is absent (never committed, or GC'd past the
+    ``keep_pointers`` retention lease)."""
+    if not isinstance(seq, int) or isinstance(seq, bool):
+        raise TypeError(
+            f"{which} must be an integer sequence number, got {seq!r} — "
+            f"pointer sequences are the ints read_latest()/pointers() "
+            f"report"
+        )
+    read_at = getattr(ptr, "read_at", None)
+    if read_at is None:
+        raise TypeError(
+            f"{type(ptr).__name__} does not implement read_at(seq), "
+            f"required for historical reads — see the PointerStore "
+            f"contract in LocalPointerStore's docstring"
+        )
+    payload = read_at(seq)
+    if payload is None:
+        retained = [s for s, _ in ptr.pointers()]
+        raise FileNotFoundError(
+            f"generational index '{index_name}' has no pointer at "
+            f"sequence {seq} — never committed, or already "
+            f"garbage-collected past the keep_pointers window "
+            f"(retained sequences: {retained or 'none'})"
+        )
+    return payload
 
 
 def _store_for(root: str, store=None):
@@ -1266,28 +1303,7 @@ def gen_index_probe(
                 f"generation"
             )
     else:
-        if not isinstance(as_of_seq, int) or isinstance(as_of_seq, bool):
-            raise TypeError(
-                f"as_of_seq must be an integer sequence number, got "
-                f"{as_of_seq!r} — pointer sequences are the ints "
-                f"read_latest()/pointers() report"
-            )
-        read_at = getattr(ptr, "read_at", None)
-        if read_at is None:
-            raise TypeError(
-                f"{type(ptr).__name__} does not implement read_at(seq), "
-                f"required for as_of_seq historical probes — see the "
-                f"PointerStore contract in LocalPointerStore's docstring"
-            )
-        latest = read_at(as_of_seq)
-        if latest is None:
-            retained = [s for s, _ in ptr.pointers()]
-            raise FileNotFoundError(
-                f"generational index '{index_name}' has no pointer at "
-                f"sequence {as_of_seq} — never committed, or already "
-                f"garbage-collected past the keep_pointers window "
-                f"(retained sequences: {retained or 'none'})"
-            )
+        latest = _pointer_at(ptr, as_of_seq, index_name, "as_of_seq")
     if expected_fingerprint is not None:
         stored = _fp_core(latest["fingerprint"])
         want = _fp_core(expected_fingerprint)
@@ -1437,10 +1453,13 @@ def gen_index_diff(
     the latest commit) — "what did this append/rebalance/compact
     physically change", answered without touching row data.
 
-    Cost is two targeted pointer reads + two manifest reads — zero
-    parquet I/O, zero object-store LIST — so it is safe to run on every
-    commit of a 100 TB index (contrast :func:`gen_index_cell_skew`,
-    which reads per-cell ROW counts and answers the drift question).
+    Cost is two pointer reads + two manifest reads and ZERO parquet
+    I/O — safe to run on every commit of a 100 TB index. With both
+    sequences pinned the pointer reads are targeted GETs (zero
+    object-store LIST); the ``seq_b=None`` default resolves the latest
+    pointer via ``read_latest``, which is one LIST on every backend
+    (contrast :func:`gen_index_cell_skew`, which reads per-cell ROW
+    counts and answers the drift question).
     Columns: ``cell_id, files_then, files_now, added_files,
     removed_files, centroids_changed`` (the last is the same value on
     every row: a rebalance/rebuild publishes a new centroid set, an
@@ -1452,39 +1471,19 @@ def gen_index_diff(
     fs = _HadoopFS(spark, root)
     ptr = _store_for(root, store)
 
-    def payload_at(seq, which):
-        if seq is None:
-            got_seq, payload = ptr.read_latest()
-            if payload is None:
-                raise FileNotFoundError(
-                    f"generational index '{index_name}' has no committed "
-                    f"generation"
-                )
-            return got_seq, payload
-        if not isinstance(seq, int) or isinstance(seq, bool):
-            raise TypeError(
-                f"{which} must be an integer sequence number, got {seq!r}"
-            )
-        read_at = getattr(ptr, "read_at", None)
-        if read_at is None:
-            raise TypeError(
-                f"{type(ptr).__name__} does not implement read_at(seq), "
-                f"required for historical reads — see the PointerStore "
-                f"contract in LocalPointerStore's docstring"
-            )
-        payload = read_at(seq)
-        if payload is None:
-            retained = [s for s, _ in ptr.pointers()]
+    # seq_a is REQUIRED to be a pinned int (a None that slipped in must
+    # not silently diff latest-vs-latest and report "nothing changed");
+    # only seq_b carries the documented latest default.
+    pa = _pointer_at(ptr, seq_a, index_name, "seq_a")
+    if seq_b is None:
+        _seq, pb = ptr.read_latest()
+        if pb is None:
             raise FileNotFoundError(
-                f"generational index '{index_name}' has no pointer at "
-                f"sequence {seq} — never committed, or garbage-collected "
-                f"past the keep_pointers window (retained sequences: "
-                f"{retained or 'none'})"
+                f"generational index '{index_name}' has no committed "
+                f"generation"
             )
-        return seq, payload
-
-    _sa, pa = payload_at(seq_a, "seq_a")
-    _sb, pb = payload_at(seq_b, "seq_b")
+    else:
+        pb = _pointer_at(ptr, seq_b, index_name, "seq_b")
     ma = _read_manifest(fs, root, pa["gen"])
     mb = _read_manifest(fs, root, pb["gen"])
     # compare the centroid FINGERPRINT, not the path: a compact copies

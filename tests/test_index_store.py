@@ -29,6 +29,17 @@ def _manifest(spark, root, gen_name):
     return gs._read_manifest(gs._HadoopFS(spark, root), root, gen_name)
 
 
+class _NoReadAt:
+    """A contract-minimal pointer store WITHOUT read_at — historical
+    entry points must refuse it with a contract-naming TypeError."""
+
+    def read_latest(self):
+        return None, None
+
+    def pointers(self):
+        return []
+
+
 class _Backend:
     def __init__(self, name, cls):
         self.name, self.cls = name, cls
@@ -164,13 +175,6 @@ def test_gen_probe_as_of_seq_time_travel(spark, sf_dir, pointer_backend, nm):
             gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=bad)
     # a contract-minimal store without read_at gets a contract error,
     # not an AttributeError
-    class _NoReadAt:
-        def read_latest(self):
-            return None, None
-
-        def pointers(self):
-            return []
-
     with pytest.raises(TypeError, match="read_at"):
         gs.gen_index_probe(
             q,
@@ -243,17 +247,31 @@ def test_gen_index_diff_is_manifest_only(spark, sf_dir, pointer_backend, nm):
 
     # contract-minimal store without read_at: contract error, not
     # AttributeError (same guarantee the as_of_seq probe gives)
-    class _NoReadAt:
-        def read_latest(self):
-            return None, None
-
-        def pointers(self):
-            return []
-
     with pytest.raises(TypeError, match="read_at"):
         gs.gen_index_diff(
             spark, 1, root=gs._store_root(spark, idx), store=_NoReadAt()
         )
+    # seq_a=None must refuse, NOT silently diff latest-vs-latest and
+    # report "nothing changed"
+    with pytest.raises(TypeError, match="seq_a"):
+        gs.gen_index_diff(spark, None, index_name=idx)
+
+    # GC retires sequences 1-3: diffing against a swept sequence refuses
+    # (the same retention lease as as_of_seq probes), while the
+    # surviving head still diffs against itself as all-unchanged
+    gs.gen_index_gc(
+        spark,
+        root=gs._store_root(spark, idx),
+        keep_pointers=1,
+        min_age_s=0.0,
+    )
+    with pytest.raises(FileNotFoundError, match="sequence 1"):
+        gs.gen_index_diff(spark, 1, index_name=idx)
+    same = gs.gen_index_diff(spark, 4, 4, index_name=idx).collect()
+    assert same and all(
+        r.added_files == [] and r.removed_files == [] and not r.centroids_changed
+        for r in same
+    )
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
