@@ -17,8 +17,9 @@ import time
 
 
 # Headline set: the reference-shaped pipeline, the heavy relational shapes,
-# and the LLM-scale operators. Names must exist in the registry, except the
-# EXTRA_BENCH entries below (production variants without a registry row).
+# and the LLM-scale operators. Every name resolves in the registry (the r13
+# swap registered the last four production variants that used to need the
+# _extra_bench shim; tests/test_bench_registry.py enforces resolution).
 BENCH_QUERIES = [
     "flagship_prospect_pipeline",
     "deep_prospect_pipeline",
@@ -82,8 +83,9 @@ BENCH_QUERIES = [
     "ann_recall_report_fast",
     # round-11 additions: the GENERATIONAL (object-store-safe) index's
     # serving + accreted-manifest probe paths, under the same cross-round
-    # watch as the POSIX lifecycle (EXTRA_BENCH entries — production
-    # variants without a registry row, the minhash_lsh_fast precedent)
+    # watch as the POSIX lifecycle. Registered (with DuckDB gates) in the
+    # r13 swap; the bench names and callables are unchanged since r11, so
+    # BENCH_r* history stays comparable.
     "gen_ivf_probe",
     "gen_ivf_append",
 ]
@@ -125,54 +127,6 @@ GROWN = {
 }
 
 
-def _extra_bench():
-    """Production-path variants benched alongside the registered queries.
-
-    All four are now PLAN functions (single source of truth shared with
-    the r13 swap-candidate parity tests in
-    tests/test_r13_swap_candidates.py) — this shim only maps bench row
-    names to them:
-
-    minhash_lsh_fast (plans.llm_ops) is
-    minhash_lsh_candidates(hash_family='xxhash64') — the fast path whose
-    final pair set equals the registered md5cw oracle mode (asserted in
-    tests/test_dedup.py); xxhash64 has no DuckDB equivalent so only the
-    oracle mode carries a registry row.
-
-    ann_recall_report_fast (plans.llm_ops) is ann_recall_report narrowed
-    to the deployed IVF nprobe curve plus the cheap LSH family — the
-    scheduled-audit shape (the full six-family report exists for the
-    gate; its per-method rows are identical for the shared methods,
-    asserted in tests/test_retrieval.py).
-
-    gen_ivf_probe / gen_ivf_append (plans.gen_serving) are the
-    GENERATIONAL index's serving paths (operators/index_store.py): probe
-    = one pointer read + manifest-pruned file reads over a single
-    compact build generation; append's probe serves the two-fileset
-    (build + appended batch) manifest — the accreted shape a
-    long-appended index pays. The store has no registry row (registry
-    frozen at 200; staged for the r13 swap), but its probes hash-match
-    EMBEDDING_IVF_ORACLE by test; the bench watches the serving cost
-    cross-round like the POSIX lifecycle rows. Builds happen once per
-    (session, sf_dir) — timed invocations measure serving only.
-    """
-    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.gen_serving import (
-        gen_ivf_append_probe,
-        gen_ivf_probe,
-    )
-    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.llm_ops import (
-        ann_recall_report_fast,
-        minhash_lsh_fast,
-    )
-
-    return {
-        "minhash_lsh_fast": minhash_lsh_fast,
-        "ann_recall_report_fast": ann_recall_report_fast,
-        "gen_ivf_probe": gen_ivf_probe,
-        "gen_ivf_append": gen_ivf_append_probe,
-    }
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -183,10 +137,9 @@ def main() -> None:
     from glue_job_to_write_structured_data_on_s3_full_code_spark.registry import QUERIES
 
     spark = get_spark("bench")
-    extra = _extra_bench()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = extra.get(name) or QUERIES[name]
+        fn = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT/broadcast)
         # median of 3 timed runs: single-run numbers swing with background
         # load (the r3 bench recorded a broad +15% that vanished on an idle

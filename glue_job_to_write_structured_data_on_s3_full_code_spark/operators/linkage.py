@@ -186,6 +186,56 @@ def name_pair_candidates(
     )
 
 
+def length_banded_levenshtein_pairs(
+    df: DataFrame, name_col: str, max_dist: int = 2
+) -> DataFrame:
+    """EXACT-recall blocked generation of ``levenshtein ≤ max_dist`` pairs
+    over a distinct-name table — the sub-quadratic swap-in for the
+    all-pairs ``a < b`` theta-join when the vocabulary outgrows a
+    broadcast BNLJ.
+
+    Blocking key = string LENGTH: edit distance is bounded below by the
+    length gap, so a pair outside the ±``max_dist`` band is PROVABLY a
+    non-match — banding by length loses nothing (recall contract pinned
+    pair-set-equal to the all-pairs path in tests/test_linkage.py). The
+    band join is an EQUI-join (each name probes its own length and the
+    ``max_dist`` lengths above via a ``max_dist+1``-way explode), so
+    Catalyst plans a hash-partitioned join instead of a broadcast
+    nested-loop — shuffle work is Σ (names-of-length-L × band window),
+    never |V|², and no side needs to fit in one executor.
+
+    Dedup logic: offset 0 (equal lengths) pairs each unordered couple
+    twice and each name with itself → keep ``name_a < name_b``; offsets
+    ≥ 1 produce each cross-length couple exactly once (shorter name on
+    the a-side). Output is canonically ordered (``name_a`` is the
+    lexicographic min) with the true ``lev_dist``.
+    """
+    a = df.select(F.col(name_col).alias("name_a"))
+    b = df.select(F.col(name_col).alias("name_b"))
+    probe = a.withColumn(
+        "band_len",
+        F.explode(
+            F.array(*[F.length("name_a") + F.lit(i) for i in range(max_dist + 1)])
+        ),
+    )
+    return (
+        probe.join(b, probe["band_len"] == F.length("name_b"))
+        .where(
+            (F.length("name_a") < F.length("name_b"))
+            | (F.col("name_a") < F.col("name_b"))
+        )
+        .withColumn(
+            "lev_dist", F.levenshtein("name_a", "name_b", int(max_dist))
+        )
+        .where((F.col("lev_dist") >= 0) & (F.col("lev_dist") <= max_dist))
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+            "lev_dist",
+        )
+    )
+
+
 def jaro_winkler_pairs(
     df: DataFrame,
     name_col: str,

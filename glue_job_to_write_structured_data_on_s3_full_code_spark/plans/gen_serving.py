@@ -1,14 +1,12 @@
-"""Generational-index serving queries — r13 registry swap candidates.
+"""Generational-index serving queries — REGISTERED in the r13 swap.
 
 These are the GENERATIONAL (object-store-safe) stored-IVF index's two
 serving paths, in registrable ``(spark, sf_dir) -> DataFrame`` form.
-They are deliberately NOT in any ``REGISTRY`` list yet: the registry is
-rotation-saturated and frozen through round 12 (COVERAGE.md
-"Retire-and-swap shortlist") — registering them in r13 is a two-line
-edit here plus a retirement, because their oracle
-(:data:`~.llm_ops.EMBEDDING_IVF_ORACLE`) already hash-matches
-(tests/test_r13_swap_candidates.py pins it locally every session) and
-``bench.py`` has timed these exact callables since round 11.
+Drafted round 11, pre-validated round 12 (gate-shaped parity tests in
+tests/test_r13_swap_candidates.py against
+:data:`~.llm_ops.EMBEDDING_IVF_ORACLE`; benched as ``bench.py``
+EXTRA_BENCH rows since round 11), registered round 13 when the
+rotation freeze ended (COVERAGE.md "Retire-and-swap shortlist").
 
 Scale shape (the reason these deserve gate slots): a probe is one
 pointer GET + nprobe·Q manifest-listed file reads — zero object-store
@@ -31,6 +29,7 @@ from ..operators.index_store import (
 )
 from ..session import tune
 from ..sources.parquet import read_table
+from .llm_ops import EMBEDDING_IVF_ORACLE
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -82,3 +81,12 @@ def gen_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen_index_probe(
         emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
     )
+
+
+# `gen_ivf_append` is the name bench.py has recorded for the two-fileset
+# probe since round 11 — the registry row keeps it so BENCH_r* history
+# lines up with the gate row.
+REGISTRY: list[tuple] = [
+    ("gen_ivf_probe", gen_ivf_probe, EMBEDDING_IVF_ORACLE),
+    ("gen_ivf_append", gen_ivf_append_probe, EMBEDDING_IVF_ORACLE),
+]

@@ -1450,6 +1450,13 @@ REGISTRY = [
     ("embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_ORACLE),
     ("embedding_ivfpq_topk", embedding_ivfpq_topk, EMBEDDING_IVFPQ_ORACLE),
     ("ann_recall_report", ann_recall_report, ANN_RECALL_ORACLE),
+    # r13 swap registrations (COVERAGE.md shortlist items 4-5): the
+    # scheduled-audit scoreboard gets the restricted-CTE oracle; the
+    # xxhash64 production MinHash family has no DuckDB equivalent, so its
+    # row is rows-only (pair-set equality to the md5cw oracle mode is
+    # pinned by tests/test_dedup.py every session).
+    ("ann_recall_report_fast", ann_recall_report_fast, ANN_RECALL_FAST_ORACLE),
+    ("minhash_lsh_fast", minhash_lsh_fast, None),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
     ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
     ("multimodal_audio_energy", multimodal_audio_energy, AUDIO_ENERGY_ORACLE),

@@ -1017,11 +1017,22 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# r13 registry swap: three rows retired from the driver gate (COVERAGE.md
+# "Retire-and-swap shortlist" items 3-5) — their semantics stay gate-covered
+# by surviving rows (SURVEY §2: P10/A4 via groupby_having_dups, F7 via
+# scalar_function_suite, F9/F10 via datetime_function_suite), the plan
+# functions stay implemented above, and tests/test_retired_queries.py keeps
+# hash-verifying each against its oracle every session.
+RETIRED: list[tuple] = [
+    ("distinct_option_lookup", distinct_option_lookup, DISTINCT_OPTION_ORACLE),
+    ("timezone_shift_format", timezone_shift_format, TIMEZONE_SHIFT_ORACLE),
+    ("string_function_suite", string_function_suite, STRING_SUITE_ORACLE),
+]
+
 REGISTRY: list[tuple] = [
     ("pricing_summary_agg", pricing_summary_agg, PRICING_SUMMARY_ORACLE),
     ("regional_revenue_join", regional_revenue_join, REGIONAL_REVENUE_ORACLE),
     ("filter_pushdown_scan", filter_pushdown_scan, FILTER_PUSHDOWN_ORACLE),
-    ("distinct_option_lookup", distinct_option_lookup, DISTINCT_OPTION_ORACLE),
     ("groupby_having_dups", groupby_having_dups, GROUPBY_HAVING_ORACLE),
     ("window_top1_per_group", window_top1_per_group, WINDOW_TOP1_ORACLE),
     ("sequential_surrogate_key", sequential_surrogate_key, _SURROGATE_ORACLE),
@@ -1031,7 +1042,6 @@ REGISTRY: list[tuple] = [
     ("self_join_dup_suffix", self_join_dup_suffix, SELF_JOIN_DUP_ORACLE),
     ("union_except_reconcile", union_except_reconcile, UNION_EXCEPT_ORACLE),
     ("scalar_function_suite", scalar_function_suite, SCALAR_SUITE_ORACLE),
-    ("timezone_shift_format", timezone_shift_format, TIMEZONE_SHIFT_ORACLE),
     ("case_when_remap", case_when_remap, CASE_WHEN_ORACLE),
     ("rollup_subtotals", rollup_subtotals, ROLLUP_ORACLE),
     ("lag_lead_running", lag_lead_running, LAG_LEAD_ORACLE),
@@ -1044,7 +1054,6 @@ REGISTRY: list[tuple] = [
     ("approx_distinct_stats", approx_distinct_stats, APPROX_DISTINCT_ORACLE),
     ("posexplode_tokens", posexplode_tokens, POSEXPLODE_ORACLE),
     ("array_function_suite", array_function_suite, ARRAY_SUITE_ORACLE),
-    ("string_function_suite", string_function_suite, STRING_SUITE_ORACLE),
     ("ranking_window_suite", ranking_window_suite, RANKING_WINDOW_ORACLE),
     ("intersect_common_customers", intersect_common_customers, INTERSECT_ORACLE),
 ]

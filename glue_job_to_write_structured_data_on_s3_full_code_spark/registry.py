@@ -39,6 +39,7 @@ from .plans import (
     engine_ops,
     etl_ops,
     events_queries,
+    gen_serving,
     graph_queries,
     linkage,
     llm_ops,
@@ -133,6 +134,7 @@ _ALL_MODULES = (
     deep_pipeline, llm_ops, llm_ops2, llm_ops3, llm_ops4, llm_ops5, llm_ops6,
     llm_ops7,
     linkage,
+    gen_serving,
     events_queries,
     temporal_queries, timeseries_queries, streaming_queries, graph_queries,
     waterfall, outbound, etl_ops, engine_ops, formats, rag, analytics,

@@ -44,10 +44,7 @@ def test_bench_queries_resolve():
 
     from glue_job_to_write_structured_data_on_s3_full_code_spark.registry import QUERIES
 
-    extra = bench._extra_bench()
-    missing = [
-        n for n in bench.BENCH_QUERIES if n not in QUERIES and n not in extra
-    ]
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
 

@@ -150,3 +150,63 @@ def test_levenshtein_threshold_bound_keeps_exact_distances(spark):
         ).collect()
     }
     assert got == {(1, 2): 1, (1, 4): 1, (2, 4): 2}
+
+
+def test_length_banded_pairs_equal_all_pairs(spark, sf_dir):
+    """The length-banded EQUI-join pair generator is pinned pair-set-equal
+    to the all-pairs theta-join it swaps in for — on the real fixture
+    vocabulary AND a crafted set exercising every band offset (0/1/2),
+    duplicate-length clusters, and names just past the band."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.linkage import (
+        length_banded_levenshtein_pairs,
+    )
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.sources.parquet import (
+        read_table,
+    )
+
+    crafted = spark.createDataFrame(
+        [("abc",), ("abd",), ("abcd",), ("abcde",), ("abcdef",),
+         ("zzzzz",), ("ab",), ("x",), ("xy",), ("xyz",)],
+        "nm string",
+    )
+    fixture = (
+        read_table(spark, sf_dir, "part").select(F.col("p_name").alias("nm")).distinct()
+    )
+    for names in (crafted, fixture):
+        got = {
+            (r.name_a, r.name_b, r.lev_dist)
+            for r in length_banded_levenshtein_pairs(names, "nm", 2).collect()
+        }
+        a = names.select(F.col("nm").alias("name_a"))
+        b = names.select(F.col("nm").alias("name_b"))
+        want = {
+            (r.name_a, r.name_b, r.d)
+            for r in a.join(b, F.col("name_a") < F.col("name_b"))
+            .withColumn("d", F.levenshtein("name_a", "name_b"))
+            .where(F.col("d") <= 2)
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+
+def test_entity_resolution_blocked_path_equals_exact(spark, sf_dir):
+    """entity_resolution_pipeline resolves IDENTICAL entities on both
+    sides of the vocabulary dial: threshold 0 forces the length-banded
+    blocked edge stage, the default keeps the broadcast all-pairs stage —
+    the dial is performance-only, pinned here so the gate row can never
+    drift with the threshold."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.linkage import (
+        entity_resolution_pipeline,
+    )
+
+    def key(df):
+        return {
+            (r.master_name, r.n_names, r.n_rows, r.master_partkey, r.retail_cents)
+            for r in df.collect()
+        }
+
+    exact = key(entity_resolution_pipeline(spark, sf_dir))
+    blocked = key(
+        entity_resolution_pipeline(spark, sf_dir, blocked_vocab_threshold=0)
+    )
+    assert exact == blocked and len(exact) > 0
