@@ -4,11 +4,12 @@ Media assets are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing is real and tested: Arrow-batched ``mapInPandas``
 with an explicit output schema, payload-size–aware batching, and
 deterministic feature extraction. :func:`decode_media` REALLY decodes
-WAV/PCM audio (stdlib ``wave`` — 8/16/24/32-bit, any channel count; see
-``audio_frame_energy(decode=True)``); compressed codecs (PNG/JPEG/MP4/
-Ogg/FLAC/MP3) refuse loudly naming the library a real deployment plugs
-in — the sandbox has none of them, and every downstream stage keeps
-working either way.
+WAV audio — integer PCM (stdlib ``wave`` — 8/16/24/32-bit, any channel
+count) and IEEE float (format tag 3: float32/float64 via a direct chunk
+walk); see ``audio_frame_energy(decode=True)``. Compressed codecs
+(PNG/JPEG/MP4/Ogg/FLAC/MP3) refuse loudly naming the library a real
+deployment plugs in — the sandbox has none of them, and every
+downstream stage keeps working either way.
 
 Scale notes: payloads never pass through Python row-at-a-time — Arrow
 moves whole batches; ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -44,21 +45,92 @@ _KNOWN_MAGICS = (
 )
 
 
+def _decode_float_wav(buf: bytes) -> dict:
+    """Decode an IEEE-float RIFF/WAVE payload (format tag 3) by walking
+    the chunk list directly — the stdlib ``wave`` module refuses tag 3,
+    but float WAV needs no codec, only ``<f4``/``<f8`` reinterpretation.
+
+    Only called for containers whose fmt tag is already known to be 3,
+    so every failure here is corruption, not a codec gap.
+    """
+    import struct
+
+    import numpy as np
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"corrupt RIFF/WAVE container: chunk {cid!r} claims {size} "
+                f"bytes but only {len(body)} remain"
+            )
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError(
+            "corrupt RIFF/WAVE container: missing or truncated fmt /data chunk"
+        )
+    tag, n_channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if n_channels < 1:
+        raise ValueError("corrupt RIFF/WAVE container: fmt claims 0 channels")
+    if bits == 32:
+        samples = np.frombuffer(data[: len(data) - len(data) % 4], dtype="<f4")
+    elif bits == 64:
+        samples = np.frombuffer(data[: len(data) - len(data) % 8], dtype="<f8")
+    else:
+        raise ValueError(
+            f"corrupt RIFF/WAVE container: IEEE-float fmt with {bits} bits "
+            f"per sample (only 32/64 are defined)"
+        )
+    usable = (len(samples) // n_channels) * n_channels
+    samples = samples[:usable].astype(np.float64).reshape(-1, n_channels)
+    return {
+        "kind": "audio",
+        "sample_rate": rate,
+        "n_channels": n_channels,
+        "sample_width": bits // 8,
+        "sample_format": "float",
+        "n_frames": samples.shape[0],
+        "samples": samples,
+    }
+
+
+def _wav_format_tag(buf: bytes) -> int | None:
+    """The fmt chunk's format tag, or None if no well-formed fmt chunk."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and size >= 2 and pos + 10 <= len(buf):
+            return struct.unpack("<H", buf[pos + 8 : pos + 10])[0]
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def decode_media(payload: bytes) -> dict:
     """Decode a binary media payload into samples + typed metadata.
 
-    REAL for WAV/PCM: RIFF/WAVE containers (8/16/24/32-bit integer PCM,
-    any channel count) decode via the stdlib ``wave`` module — no
-    external codec — returning::
+    REAL for WAV: RIFF/WAVE containers decode natively — integer PCM
+    (format tag 1: 8/16/24/32-bit, any channel count, via the stdlib
+    ``wave`` module) and IEEE float (format tag 3: float32/float64, via
+    a direct chunk walk — no codec needed) — returning::
 
         {"kind": "audio", "sample_rate": int, "n_channels": int,
-         "sample_width": int, "n_frames": int,
-         "samples": np.ndarray[int32|int64, shape (n_frames, n_channels)]}
+         "sample_width": int, "sample_format": "int"|"float",
+         "n_frames": int,
+         "samples": np.ndarray[shape (n_frames, n_channels)]}
 
-    Samples are SIGNED integers centered on zero (8-bit WAV stores
+    Integer samples are SIGNED and centered on zero (8-bit WAV stores
     unsigned bytes; 128 is subtracted here so every width shares the
     same convention) and exactly representable as doubles, so downstream
-    energy/feature math is bit-reproducible across engines.
+    energy/feature math is bit-reproducible across engines. Float
+    samples come back as float64 (nominally in [-1, 1]).
 
     Still a stub for compressed codecs: payloads whose magic identifies
     PNG/JPEG/MP4/Ogg/FLAC/MP3 raise :class:`NotImplementedError` naming
@@ -73,6 +145,8 @@ def decode_media(payload: bytes) -> dict:
 
     buf = bytes(payload) if payload is not None else b""
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        if _wav_format_tag(buf) == 3:  # IEEE float: stdlib wave refuses it
+            return _decode_float_wav(buf)
         try:
             with wave.open(io.BytesIO(buf)) as w:
                 n_channels = w.getnchannels()
@@ -81,17 +155,23 @@ def decode_media(payload: bytes) -> dict:
                 n_frames = w.getnframes()
                 raw = w.readframes(n_frames)
         except wave.Error as exc:
-            # the stdlib reader only does integer PCM: format tag 3
-            # (IEEE float) and other legitimate WAV variants are a
-            # codec gap, not corruption
+            # the stdlib reader only does integer PCM: ADPCM, a-law,
+            # WAVE_FORMAT_EXTENSIBLE and other legitimate WAV variants
+            # are a codec gap, not corruption (tag 3 was claimed above)
             if "unknown format" in str(exc):
                 raise NotImplementedError(
-                    f"WAV with a non-integer-PCM format ({exc}); needs "
-                    f"soundfile/libsndfile — integer PCM decodes natively"
+                    f"WAV with an unsupported format ({exc}); needs "
+                    f"soundfile/libsndfile — integer and IEEE-float PCM "
+                    f"decode natively"
                 ) from exc
             raise ValueError(f"corrupt RIFF/WAVE container: {exc}") from exc
         except EOFError as exc:  # truncated chunk headers
             raise ValueError(f"corrupt RIFF/WAVE container: {exc}") from exc
+        if n_channels < 1:
+            # a crafted fmt chunk claiming 0 channels must stay in the
+            # "corrupt" class, not escape as ZeroDivisionError below
+            raise ValueError("corrupt RIFF/WAVE container: fmt claims 0 channels")
+        raw = raw[: len(raw) - len(raw) % max(width, 1)]  # ragged byte tail
         if width == 1:  # unsigned 8-bit → center on zero like the rest
             samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
         elif width == 2:
@@ -112,6 +192,7 @@ def decode_media(payload: bytes) -> dict:
             "sample_rate": rate,
             "n_channels": n_channels,
             "sample_width": width,
+            "sample_format": "int",
             "n_frames": samples.shape[0],
             "samples": samples,
         }
@@ -379,8 +460,17 @@ def audio_frame_energy(
     hash-verified against the DuckDB oracle. 32-bit PCM squares exceed
     2^53, so decode=True over 32-bit WAVs carries ordinary float64
     rounding — fine for VAD-style thresholds, NOT for cross-engine hash
-    gates. Payloads shorter than one frame yield a single partial
-    frame; empty payloads yield one silent frame (rms 0, 0 samples).
+    gates (float WAVs likewise). Empty payloads yield one silent frame
+    (rms 0, 0 samples).
+
+    Tail framing differs by mode (pinned by test_multimodal ragged
+    cases): ``decode=True`` emits EVERY sample — the final partial frame
+    appears with its true ``n_samples`` (ceil division; real audio
+    rarely ends on a window boundary and VAD must see the tail).
+    ``decode=False`` keeps the registered gate query's original floor
+    semantics — a multi-frame payload's sub-window byte tail is
+    discarded (only payloads shorter than ONE frame get a partial
+    frame), because the DuckDB oracle hash pins that shape.
     """
     import numpy as np
 
@@ -404,7 +494,10 @@ def audio_frame_energy(
                 if len(a) == 0:
                     ids.append(doc_id); idxs.append(0); ns.append(0); rms.append(0.0)
                     continue
-                n_frames = max(1, len(a) // frame_samples)
+                if decode:  # ceil: the decoded tail is real audio
+                    n_frames = -(-len(a) // frame_samples)
+                else:  # floor: the gate oracle pins this shape
+                    n_frames = max(1, len(a) // frame_samples)
                 for j in range(n_frames):
                     seg = a[j * frame_samples : (j + 1) * frame_samples]
                     ids.append(doc_id)

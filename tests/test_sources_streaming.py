@@ -373,29 +373,87 @@ def test_decode_media_refusal_taxonomy():
     # raw MPEG-audio frame sync: most .mp3 payloads carry no ID3v2 tag
     with pytest.raises(NotImplementedError, match="MPEG-audio"):
         decode_media(b"\xff\xfb\x90\x64" + b"\x00" * 64)
-    # IEEE-float WAV (format tag 3): a legitimate WAV variant the stdlib
-    # integer-PCM reader cannot decode — codec gap, not corruption
+    # ADPCM WAV (format tag 2): a legitimate WAV variant that needs a
+    # real codec — codec gap, not corruption (IEEE float used to sit
+    # here; it decodes natively since r13)
     import struct
 
-    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    float_wav = (
-        b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt3) + 8 + 8)
-        + b"WAVE"
-        + b"fmt "
-        + struct.pack("<I", len(fmt3))
-        + fmt3
-        + b"data"
-        + struct.pack("<I", 8)
-        + b"\x00" * 8
-    )
-    with pytest.raises(NotImplementedError, match="non-integer-PCM"):
-        decode_media(float_wav)
+    adpcm_wav = _raw_wav(struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4), b"\x00" * 8)
+    with pytest.raises(NotImplementedError, match="unsupported format"):
+        decode_media(adpcm_wav)
     # truncated RIFF/WAVE (no chunks at all) is CORRUPT, not a codec gap
     with pytest.raises(ValueError, match="corrupt RIFF/WAVE"):
         decode_media(b"RIFF\x04\x00\x00\x00WAVE")
+    # a crafted integer-PCM fmt claiming 0 channels must stay in the
+    # corrupt class (never ZeroDivisionError from the reshape math)
+    zero_ch = _raw_wav(struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16), b"\x00" * 8)
+    with pytest.raises(ValueError, match="corrupt RIFF/WAVE"):
+        decode_media(zero_ch)
     with pytest.raises(ValueError, match="unrecognized media container"):
         decode_media(b"not-a-container")
+
+
+def _raw_wav(fmt_body: bytes, data: bytes) -> bytes:
+    """Assemble a RIFF/WAVE container byte-by-byte (bypasses the stdlib
+    writer so tests can craft non-integer-PCM and corrupt headers)."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_body))
+        + fmt_body
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_decode_media_ieee_float_wav():
+    """IEEE-float WAV (format tag 3) decodes NATIVELY since r13 — float32
+    and float64, mono and stereo, exact sample round-trip; a ragged data
+    chunk truncates to whole frames; non-32/64-bit float fmt is corrupt."""
+    import struct
+
+    import numpy as np
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.RandomState(7)
+    for bits, dtype in ((32, "<f4"), (64, "<f8")):
+        for n_channels in (1, 2):
+            samples = rng.uniform(-1, 1, size=(33, n_channels)).astype(dtype)
+            fmt = struct.pack(
+                "<HHIIHH", 3, n_channels, 16000,
+                16000 * n_channels * bits // 8, n_channels * bits // 8, bits,
+            )
+            out = decode_media(_raw_wav(fmt, samples.tobytes()))
+            assert out["kind"] == "audio"
+            assert out["sample_rate"] == 16000
+            assert out["n_channels"] == n_channels
+            assert out["sample_width"] == bits // 8
+            assert out["sample_format"] == "float"
+            assert out["n_frames"] == 33
+            assert np.array_equal(out["samples"], samples.astype(np.float64))
+    # ragged: 7 float32 samples over 2 channels → 3 whole frames kept
+    fmt = struct.pack("<HHIIHH", 3, 2, 8000, 64000, 8, 32)
+    ragged = decode_media(
+        _raw_wav(fmt, rng.uniform(-1, 1, 7).astype("<f4").tobytes())
+    )
+    assert ragged["n_frames"] == 3 and ragged["samples"].shape == (3, 2)
+    # float fmt with 0 channels or 16-bit floats: corrupt, not a codec gap
+    with pytest.raises(ValueError, match="corrupt RIFF/WAVE.*0 channels"):
+        decode_media(_raw_wav(struct.pack("<HHIIHH", 3, 0, 8000, 0, 0, 32), b""))
+    with pytest.raises(ValueError, match="corrupt RIFF/WAVE.*16 bits"):
+        decode_media(_raw_wav(struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16), b""))
+    # a data chunk whose declared size overruns the buffer: corrupt
+    good = _raw_wav(struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32), b"\x00" * 16)
+    with pytest.raises(ValueError, match="corrupt RIFF/WAVE"):
+        decode_media(good[:-8])
 
 
 def test_audio_frame_energy_on_real_decoded_wav(spark):
@@ -412,8 +470,12 @@ def test_audio_frame_energy_on_real_decoded_wav(spark):
 
     wav16, s16 = _make_wav(96, n_channels=2, sampwidth=2, seed=11)
     wav8, s8 = _make_wav(50, n_channels=1, sampwidth=1, seed=12)
+    # ragged multi-frame: 100 stereo frames = 200 samples = 3 windows + a
+    # 8-sample tail — decode=True must EMIT the partial tail frame (ceil)
+    wav_rag, s_rag = _make_wav(100, n_channels=2, sampwidth=2, seed=13)
     df = spark.createDataFrame(
-        [(1, bytearray(wav16)), (2, bytearray(wav8)), (3, None)],
+        [(1, bytearray(wav16)), (2, bytearray(wav8)), (3, None),
+         (4, bytearray(wav_rag))],
         "doc_id long, payload binary",
     )
     rows = audio_frame_energy(df, frame_samples=64, decode=True).collect()
@@ -421,7 +483,7 @@ def test_audio_frame_energy_on_real_decoded_wav(spark):
 
     def expect(samples, frame_samples=64):
         a = samples.ravel().astype(np.float64)
-        n_frames = max(1, len(a) // frame_samples)
+        n_frames = -(-len(a) // frame_samples)  # ceil: decode=True framing
         out = {}
         for j in range(n_frames):
             seg = a[j * frame_samples : (j + 1) * frame_samples]
@@ -435,6 +497,18 @@ def test_audio_frame_energy_on_real_decoded_wav(spark):
     e8 = expect(s8)
     assert {j: got[(2, j)] for j in e8} == e8
     assert got[(3, 0)] == (0, 0.0)  # NULL payload == empty: silent frame
+    # the ragged case: 4 frames, the last with 8 samples — no sample of
+    # real decoded audio is discarded
+    e_rag = expect(s_rag)
+    assert len(e_rag) == 4 and e_rag[3][0] == 8
+    assert {j: got[(4, j)] for j in e_rag} == e_rag
+    # raw (decode=False) framing is UNCHANGED — the gate oracle pins the
+    # floor shape: a 100-byte payload at 64-sample frames keeps 1 frame
+    raw_df = spark.createDataFrame(
+        [(9, bytearray(bytes(range(100))))], "doc_id long, payload binary"
+    )
+    raw_rows = audio_frame_energy(raw_df, frame_samples=64).collect()
+    assert [(r.frame_idx, r.n_samples) for r in raw_rows] == [(0, 64)]
 
 
 def test_resize_media_fixed_output_size(spark, sf_dir):
