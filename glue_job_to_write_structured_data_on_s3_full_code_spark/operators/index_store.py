@@ -516,6 +516,10 @@ class S3PointerStore:
             # ECONNRESET/EPIPE/ETIMEDOUT arrive as the mapped OSError
             # subclasses below; the route-flap errnos have NO subclass
             # mapping and must be matched by number.
+            if isinstance(exc, ssl.SSLCertVerificationError):
+                # subclass of SSLError, but a bad/expired cert or wrong
+                # endpoint is a MISCONFIGURATION — retrying cannot fix it
+                raise exc
             if isinstance(
                 exc,
                 (
@@ -1516,6 +1520,78 @@ def gen_index_diff(
         "cell_id string, files_then int, files_now int, "
         "added_files array<string>, removed_files array<string>, "
         "centroids_changed boolean",
+    )
+
+
+def gen_index_history(
+    spark: SparkSession,
+    index_name: str = "gen_ivf",
+    root: str | None = None,
+    store=None,
+) -> DataFrame:
+    """The commit LEDGER: one row per retained pointer, ascending
+    sequence — the audit-log view an operator asks for first ("what
+    happened to this index and when"), answered manifest-only.
+
+    Cost: one pointer listing + one manifest read per RETAINED pointer
+    (bounded by the GC ``keep_pointers`` retention, never by index size
+    or total commit history) and ZERO parquet I/O — safe to run on every
+    commit of a 100 TB index, same contract as :func:`gen_index_diff`.
+
+    Columns: ``seq, gen, kind`` (build/append/rebalance/compact, from
+    the manifest), ``rows`` + ``id_xor`` (the committed corpus
+    fingerprint), ``n_cells, n_files``, ``files_added/files_removed``
+    (manifest file-set delta vs the PREDECESSOR row — the same
+    comparison :func:`gen_index_diff` makes, collapsed to counts),
+    ``centroids_changed`` (fingerprint compare: True on
+    rebalance/rebuild, False on append/compact), and ``last_token``
+    (the append-idempotency high-water mark). Delta columns are NULL on
+    the oldest retained row: its predecessor may have been GC'd, and a
+    ledger must not guess. If GC swept intermediate pointers, deltas
+    compare against the previous SURVIVING commit — the ledger reports
+    the retained history, exactly what the store can still prove.
+    """
+    root = _resolve_root(spark, index_name, root, store)
+    fs = _HadoopFS(spark, root)
+    ptr = _store_for(root, store)
+    entries = ptr.pointers()
+    if not entries:
+        raise FileNotFoundError(
+            f"generational index '{index_name}' has no committed generation"
+        )
+    rows = []
+    prev: dict | None = None
+    for seq, payload in entries:
+        m = _read_manifest(fs, root, payload["gen"])
+        files_now = {f for fl in m["cells"].values() for f in fl}
+        if prev is None:
+            added = removed = cents_changed = None
+        else:
+            files_then = {f for fl in prev["cells"].values() for f in fl}
+            added = len(files_now - files_then)
+            removed = len(files_then - files_now)
+            cents_changed = prev["centroid_fp"] != m["centroid_fp"]
+        rows.append(
+            (
+                seq,
+                payload["gen"],
+                m.get("kind"),
+                int(m["fingerprint"]["rows"]),
+                int(m["fingerprint"]["id_xor"]),
+                len(m["cells"]),
+                len(files_now),
+                added,
+                removed,
+                cents_changed,
+                payload.get("last_token"),
+            )
+        )
+        prev = m
+    return spark.createDataFrame(
+        rows,
+        "seq long, gen string, kind string, rows long, id_xor long, "
+        "n_cells int, n_files int, files_added int, files_removed int, "
+        "centroids_changed boolean, last_token string",
     )
 
 

@@ -275,6 +275,64 @@ def test_gen_index_diff_is_manifest_only(spark, sf_dir, pointer_backend, nm):
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
+def test_gen_index_history_ledger(spark, sf_dir, pointer_backend, nm):
+    """gen_index_history is the manifest-only commit ledger: one row per
+    retained pointer across build→append→compact→rebalance, with kinds,
+    fingerprints, file-set deltas vs the predecessor, the
+    centroids_changed flag, and the idempotency high-water mark — and
+    after GC it reports exactly the surviving history."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    idx = nm("t_gen_history")
+
+    gs.gen_index_build(base, index_name=idx)
+    gs.gen_index_append(batch, index_name=idx, idempotency_token="hist:b0")
+    gs.gen_index_compact(spark, index_name=idx)
+    skew = gs.gen_index_cell_skew(spark, index_name=idx).collect()
+    hot = max(skew, key=lambda r: (r["rows_now"], r["cell_id"]))["cell_id"]
+    gs.gen_index_rebalance(spark, index_name=idx, cells=[int(hot)])
+
+    ledger = gs.gen_index_history(spark, index_name=idx).collect()
+    assert [r.seq for r in ledger] == [1, 2, 3, 4]
+    assert [r.kind for r in ledger] == ["build", "append", "compact", "rebalance"]
+    by_seq = {r.seq: r for r in ledger}
+    # oldest retained row: no predecessor to diff against → NULL deltas
+    assert by_seq[1].files_added is None and by_seq[1].centroids_changed is None
+    # the append adds files, removes none, keeps the centroid set, and
+    # raises the corpus fingerprint by the batch size
+    assert by_seq[2].files_added > 0 and by_seq[2].files_removed == 0
+    assert by_seq[2].centroids_changed is False
+    assert by_seq[2].rows - by_seq[1].rows == batch.count()
+    assert by_seq[2].last_token == "hist:b0"
+    # the compact swaps accreted files, identical corpus + centroids
+    assert by_seq[3].files_removed > 0 and by_seq[3].centroids_changed is False
+    assert (by_seq[3].rows, by_seq[3].id_xor) == (by_seq[2].rows, by_seq[2].id_xor)
+    # the rebalance publishes a new centroid set, same corpus
+    assert by_seq[4].centroids_changed is True
+    assert (by_seq[4].rows, by_seq[4].id_xor) == (by_seq[2].rows, by_seq[2].id_xor)
+    # the ledger's file-set deltas agree with gen_index_diff's counts
+    d23 = gs.gen_index_diff(spark, 2, 3, index_name=idx).collect()
+    assert by_seq[3].files_added == sum(len(r.added_files) for r in d23)
+    assert by_seq[3].files_removed == sum(len(r.removed_files) for r in d23)
+    # cells/files bookkeeping is internally consistent
+    assert all(r.n_cells > 0 and r.n_files >= r.n_cells for r in ledger)
+
+    # GC to the latest pointer: the ledger shrinks to the survivor, whose
+    # deltas are NULL (its predecessor is gone — a ledger must not guess)
+    gs.gen_index_gc(
+        spark, root=gs._store_root(spark, idx), keep_pointers=1, min_age_s=0.0
+    )
+    survived = gs.gen_index_history(spark, index_name=idx).collect()
+    assert [r.seq for r in survived] == [4]
+    assert survived[0].files_added is None and survived[0].centroids_changed is None
+
+    # an index with no committed generation refuses loudly
+    with pytest.raises(FileNotFoundError, match="no committed generation"):
+        gs.gen_index_history(spark, index_name=nm("t_gen_history_none"))
+
+
+@pytest.mark.slow  # index mutation lifecycle (slow tier)
 def test_gen_append_references_parent_files(spark, sf_dir, pointer_backend, nm):
     """An append generation holds ONLY the batch's files; untouched
     parent files are REFERENCED by manifest, not copied — the O(|batch|)
@@ -1753,6 +1811,35 @@ def test_s3_pointer_store_error_taxonomy():
         with pytest.raises(type(bad)):
             store_os.try_commit(1, {"gen": "g-a"})
         assert sleeps_os == []
+    # SSLCertVerificationError is a subclass of the network-ambiguous
+    # SSLError but means a bad/expired cert or wrong endpoint — a
+    # misconfiguration that must raise immediately, zero backoff sleeps
+    import ssl as _ssl
+
+    sleeps_cert = []
+    store_cert, fake_cert = _s3_store()
+    store_cert._sleep = sleeps_cert.append
+    fake_cert.put_object = lambda **kw: (_ for _ in ()).throw(
+        _ssl.SSLCertVerificationError(1, "certificate verify failed")
+    )
+    with pytest.raises(_ssl.SSLCertVerificationError):
+        store_cert.try_commit(1, {"gen": "g-a"})
+    assert sleeps_cert == []
+    # ...while a PLAIN SSLError (handshake reset mid-flight — the write
+    # may have landed) stays ambiguous and recovers like ConnectionError
+    store_ssl, fake_ssl = _s3_store()
+    real_put_ssl = fake_ssl.put_object
+    flaky_ssl = {"n": 2}
+
+    def put_ssl_flaky(**kw):
+        if flaky_ssl["n"] > 0:
+            flaky_ssl["n"] -= 1
+            raise _ssl.SSLError("UNEXPECTED_EOF_WHILE_READING")
+        return real_put_ssl(**kw)
+
+    fake_ssl.put_object = put_ssl_flaky
+    assert store_ssl.try_commit(1, {"gen": "g-ssl"})
+    assert store_ssl.read_latest() == (1, {"gen": "g-ssl"})
     # ...while a ConnectionError (the write may have landed) stays
     # ambiguous: read-back sees nothing landed, the PUT retries, and the
     # commit succeeds once the connection recovers
