@@ -1595,6 +1595,62 @@ def gen_index_history(
     )
 
 
+def gen_index_rollback(
+    spark: SparkSession,
+    to_seq: int,
+    index_name: str = "gen_ivf",
+    root: str | None = None,
+    store=None,
+    max_retries: int = 5,
+) -> dict:
+    """Re-point serving at a RETAINED historical snapshot — the "undo
+    the bad append/rebalance" lever the history/diff surface exists to
+    inform. POINTER-ONLY: commits one new pointer whose payload is the
+    ``to_seq`` payload verbatim (same generation dir, same fingerprint,
+    same ``last_token`` high-water mark AS OF that snapshot), so the
+    operation is two small pointer ops regardless of index size, no data
+    moves, and the rolled-back commits stay retained for audit until
+    :func:`gen_index_gc`'s usual lease expires.
+
+    Forward-only history: rollback never deletes pointers — it appends a
+    new sequence that *serves* the old snapshot, so ``as_of_seq`` reads
+    of the rolled-back commits keep working and
+    :func:`gen_index_history` shows the full event (the new row carries
+    the old generation's kind/fingerprint with negative file drift vs
+    its predecessor). Because ``last_token`` reverts with the snapshot,
+    an append that landed after ``to_seq`` and is re-sent with its
+    idempotency token after the rollback RE-APPLIES — exactly the "the
+    index is that snapshot again" contract.
+
+    Rolling back to the currently-served snapshot is a no-op (returns
+    the live payload without committing). ``to_seq`` obeys the same GC
+    retention lease as every historical read: never-committed or swept
+    sequences raise ``FileNotFoundError`` via the shared
+    :func:`_pointer_at` contract. Lost CAS races (concurrent appends)
+    retry against the new head up to ``max_retries`` times, then raise
+    :class:`CommitConflict` — rolling back an index under live append
+    traffic is a coordination decision, not something to spin on.
+    """
+    root = _resolve_root(spark, index_name, root, store)
+    ptr = _store_for(root, store)
+    payload = _pointer_at(ptr, to_seq, index_name, "to_seq")
+    for _ in range(max_retries):
+        seq, latest = ptr.read_latest()
+        if seq is None:
+            raise FileNotFoundError(
+                f"generational index '{index_name}' has no committed "
+                f"generation"
+            )
+        if latest["gen"] == payload["gen"]:
+            return latest  # already serving that snapshot
+        if ptr.try_commit(seq + 1, dict(payload)):
+            return dict(payload)
+    raise CommitConflict(
+        f"rollback of '{index_name}' to sequence {to_seq} lost "
+        f"{max_retries} commit races; quiesce append traffic and retry"
+    )
+
+
 def gen_index_gc(
     spark: SparkSession,
     index_name: str = "gen_ivf",

@@ -333,6 +333,70 @@ def test_gen_index_history_ledger(spark, sf_dir, pointer_backend, nm):
 
 
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
+def test_gen_index_rollback_repoints_serving(spark, sf_dir, pointer_backend, nm):
+    """gen_index_rollback re-points serving at a retained snapshot with
+    one pointer commit: probes serve the old corpus again, history is
+    forward-only (the rolled-back commits stay readable via as_of_seq),
+    the idempotency high-water mark reverts with the snapshot so a
+    re-sent append re-applies, and invalid/swept targets refuse through
+    the shared historical-read contract."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    q = emb.where(F.col("vec_id") < 10)
+    idx = nm("t_gen_rollback")
+
+    gs.gen_index_build(base, index_name=idx)
+    gs.gen_index_append(batch, index_name=idx, idempotency_token="rb:b0")
+    want_base = _rows(ivf_topk(base, q, k=5))
+    want_full = _rows(ivf_topk(emb, q, k=5))
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=idx)) == want_full
+
+    # rollback to the pre-append snapshot: latest serves the base corpus
+    payload = gs.gen_index_rollback(spark, 1, index_name=idx)
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=idx)) == want_base
+    # forward-only: three pointers, seq 3 re-serves seq 1's generation,
+    # and the rolled-back append snapshot still time-travels
+    ptrs = dict(_ptrs(spark, idx))
+    assert sorted(ptrs) == [1, 2, 3]
+    assert ptrs[3]["gen"] == ptrs[1]["gen"] == payload["gen"]
+    assert _rows(
+        gs.gen_index_probe(q, k=5, index_name=idx, as_of_seq=2)
+    ) == want_full
+    # the ledger shows the event: the head row carries the build's
+    # fingerprint and negative file drift vs the append it undid
+    ledger = {r.seq: r for r in gs.gen_index_history(spark, index_name=idx).collect()}
+    assert ledger[3].rows == ledger[1].rows
+    assert ledger[3].files_removed > 0 and ledger[3].files_added == 0
+    # the high-water mark reverted: re-sending the SAME append token
+    # re-applies (the index really is the old snapshot again)
+    assert ledger[3].last_token is None
+    gs.gen_index_append(batch, index_name=idx, idempotency_token="rb:b0")
+    assert _rows(gs.gen_index_probe(q, k=5, index_name=idx)) == want_full
+
+    # rolling back to the snapshot already being served is a no-op
+    before = [s for s, _ in _ptrs(spark, idx)]
+    gs.gen_index_rollback(spark, 4, index_name=idx)
+    assert [s for s, _ in _ptrs(spark, idx)] == before
+
+    # contract refusals ride _pointer_at: bad type, never-committed seq
+    with pytest.raises(TypeError, match="to_seq"):
+        gs.gen_index_rollback(spark, 1.0, index_name=idx)
+    with pytest.raises(FileNotFoundError, match="sequence 99"):
+        gs.gen_index_rollback(spark, 99, index_name=idx)
+    # GC past the target: a swept snapshot cannot be rolled back to
+    gs.gen_index_gc(
+        spark, root=gs._store_root(spark, idx), keep_pointers=1, min_age_s=0.0
+    )
+    with pytest.raises(FileNotFoundError, match="sequence 1"):
+        gs.gen_index_rollback(spark, 1, index_name=idx)
+
+
+@pytest.mark.slow  # index mutation lifecycle (slow tier)
 def test_gen_append_references_parent_files(spark, sf_dir, pointer_backend, nm):
     """An append generation holds ONLY the batch's files; untouched
     parent files are REFERENCED by manifest, not copied — the O(|batch|)

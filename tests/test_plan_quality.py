@@ -698,3 +698,27 @@ def test_regional_revenue_broadcasts_dims_only(spark, sf_dir, queries):
     assert (
         plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2
     ), plan
+
+
+def test_length_banded_pairs_plan_is_equi_join(spark):
+    """The blocked linkage pair generator's whole point is the JOIN
+    STRATEGY: the length band must reach Catalyst as an equi-join key
+    (hash-partitionable — BroadcastHashJoin / ShuffledHashJoin /
+    SortMergeJoin), never the BroadcastNestedLoopJoin the all-pairs
+    theta-join degenerates to on an unbounded side."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.linkage import (
+        length_banded_levenshtein_pairs,
+    )
+
+    names = spark.createDataFrame(
+        [(f"name_{i:04d}",) for i in range(500)], "nm string"
+    )
+    df = length_banded_levenshtein_pairs(names, "nm", 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    ), plan
