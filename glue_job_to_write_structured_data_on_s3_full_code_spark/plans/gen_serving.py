@@ -83,9 +83,112 @@ def gen_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gen_ivf_rollback_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve from an index whose head was ROLLED BACK to the base build
+    — the "undo the bad append" shape, end to end: build on the base
+    corpus (``vec_id % 50 != 17``), append the excluded batch, then
+    :func:`~..operators.index_store.gen_index_rollback` re-points
+    serving at sequence 1 with one pointer commit. The probe must return
+    exactly the IVF results over the BASE corpus
+    (:data:`~.llm_ops.EMBEDDING_IVF_BASE_ORACLE`) — the appended rows
+    are gone from serving while remaining time-travel-readable at
+    ``as_of_seq=2``. r14 swap candidate (registry is saturated at 200);
+    parity pinned by tests/test_r14_swap_candidates.py.
+    """
+    from ..operators.index_store import gen_index_rollback
+
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    name = f"gen_ivf_rb_bench_{_sf_tag(sf_dir)}"
+    if not gen_index_built(spark, name):
+        gen_index_build(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
+        gen_index_append(
+            emb.where(F.col("vec_id") % 50 == 17),
+            index_name=name,
+            idempotency_token="rb_bench:b0",
+        )
+        gen_index_rollback(spark, 1, index_name=name)
+    return gen_index_probe(
+        emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
+    )
+
+
+def gen_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERATIONAL twin of ``streaming_ivf_index_maintenance``: a
+    stream of embedding micro-batches maintains the object-store-safe
+    index through ``foreachBatch`` → :func:`gen_index_append`, with the
+    checkpoint-namespaced idempotency token making foreachBatch's
+    at-least-once delivery exactly-once at the INDEX (a replayed
+    batch_id is a pointer-level no-op — Structured Streaming commits
+    batch N before starting N+1, so the latest pointer's high-water
+    token is exactly the replay window). Commit cost per micro-batch is
+    two small pointer PUTs + the batch's own cell files regardless of
+    index size, so the shape holds on a 100 TB index under continuous
+    arrival. The closing probe hash-matches the full-corpus IVF oracle
+    (composition: base ∪ batches == full corpus; frozen centroids).
+    r14 swap candidate; parity pinned by tests/test_r14_swap_candidates.py.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    name = f"gen_ivf_stream_{_sf_tag(sf_dir)}"
+    if not gen_index_built(spark, name):
+        gen_index_build(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
+        work = _tempfile.mkdtemp(prefix="gen_stream_ivf_")
+        in_dir = _os.path.join(work, "in")
+        _os.makedirs(in_dir)
+        # the %50==17 batch arrives as three micro-batches (one file per
+        # trigger, staggered mtimes fix the arrival order)
+        for i, residue in enumerate((17, 67, 117)):
+            b = emb.where(F.col("vec_id") % 150 == residue).select(
+                "vec_id", "embedding"
+            )
+            tmp = _os.path.join(work, f"t{i}")
+            b.coalesce(1).write.parquet(tmp)
+            f = [x for x in _os.listdir(tmp) if x.endswith(".parquet")][0]
+            dst = _os.path.join(in_dir, f"part-{i:03d}.parquet")
+            _shutil.move(_os.path.join(tmp, f), dst)
+            _shutil.rmtree(tmp)
+            now = _os.stat(dst).st_mtime
+            _os.utime(dst, (now - 1000 + i * 100, now - 1000 + i * 100))
+
+        ckpt = _os.path.join(work, "ckpt")
+
+        def _append(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            gen_index_append(
+                batch_df,
+                index_name=name,
+                idempotency_token=f"{ckpt}:batch-{batch_id}",
+            )
+
+        try:
+            (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(in_dir)
+                .writeStream.foreachBatch(_append)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+    return gen_index_probe(
+        emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
+    )
+
+
 # `gen_ivf_append` is the name bench.py has recorded for the two-fileset
 # probe since round 11 — the registry row keeps it so BENCH_r* history
-# lines up with the gate row.
+# lines up with the gate row. gen_ivf_rollback_probe and
+# gen_streaming_ivf_maintenance are NOT here: they are r14 swap
+# candidates (the registry is rotation-saturated; see COVERAGE.md).
 REGISTRY: list[tuple] = [
     ("gen_ivf_probe", gen_ivf_probe, EMBEDDING_IVF_ORACLE),
     ("gen_ivf_append", gen_ivf_append_probe, EMBEDDING_IVF_ORACLE),

@@ -775,11 +775,19 @@ IVF_REBALANCED_ORACLE = _ivf_rebalanced_oracle()
 
 
 def _ivf_oracle(
-    k: int = 5, centroid_mod: int = 50, nprobe: int = 3, max_centroids: int = 256
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+    max_centroids: int = 256,
+    corpus_where: str = "",
 ) -> str:
     """DuckDB replay of ivf_topk: same centroids, same argmax-cosine cell
     assignment (row_number with the same (cosine DESC, cent_id) tie-break),
-    same nprobe probe set, same exact in-cell scoring."""
+    same nprobe probe set, same exact in-cell scoring. ``corpus_where``
+    restricts the INDEXED corpus only (centroids and queries stay on the
+    full table) — the shape of a snapshot/rollback probe serving a build
+    whose base excluded some rows (the exclusion must never remove a
+    ``vec_id % centroid_mod == 0`` centroid row)."""
     cent_cos = _COS.format(A="e.embedding", B="c.cent_v")
     pair_cos = _COS.format(A="q.qv", B="s.cv")
     return f"""
@@ -797,6 +805,7 @@ corpus_assign AS (
                    ORDER BY {cent_cos} DESC, c.cent_id
                ) AS crk
         FROM embeddings e CROSS JOIN cents c
+        {corpus_where}
     ) WHERE crk = 1
 ),
 query_probe AS (
@@ -827,6 +836,14 @@ WHERE rank <= {k}
 
 
 EMBEDDING_IVF_ORACLE = _ivf_oracle()
+
+#: the rollback-probe gate: an index whose head was rolled back to the
+#: base build (corpus excluding vec_id % 50 == 17) must serve exactly
+#: the IVF results over that base corpus — same centroids, same probe
+#: set, smaller indexed side (plans/gen_serving.gen_ivf_rollback_probe)
+EMBEDDING_IVF_BASE_ORACLE = _ivf_oracle(
+    corpus_where="WHERE e.vec_id % 50 != 17"
+)
 
 
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
