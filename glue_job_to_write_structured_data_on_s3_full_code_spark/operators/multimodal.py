@@ -5,8 +5,9 @@ Spark-side plumbing is real and tested: Arrow-batched ``mapInPandas``
 with an explicit output schema, payload-size–aware batching, and
 deterministic feature extraction. :func:`decode_media` REALLY decodes
 WAV audio — integer PCM (stdlib ``wave`` — 8/16/24/32-bit, any channel
-count) and IEEE float (format tag 3: float32/float64 via a direct chunk
-walk); see ``audio_frame_energy(decode=True)``. Compressed codecs
+count), IEEE float (format tag 3: float32/float64), and
+WAVE_FORMAT_EXTENSIBLE wrapping either, via a direct chunk walk; see
+``audio_frame_energy(decode=True)``. Compressed codecs
 (PNG/JPEG/MP4/Ogg/FLAC/MP3) refuse loudly naming the library a real
 deployment plugs in — the sandbox has none of them, and every
 downstream stage keeps working either way.
@@ -45,17 +46,17 @@ _KNOWN_MAGICS = (
 )
 
 
-def _decode_float_wav(buf: bytes) -> dict:
-    """Decode an IEEE-float RIFF/WAVE payload (format tag 3) by walking
-    the chunk list directly — the stdlib ``wave`` module refuses tag 3,
-    but float WAV needs no codec, only ``<f4``/``<f8`` reinterpretation.
+#: WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs whose payloads decode natively
+#: (the first 2 GUID bytes are the classic format tag, little-endian)
+_KSDATA_SUFFIX = bytes.fromhex("000000001000800000aa00389b71")
+_SUBFORMAT_PCM = bytes((1, 0)) + _KSDATA_SUFFIX
+_SUBFORMAT_FLOAT = bytes((3, 0)) + _KSDATA_SUFFIX
 
-    Only called for containers whose fmt tag is already known to be 3,
-    so every failure here is corruption, not a codec gap.
-    """
+
+def _wav_chunks(buf: bytes) -> tuple[bytes | None, bytes | None]:
+    """(fmt_body, data_body) from a RIFF/WAVE buffer; a chunk whose
+    declared size overruns the buffer is corruption."""
     import struct
-
-    import numpy as np
 
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(buf):
@@ -71,46 +72,96 @@ def _decode_float_wav(buf: bytes) -> dict:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return fmt, data
+
+
+def _decode_raw_wav(buf: bytes, effective_tag: int) -> dict:
+    """Decode a RIFF/WAVE payload by walking the chunk list directly —
+    for the fmt variants the stdlib ``wave`` module refuses but that
+    need no codec: IEEE float (tag 3) and WAVE_FORMAT_EXTENSIBLE wrapping
+    PCM or float (``effective_tag`` is the resolved SubFormat tag).
+
+    Only called for containers whose tag is already known decodable, so
+    every failure here is corruption, not a codec gap.
+    """
+    import struct
+
+    import numpy as np
+
+    fmt, data = _wav_chunks(buf)
     if fmt is None or len(fmt) < 16 or data is None:
         raise ValueError(
             "corrupt RIFF/WAVE container: missing or truncated fmt /data chunk"
         )
-    tag, n_channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    _tag, n_channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if n_channels < 1:
         raise ValueError("corrupt RIFF/WAVE container: fmt claims 0 channels")
-    if bits == 32:
-        samples = np.frombuffer(data[: len(data) - len(data) % 4], dtype="<f4")
-    elif bits == 64:
-        samples = np.frombuffer(data[: len(data) - len(data) % 8], dtype="<f8")
-    else:
-        raise ValueError(
-            f"corrupt RIFF/WAVE container: IEEE-float fmt with {bits} bits "
-            f"per sample (only 32/64 are defined)"
-        )
+    if effective_tag == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data[: len(data) - len(data) % 4], dtype="<f4")
+        elif bits == 64:
+            samples = np.frombuffer(data[: len(data) - len(data) % 8], dtype="<f8")
+        else:
+            raise ValueError(
+                f"corrupt RIFF/WAVE container: IEEE-float fmt with {bits} "
+                f"bits per sample (only 32/64 are defined)"
+            )
+        samples = samples.astype(np.float64)
+        sample_format = "float"
+    else:  # integer PCM via the extensible header
+        width = bits // 8
+        if bits % 8 or width not in (1, 2, 3, 4):
+            raise ValueError(
+                f"corrupt RIFF/WAVE container: PCM fmt with {bits} bits "
+                f"per sample"
+            )
+        raw = data[: len(data) - len(data) % width]
+        if width == 1:  # unsigned 8-bit → centered like every other width
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+        elif width == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+        elif width == 3:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            samples = np.where(samples >= 1 << 23, samples - (1 << 24), samples)
+        else:
+            samples = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+        sample_format = "int"
     usable = (len(samples) // n_channels) * n_channels
-    samples = samples[:usable].astype(np.float64).reshape(-1, n_channels)
+    samples = samples[:usable].reshape(-1, n_channels)
     return {
         "kind": "audio",
         "sample_rate": rate,
         "n_channels": n_channels,
         "sample_width": bits // 8,
-        "sample_format": "float",
+        "sample_format": sample_format,
         "n_frames": samples.shape[0],
         "samples": samples,
     }
 
 
-def _wav_format_tag(buf: bytes) -> int | None:
-    """The fmt chunk's format tag, or None if no well-formed fmt chunk."""
+def _wav_tags(buf: bytes) -> tuple[int | None, int | None]:
+    """``(raw_tag, effective_tag)`` from the fmt chunk.
+    WAVE_FORMAT_EXTENSIBLE (raw 0xFFFE) resolves its effective tag
+    through the SubFormat GUID: 1 (PCM) or 3 (float) when the wrapped
+    format decodes natively, 0xFFFE when it wraps something genuinely
+    codec-bound. ``(None, None)`` if no well-formed fmt chunk exists."""
     import struct
 
     pos = 12
     while pos + 8 <= len(buf):
         cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
         if cid == b"fmt " and size >= 2 and pos + 10 <= len(buf):
-            return struct.unpack("<H", buf[pos + 8 : pos + 10])[0]
+            tag = struct.unpack("<H", buf[pos + 8 : pos + 10])[0]
+            if tag == 0xFFFE and size >= 40 and pos + 8 + 40 <= len(buf):
+                sub = buf[pos + 8 + 24 : pos + 8 + 40]
+                if sub == _SUBFORMAT_PCM:
+                    return tag, 1
+                if sub == _SUBFORMAT_FLOAT:
+                    return tag, 3
+            return tag, tag
         pos += 8 + size + (size & 1)
-    return None
+    return None, None
 
 
 def decode_media(payload: bytes) -> dict:
@@ -118,8 +169,10 @@ def decode_media(payload: bytes) -> dict:
 
     REAL for WAV: RIFF/WAVE containers decode natively — integer PCM
     (format tag 1: 8/16/24/32-bit, any channel count, via the stdlib
-    ``wave`` module) and IEEE float (format tag 3: float32/float64, via
-    a direct chunk walk — no codec needed) — returning::
+    ``wave`` module), IEEE float (format tag 3: float32/float64), and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping either of those
+    SubFormats (both via a direct chunk walk — no codec needed) —
+    returning::
 
         {"kind": "audio", "sample_rate": int, "n_channels": int,
          "sample_width": int, "sample_format": "int"|"float",
@@ -145,8 +198,12 @@ def decode_media(payload: bytes) -> dict:
 
     buf = bytes(payload) if payload is not None else b""
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
-        if _wav_format_tag(buf) == 3:  # IEEE float: stdlib wave refuses it
-            return _decode_float_wav(buf)
+        raw_tag, eff_tag = _wav_tags(buf)
+        if raw_tag == 3 or (raw_tag == 0xFFFE and eff_tag in (1, 3)):
+            # IEEE float, and EXTENSIBLE wrapping PCM/float: legitimate
+            # WAV variants this stdlib's wave module refuses but which
+            # need no codec — decode via the direct chunk walk
+            return _decode_raw_wav(buf, eff_tag)
         try:
             with wave.open(io.BytesIO(buf)) as w:
                 n_channels = w.getnchannels()

@@ -332,6 +332,48 @@ def test_gen_index_history_ledger(spark, sf_dir, pointer_backend, nm):
         gs.gen_index_history(spark, index_name=nm("t_gen_history_none"))
 
 
+def test_gen_index_rollback_cas_races(spark, tmp_path):
+    """Rollback is ONE conditional pointer PUT, so its concurrency story
+    is pure CAS: a commit race (concurrent append takes the sequence)
+    rebases against the new head and retries; persistent contention
+    exhausts the bounded budget and raises CommitConflict — never a spin,
+    never a silent half-rollback. Pointer-level test (rollback touches no
+    manifests or data), injected races via the in-memory fault harness."""
+    root = str(tmp_path / "rb_races")
+    store = gs.InMemoryPointerStore()
+    p1 = {"gen": "g-base", "fingerprint": {"rows": 1, "id_xor": 1}, "last_token": None}
+    p2 = {"gen": "g-append", "fingerprint": {"rows": 2, "id_xor": 3}, "last_token": "t1"}
+    assert store.try_commit(1, p1) and store.try_commit(2, p2)
+
+    # a competing append steals seq 3 inside the PUT window: rollback
+    # must lose cleanly, rebase, and land at seq 4
+    p3 = {"gen": "g-race", "fingerprint": {"rows": 3, "id_xor": 0}, "last_token": "t2"}
+    store.inject_race(lambda s, seq: s._put_if_absent(seq, json.dumps(p3)))
+    out = gs.gen_index_rollback(spark, 1, index_name="rb", root=root, store=store)
+    assert out == p1
+    assert store.read_latest() == (4, p1)
+    assert store.read_at(3) == p3  # the racer's commit survives untouched
+
+    # persistent contention: every attempt loses → bounded CommitConflict
+    class _AlwaysTaken(gs.InMemoryPointerStore):
+        def try_commit(self, seq, payload):
+            return False
+
+    losing = _AlwaysTaken()
+    assert gs.InMemoryPointerStore.try_commit(losing, 1, p1)
+    assert gs.InMemoryPointerStore.try_commit(losing, 2, p2)
+    with pytest.raises(gs.CommitConflict, match="lost 5 commit races"):
+        gs.gen_index_rollback(spark, 1, index_name="rb", root=root, store=losing)
+
+    # rolling back to the head is a no-op even under an armed race hook
+    quiet = gs.InMemoryPointerStore()
+    assert quiet.try_commit(1, p1)
+    assert gs.gen_index_rollback(
+        spark, 1, index_name="rb", root=root, store=quiet
+    ) == p1
+    assert quiet.read_latest() == (1, p1)
+
+
 @pytest.mark.slow  # index mutation lifecycle (slow tier)
 def test_gen_index_rollback_repoints_serving(spark, sf_dir, pointer_backend, nm):
     """gen_index_rollback re-points serving at a retained snapshot with

@@ -456,6 +456,60 @@ def test_decode_media_ieee_float_wav():
         decode_media(good[:-8])
 
 
+def _extensible_fmt(sub_tag: int, n_channels: int, rate: int, bits: int) -> bytes:
+    """A WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt body wrapping the classic
+    format tag ``sub_tag`` in its KSDATAFORMAT SubFormat GUID."""
+    import struct
+
+    guid = struct.pack("<H", sub_tag) + bytes.fromhex(
+        "000000001000800000aa00389b71"
+    )
+    return (
+        struct.pack(
+            "<HHIIHH", 0xFFFE, n_channels, rate,
+            rate * n_channels * bits // 8, n_channels * bits // 8, bits,
+        )
+        + struct.pack("<HHI", 22, bits, (1 << n_channels) - 1)
+        + guid
+    )
+
+
+def test_decode_media_wave_format_extensible():
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping PCM or IEEE float
+    decodes natively via the SubFormat GUID — this Python's stdlib wave
+    refuses the tag outright, but the wrapped formats need no codec;
+    EXTENSIBLE wrapping a genuinely codec-bound SubFormat (a-law) still
+    refuses as a codec gap."""
+    import struct
+
+    import numpy as np
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.RandomState(21)
+    # wrapped 16-bit PCM, stereo: signed samples round-trip exactly
+    pcm = rng.randint(-30000, 30000, size=(41, 2)).astype("<i2")
+    out = decode_media(_raw_wav(_extensible_fmt(1, 2, 44100, 16), pcm.tobytes()))
+    assert (out["sample_format"], out["sample_width"]) == ("int", 2)
+    assert out["sample_rate"] == 44100 and out["n_frames"] == 41
+    assert np.array_equal(out["samples"], pcm.astype(np.int32))
+    # wrapped float32, mono
+    flt = rng.uniform(-1, 1, 29).astype("<f4")
+    out = decode_media(_raw_wav(_extensible_fmt(3, 1, 48000, 32), flt.tobytes()))
+    assert (out["sample_format"], out["sample_width"]) == ("float", 4)
+    assert np.array_equal(out["samples"].ravel(), flt.astype(np.float64))
+    # wrapped a-law (tag 6): codec gap, not corruption
+    with pytest.raises(NotImplementedError, match="unsupported format"):
+        decode_media(_raw_wav(_extensible_fmt(6, 1, 8000, 8), b"\x00" * 8))
+    # EXTENSIBLE fmt too short to carry a SubFormat GUID: the raw tag
+    # stands and the stdlib reader's refusal is a codec gap
+    short = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    with pytest.raises(NotImplementedError, match="unsupported format"):
+        decode_media(_raw_wav(short, b"\x00" * 8))
+
+
 def test_audio_frame_energy_on_real_decoded_wav(spark):
     """The audio-energy operator runs on REAL decoded samples
     (decode=True): per-frame RMS matches an independent local numpy
