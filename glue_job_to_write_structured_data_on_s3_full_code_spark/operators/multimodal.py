@@ -75,6 +75,28 @@ def _wav_chunks(buf: bytes) -> tuple[bytes | None, bytes | None]:
     return fmt, data
 
 
+def _pcm_samples(raw: bytes, width: int):
+    """Flat signed integer samples from little-endian PCM bytes, shared
+    by the stdlib-``wave`` and direct-chunk-walk decode paths: 8-bit
+    (stored unsigned) is centered on zero like every other width, 24-bit
+    unpacks from its packed 3-byte layout, and a byte tail shorter than
+    one sample is truncated rather than crashed on."""
+    import numpy as np
+
+    if width not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported WAV sample width: {width} bytes")
+    raw = raw[: len(raw) - len(raw) % width]
+    if width == 1:
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    if width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        s = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        return np.where(s >= 1 << 23, s - (1 << 24), s)
+    return np.frombuffer(raw, dtype="<i4").astype(np.int64)
+
+
 def _decode_raw_wav(buf: bytes, effective_tag: int) -> dict:
     """Decode a RIFF/WAVE payload by walking the chunk list directly —
     for the fmt variants the stdlib ``wave`` module refuses but that
@@ -109,23 +131,12 @@ def _decode_raw_wav(buf: bytes, effective_tag: int) -> dict:
         samples = samples.astype(np.float64)
         sample_format = "float"
     else:  # integer PCM via the extensible header
-        width = bits // 8
-        if bits % 8 or width not in (1, 2, 3, 4):
+        if bits % 8 or bits // 8 not in (1, 2, 3, 4):
             raise ValueError(
                 f"corrupt RIFF/WAVE container: PCM fmt with {bits} bits "
                 f"per sample"
             )
-        raw = data[: len(data) - len(data) % width]
-        if width == 1:  # unsigned 8-bit → centered like every other width
-            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
-        elif width == 2:
-            samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
-        elif width == 3:
-            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
-            samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-            samples = np.where(samples >= 1 << 23, samples - (1 << 24), samples)
-        else:
-            samples = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+        samples = _pcm_samples(data, bits // 8)
         sample_format = "int"
     usable = (len(samples) // n_channels) * n_channels
     samples = samples[:usable].reshape(-1, n_channels)
@@ -194,8 +205,6 @@ def decode_media(payload: bytes) -> dict:
     import io
     import wave
 
-    import numpy as np
-
     buf = bytes(payload) if payload is not None else b""
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         raw_tag, eff_tag = _wav_tags(buf)
@@ -228,19 +237,7 @@ def decode_media(payload: bytes) -> dict:
             # a crafted fmt chunk claiming 0 channels must stay in the
             # "corrupt" class, not escape as ZeroDivisionError below
             raise ValueError("corrupt RIFF/WAVE container: fmt claims 0 channels")
-        raw = raw[: len(raw) - len(raw) % max(width, 1)]  # ragged byte tail
-        if width == 1:  # unsigned 8-bit → center on zero like the rest
-            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
-        elif width == 2:
-            samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
-        elif width == 3:  # packed little-endian signed 24-bit
-            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
-            samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-            samples = np.where(samples >= 1 << 23, samples - (1 << 24), samples)
-        elif width == 4:
-            samples = np.frombuffer(raw, dtype="<i4").astype(np.int64)
-        else:
-            raise ValueError(f"unsupported WAV sample width: {width} bytes")
+        samples = _pcm_samples(raw, width)
         # truncate a ragged tail (a truncated final frame) rather than crash
         usable = (len(samples) // n_channels) * n_channels
         samples = samples[:usable].reshape(-1, n_channels)

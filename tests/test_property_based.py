@@ -479,3 +479,50 @@ def test_jdbc_redaction_scrubs_every_echo_form(pw):
     assert "***redacted***" in err
     for form in forms:
         assert form not in err, (pw, form, err)
+
+
+# short alphabet + tight lengths force heavy length-band collisions,
+# equal-length duplicates, and names exactly at the ±2 band edge
+_names_st = st.lists(
+    st.text(alphabet="abcx", min_size=0, max_size=6), min_size=1, max_size=24
+)
+
+
+@given(names=_names_st)
+@settings(**_SETTINGS)
+def test_length_banded_pairs_model(spark, names):
+    """Property: length_banded_levenshtein_pairs over ANY vocabulary
+    equals the brute-force model {unordered distinct pairs with
+    levenshtein ≤ 2} — the recall contract behind
+    entity_resolution_pipeline's vocabulary dial, checked on generated
+    shapes (empty strings, duplicates, all-same-length clusters) the
+    fixtures never produce."""
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.linkage import (
+        length_banded_levenshtein_pairs,
+    )
+
+    distinct = sorted(set(names))
+    df = spark.createDataFrame([(n,) for n in distinct], "nm string")
+    got = {
+        (r.name_a, r.name_b, r.lev_dist)
+        for r in length_banded_levenshtein_pairs(df, "nm", 2).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(distinct)
+        for b in distinct[i + 1 :]
+        if lev(a, b) <= 2
+    }
+    assert got == want
