@@ -210,9 +210,25 @@ def decode_media(payload: bytes) -> dict:
         raw_tag, eff_tag = _wav_tags(buf)
         if raw_tag == 3 or (raw_tag == 0xFFFE and eff_tag in (1, 3)):
             # IEEE float, and EXTENSIBLE wrapping PCM/float: legitimate
-            # WAV variants this stdlib's wave module refuses but which
-            # need no codec — decode via the direct chunk walk
+            # WAV variants that need no codec — decode via the direct
+            # chunk walk (stdlib wave support for them varies by Python
+            # minor version; the chunk walk does not)
             return _decode_raw_wav(buf, eff_tag)
+        if raw_tag is None:
+            raise ValueError(
+                "corrupt RIFF/WAVE container: no well-formed fmt chunk"
+            )
+        if raw_tag != 1:
+            # codec-vs-corrupt is decided from the TAG, not from stdlib
+            # error wording (which changes across Python versions):
+            # anything that is not integer PCM and was not claimed above
+            # is a genuine codec gap (ADPCM, a-law, MPEG-in-WAV,
+            # EXTENSIBLE wrapping a compressed SubFormat, ...)
+            raise NotImplementedError(
+                f"WAV with an unsupported format (tag {raw_tag:#x}); "
+                f"needs soundfile/libsndfile — integer and IEEE-float "
+                f"PCM decode natively"
+            )
         try:
             with wave.open(io.BytesIO(buf)) as w:
                 n_channels = w.getnchannels()
@@ -221,22 +237,13 @@ def decode_media(payload: bytes) -> dict:
                 n_frames = w.getnframes()
                 raw = w.readframes(n_frames)
         except wave.Error as exc:
-            # the stdlib reader only does integer PCM: ADPCM, a-law,
-            # WAVE_FORMAT_EXTENSIBLE and other legitimate WAV variants
-            # are a codec gap, not corruption (tag 3 was claimed above)
-            if "unknown format" in str(exc):
-                raise NotImplementedError(
-                    f"WAV with an unsupported format ({exc}); needs "
-                    f"soundfile/libsndfile — integer and IEEE-float PCM "
-                    f"decode natively"
-                ) from exc
+            # only integer-PCM (tag 1) containers reach the stdlib
+            # reader, so every wave.Error here — including its own
+            # 'bad # of channels' for a crafted 0-channel fmt — is
+            # corruption, never a codec gap
             raise ValueError(f"corrupt RIFF/WAVE container: {exc}") from exc
         except EOFError as exc:  # truncated chunk headers
             raise ValueError(f"corrupt RIFF/WAVE container: {exc}") from exc
-        if n_channels < 1:
-            # a crafted fmt chunk claiming 0 channels must stay in the
-            # "corrupt" class, not escape as ZeroDivisionError below
-            raise ValueError("corrupt RIFF/WAVE container: fmt claims 0 channels")
         samples = _pcm_samples(raw, width)
         # truncate a ragged tail (a truncated final frame) rather than crash
         usable = (len(samples) // n_channels) * n_channels

@@ -88,26 +88,39 @@ def gen_ivf_rollback_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the "undo the bad append" shape, end to end: build on the base
     corpus (``vec_id % 50 != 17``), append the excluded batch, then
     :func:`~..operators.index_store.gen_index_rollback` re-points
-    serving at sequence 1 with one pointer commit. The probe must return
-    exactly the IVF results over the BASE corpus
+    serving at the build snapshot with one pointer commit. The probe
+    must return exactly the IVF results over the BASE corpus
     (:data:`~.llm_ops.EMBEDDING_IVF_BASE_ORACLE`) — the appended rows
-    are gone from serving while remaining time-travel-readable at
-    ``as_of_seq=2``. r14 swap candidate (registry is saturated at 200);
+    are gone from serving while remaining time-travel-readable at their
+    own sequence. r14 swap candidate (registry is saturated at 200);
     parity pinned by tests/test_r14_swap_candidates.py.
+
+    Crash-safe by state inspection, NOT a build-once boolean: gating the
+    append+rollback on ``gen_index_built`` would freeze a crash between
+    build and rollback into permanently-wrong serving (the hazard
+    :func:`gen_ivf_append_probe` documents). Instead every invocation
+    reads the commit ledger (manifest-only) and converges: no index →
+    build; build only → append then roll back; head not serving the
+    build snapshot → roll back; already rolled back → probe.
     """
-    from ..operators.index_store import gen_index_rollback
+    from ..operators.index_store import gen_index_history, gen_index_rollback
 
     tune(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     name = f"gen_ivf_rb_bench_{_sf_tag(sf_dir)}"
     if not gen_index_built(spark, name):
         gen_index_build(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
+    ledger = gen_index_history(spark, index_name=name).collect()
+    base_seq, base_gen = ledger[0].seq, ledger[0].gen
+    if len(ledger) == 1:  # fresh build (or a crash before the append)
         gen_index_append(
             emb.where(F.col("vec_id") % 50 == 17),
             index_name=name,
             idempotency_token="rb_bench:b0",
         )
-        gen_index_rollback(spark, 1, index_name=name)
+        gen_index_rollback(spark, base_seq, index_name=name)
+    elif ledger[-1].gen != base_gen:  # crash between append and rollback
+        gen_index_rollback(spark, base_seq, index_name=name)
     return gen_index_probe(
         emb.where(F.col("vec_id") < 10), k=5, nprobe=3, index_name=name
     )
@@ -127,15 +140,32 @@ def gen_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     arrival. The closing probe hash-matches the full-corpus IVF oracle
     (composition: base ∪ batches == full corpus; frozen centroids).
     r14 swap candidate; parity pinned by tests/test_r14_swap_candidates.py.
+
+    Crash-safe by COMPLETION gating, not a build-once boolean: the
+    harness's stream checkpoint is a temp dir, so a crash mid-stream
+    cannot resume from it — instead every invocation compares the commit
+    ledger's head row count against the full corpus and, if the index is
+    partial (a crash between build and the last append), REBUILDS the
+    base as a fresh generation (one CAS commit; the partial appends
+    become superseded history) and re-runs the whole stream clean.
+    Within one stream run, foreachBatch replay stays exactly-once via
+    the checkpoint-namespaced token.
     """
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
+    from ..operators.index_store import gen_index_history
+
     tune(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     name = f"gen_ivf_stream_{_sf_tag(sf_dir)}"
-    if not gen_index_built(spark, name):
+    expected_rows = emb.count()
+    complete = False
+    if gen_index_built(spark, name):
+        ledger = gen_index_history(spark, index_name=name).collect()
+        complete = ledger[-1].rows == expected_rows
+    if not complete:
         gen_index_build(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
         work = _tempfile.mkdtemp(prefix="gen_stream_ivf_")
         in_dir = _os.path.join(work, "in")

@@ -163,8 +163,8 @@ def name_pair_candidates_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     never O(N²) rows — and the multiplicity algebra guarantees recall:
     sum(n_pairs) per block == C(rows_in_block, 2) exactly (pinned by
     tests/test_r13_swap_candidates.py), so no row-level pair can escape
-    blocking. r13 swap candidate — NOT registered while the registry is
-    frozen; the oracle below replays it exactly in DuckDB."""
+    blocking. REGISTERED in the r13 swap (COVERAGE.md shortlist item 3);
+    the oracle below replays it exactly in DuckDB."""
     from ..operators.linkage import name_pair_candidates
 
     tune(spark)

@@ -97,3 +97,44 @@ def test_gen_streaming_replay_is_exactly_once(spark, sf_dir):
     )
     assert replayed == head  # replay returned the existing head payload
     assert ptr.read_latest()[0] == head_seq  # no new pointer committed
+
+
+def test_r14_candidates_recover_from_crash_states(spark, sf_dir):
+    """Both r14 candidates must converge from the states a crash leaves
+    behind (the code-review finding on build-once gating): the rollback
+    probe heals a head left on the append snapshot, and the streaming
+    maintenance rebuilds + restreams a partial index."""
+    import glue_job_to_write_structured_data_on_s3_full_code_spark.operators.index_store as gs
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.gen_serving import (
+        _sf_tag,
+        gen_ivf_rollback_probe,
+        gen_streaming_ivf_maintenance,
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # --- rollback probe: baseline, then simulate "crash after append,
+    # before rollback" by re-pointing the head AT the append snapshot
+    want = rows(gen_ivf_rollback_probe(spark, sf_dir))
+    name = f"gen_ivf_rb_bench_{_sf_tag(sf_dir)}"
+    ledger = gs.gen_index_history(spark, index_name=name).collect()
+    append_row = next(r for r in ledger if r.kind == "append")
+    gs.gen_index_rollback(spark, append_row.seq, index_name=name)
+    healed = rows(gen_ivf_rollback_probe(spark, sf_dir))
+    assert healed == want
+    head = gs.gen_index_history(spark, index_name=name).collect()[-1]
+    assert head.gen == ledger[0].gen  # serving the build snapshot again
+
+    # --- streaming maintenance: baseline, then simulate a mid-stream
+    # crash by rolling the head back to the base-only build (rows short
+    # of the full corpus) — the next invocation must rebuild + restream
+    want_s = rows(gen_streaming_ivf_maintenance(spark, sf_dir))
+    sname = f"gen_ivf_stream_{_sf_tag(sf_dir)}"
+    sledger = gs.gen_index_history(spark, index_name=sname).collect()
+    gs.gen_index_rollback(spark, sledger[0].seq, index_name=sname)
+    healed_s = rows(gen_streaming_ivf_maintenance(spark, sf_dir))
+    assert healed_s == want_s
+    shead = gs.gen_index_history(spark, index_name=sname).collect()[-1]
+    assert shead.rows == sledger[-1].rows  # full corpus again
+    assert shead.gen != sledger[-1].gen  # via a FRESH rebuild+stream
