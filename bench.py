@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     # BENCH_r* history stays comparable.
     "gen_ivf_probe",
     "gen_ivf_append",
+    # round-14 additions: the generational index's rollback-then-serve and
+    # streaming-maintenance paths, registered (with DuckDB gates) in the
+    # r14 swap. Both amortize their one-time build/stream into the warm-up
+    # run, so the timed rows measure the SERVING cost like their siblings.
+    "gen_ivf_rollback_probe",
+    "gen_streaming_ivf_maintenance",
 ]
 
 # The r1-r3 bench set was the first 23 queries; the set then grew (deep
@@ -124,6 +130,8 @@ GROWN = {
     "ann_recall_report_fast",
     "gen_ivf_probe",
     "gen_ivf_append",
+    "gen_ivf_rollback_probe",
+    "gen_streaming_ivf_maintenance",
 }
 
 

@@ -55,7 +55,10 @@ _SUBFORMAT_FLOAT = bytes((3, 0)) + _KSDATA_SUFFIX
 
 def _wav_chunks(buf: bytes) -> tuple[bytes | None, bytes | None]:
     """(fmt_body, data_body) from a RIFF/WAVE buffer; a chunk whose
-    declared size overruns the buffer is corruption."""
+    declared size overruns the buffer is corruption, and so is a
+    duplicated fmt /data chunk — RIFF/WAVE defines exactly one of each,
+    and keeping either copy would let classification (:func:`_wav_tags`
+    reads the FIRST fmt) and decode disagree about the header."""
     import struct
 
     pos, fmt, data = 12, None, None
@@ -68,8 +71,16 @@ def _wav_chunks(buf: bytes) -> tuple[bytes | None, bytes | None]:
                 f"bytes but only {len(body)} remain"
             )
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError(
+                    "corrupt RIFF/WAVE container: duplicate fmt chunk"
+                )
             fmt = body
         elif cid == b"data":
+            if data is not None:
+                raise ValueError(
+                    "corrupt RIFF/WAVE container: duplicate data chunk"
+                )
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     return fmt, data

@@ -120,7 +120,11 @@ WHERE p_retailprice = mn
 
 def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datetime family breadth: extract (year/month/quarter/day/iso-week),
-    truncate, offset arithmetic, day-diff, month-end, epoch seconds.
+    truncate, offset arithmetic, day-diff, month-end, epoch seconds, and
+    the reference's hand-rolled UTC→IST shift (F9:
+    ``from_unixtime(unix_timestamp(col) + 5*3600 + 30*60)``,
+    FULL.py:215-216 — kept in its exact arithmetic form so the gate covers
+    it after ``timezone_shift_format``'s r13 retirement).
     All codegen'd JVM expressions; epoch relies on the engine's pinned
     UTC session timezone (session.tune)."""
     tune(spark)
@@ -138,6 +142,7 @@ def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.to_timestamp(F.lit("1995-01-01"))).alias("days_since_95"),
         F.last_day(d).cast("timestamp").alias("month_end"),
         F.unix_timestamp(d).cast("bigint").alias("epoch_s"),
+        F.from_unixtime(F.unix_timestamp(d) + 5 * 3600 + 30 * 60).alias("ist_ts"),
     )
 
 
@@ -152,7 +157,8 @@ SELECT o_orderkey,
        o_orderdate + INTERVAL 30 DAY    AS plus_30d,
        datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
        CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
-       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS ist_ts
 FROM orders
 """
 

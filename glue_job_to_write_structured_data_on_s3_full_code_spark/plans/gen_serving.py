@@ -29,7 +29,7 @@ from ..operators.index_store import (
 )
 from ..session import tune
 from ..sources.parquet import read_table
-from .llm_ops import EMBEDDING_IVF_ORACLE
+from .llm_ops import EMBEDDING_IVF_BASE_ORACLE, EMBEDDING_IVF_ORACLE
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -92,8 +92,8 @@ def gen_ivf_rollback_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     must return exactly the IVF results over the BASE corpus
     (:data:`~.llm_ops.EMBEDDING_IVF_BASE_ORACLE`) — the appended rows
     are gone from serving while remaining time-travel-readable at their
-    own sequence. r14 swap candidate (registry is saturated at 200);
-    parity pinned by tests/test_r14_swap_candidates.py.
+    own sequence. Registered in the r14 swap (paired with a same-round
+    retirement); parity pinned by tests/test_r14_swap_candidates.py.
 
     Crash-safe by state inspection, NOT a build-once boolean: gating the
     append+rollback on ``gen_index_built`` would freeze a crash between
@@ -111,7 +111,17 @@ def gen_ivf_rollback_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not gen_index_built(spark, name):
         gen_index_build(emb.where(F.col("vec_id") % 50 != 17), index_name=name)
     ledger = gen_index_history(spark, index_name=name).collect()
-    base_seq, base_gen = ledger[0].seq, ledger[0].gen
+    # the base is the BUILD commit, located by kind — not ledger[0]: if
+    # GC ever sweeps the bench index (keep_pointers dropping seq 1), the
+    # oldest RETAINED row is a later commit, and healing toward it would
+    # silently break the BASE-corpus oracle rather than fail loudly
+    builds = [r for r in ledger if r.kind == "build"]
+    if not builds:
+        raise ValueError(
+            f"generational index '{name}' retains no build commit — "
+            "cannot identify the rollback base (GC swept it?)"
+        )
+    base_seq, base_gen = builds[0].seq, builds[0].gen
     if len(ledger) == 1:  # fresh build (or a crash before the append)
         gen_index_append(
             emb.where(F.col("vec_id") % 50 == 17),
@@ -139,7 +149,8 @@ def gen_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     index size, so the shape holds on a 100 TB index under continuous
     arrival. The closing probe hash-matches the full-corpus IVF oracle
     (composition: base ∪ batches == full corpus; frozen centroids).
-    r14 swap candidate; parity pinned by tests/test_r14_swap_candidates.py.
+    Registered in the r14 swap; parity pinned by
+    tests/test_r14_swap_candidates.py.
 
     Crash-safe by COMPLETION gating, not a build-once boolean: the
     harness's stream checkpoint is a temp dir, so a crash mid-stream
@@ -217,9 +228,18 @@ def gen_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
 # `gen_ivf_append` is the name bench.py has recorded for the two-fileset
 # probe since round 11 — the registry row keeps it so BENCH_r* history
 # lines up with the gate row. gen_ivf_rollback_probe and
-# gen_streaming_ivf_maintenance are NOT here: they are r14 swap
-# candidates (the registry is rotation-saturated; see COVERAGE.md).
+# gen_streaming_ivf_maintenance were staged as r14 swap candidates
+# (pre-validated by tests/test_r14_swap_candidates.py since round 13) and
+# REGISTERED in the r14 swap, paired with two same-round retirements in
+# plans/relational.py so the registry stays at its 200-row saturation
+# point (see COVERAGE.md "Retire-and-swap").
 REGISTRY: list[tuple] = [
     ("gen_ivf_probe", gen_ivf_probe, EMBEDDING_IVF_ORACLE),
     ("gen_ivf_append", gen_ivf_append_probe, EMBEDDING_IVF_ORACLE),
+    ("gen_ivf_rollback_probe", gen_ivf_rollback_probe, EMBEDDING_IVF_BASE_ORACLE),
+    (
+        "gen_streaming_ivf_maintenance",
+        gen_streaming_ivf_maintenance,
+        EMBEDDING_IVF_ORACLE,
+    ),
 ]

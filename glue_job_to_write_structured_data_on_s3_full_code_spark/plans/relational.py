@@ -1017,16 +1017,26 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-# r13 registry swap: three rows retired from the driver gate (COVERAGE.md
-# "Retire-and-swap shortlist" items 3-5) — their semantics stay gate-covered
-# by surviving rows (SURVEY §2: P10/A4 via groupby_having_dups, F7 via
-# scalar_function_suite, F9/F10 via datetime_function_suite), the plan
+# r13+r14 registry swaps: rows retired from the driver gate (COVERAGE.md
+# "Retire-and-swap shortlist") — their semantics stay gate-covered by
+# surviving rows (SURVEY §2: P10/A4 via groupby_having_dups, F7 via
+# scalar_function_suite, F9 via datetime_function_suite's ist_ts column,
+# F10 via the flagship's dd/MM/yyyy render; W1's reference-exact form via
+# sequential_surrogate_key; ROLLUP's grouping-set semantics via the
+# surviving grouping_sets_subtotals and cube_subtotals rows), the plan
 # functions stay implemented above, and tests/test_retired_queries.py keeps
 # hash-verifying each against its oracle every session.
 RETIRED: list[tuple] = [
     ("distinct_option_lookup", distinct_option_lookup, DISTINCT_OPTION_ORACLE),
     ("timezone_shift_format", timezone_shift_format, TIMEZONE_SHIFT_ORACLE),
     ("string_function_suite", string_function_suite, STRING_SUITE_ORACLE),
+    # r14 retirees: scalable_surrogate_key shares _SURROGATE_ORACLE with the
+    # surviving sequential_surrogate_key (its zipWithIndex-free scale
+    # property stays pinned by tests/test_plan_quality.py); rollup_subtotals
+    # is the hierarchical special case of the grouping-set family whose
+    # general and cube rows both keep gate slots.
+    ("scalable_surrogate_key", scalable_surrogate_key, _SURROGATE_ORACLE),
+    ("rollup_subtotals", rollup_subtotals, ROLLUP_ORACLE),
 ]
 
 REGISTRY: list[tuple] = [
@@ -1036,14 +1046,12 @@ REGISTRY: list[tuple] = [
     ("groupby_having_dups", groupby_having_dups, GROUPBY_HAVING_ORACLE),
     ("window_top1_per_group", window_top1_per_group, WINDOW_TOP1_ORACLE),
     ("sequential_surrogate_key", sequential_surrogate_key, _SURROGATE_ORACLE),
-    ("scalable_surrogate_key", scalable_surrogate_key, _SURROGATE_ORACLE),
     ("disjunctive_theta_join", disjunctive_theta_join, DISJUNCTIVE_JOIN_ORACLE),
     ("anti_join_incremental", anti_join_incremental, ANTI_JOIN_ORACLE),
     ("self_join_dup_suffix", self_join_dup_suffix, SELF_JOIN_DUP_ORACLE),
     ("union_except_reconcile", union_except_reconcile, UNION_EXCEPT_ORACLE),
     ("scalar_function_suite", scalar_function_suite, SCALAR_SUITE_ORACLE),
     ("case_when_remap", case_when_remap, CASE_WHEN_ORACLE),
-    ("rollup_subtotals", rollup_subtotals, ROLLUP_ORACLE),
     ("lag_lead_running", lag_lead_running, LAG_LEAD_ORACLE),
     ("semi_join_exists", semi_join_exists, SEMI_JOIN_ORACLE),
     ("full_outer_align", full_outer_align, FULL_OUTER_ORACLE),

@@ -1,12 +1,11 @@
-"""Pre-validated oracles for the r14 registry swap candidates.
+"""Gate-shaped parity for the two queries REGISTERED in the r14 swap.
 
-Same rhythm as round 12's staging of the r13 swap
-(tests/test_r13_swap_candidates.py): the registry is rotation-saturated
-at 200 rows, so new capabilities carry driver-gate-shaped parity checks
-HERE until a future swap frees slots — registration then is a
-REGISTRY-entry edit plus a retirement, zero new validation work. Each
-test mirrors the driver's t2 gate exactly (``assert_parity`` = row count
-+ sorted columns + canonical value multiset vs DuckDB).
+Staged here in round 13 while the registry was rotation-saturated (same
+rhythm as tests/test_r13_swap_candidates.py), then registered in round 14
+paired with two retirements (plans/relational.py RETIRED). The tests
+stay: each mirrors the driver's t2 gate exactly (``assert_parity`` = row
+count + sorted columns + canonical value multiset vs DuckDB), plus the
+crash-recovery and exactly-once-replay properties the gate can't see.
 
 The two candidates complete the generational index's OPERATIONAL story:
 rollback-then-serve (the "undo the bad append" lever informed by the

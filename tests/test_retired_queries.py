@@ -1,16 +1,22 @@
-"""Local parity for queries RETIRED from the driver gate in the r13 swap.
+"""Local parity for queries RETIRED from the driver gate (r13+r14 swaps).
 
 The registry is capped at 200 rows (rotation saturation), so registering
-the five r13 swap candidates required retiring five low-marginal-coverage
-rows (COVERAGE.md "Retire-and-swap shortlist"). Retirement removes the
-DRIVER gate slot, not the capability: the plan functions and oracles stay
-in their modules, and this sweep keeps each hash-verified against DuckDB
-every session — the same check the gate ran, minus the driver.
+new capabilities requires retiring low-marginal-coverage rows in the same
+round (COVERAGE.md "Retire-and-swap"): five in r13, two more in r14
+(scalable_surrogate_key, rollup_subtotals — freeing slots for the
+generational rollback-probe and streaming-maintenance rows). Retirement
+removes the DRIVER gate slot, not the capability: the plan functions and
+oracles stay in their modules, and this sweep keeps each hash-verified
+against DuckDB every session — the same check the gate ran, minus the
+driver.
 
 SURVEY §2 traceability for the retired semantics lives in surviving gate
-rows: P10/A4 → groupby_having_dups, F7 → scalar_function_suite, F9/F10 →
-datetime_function_suite, and the JSONL/ORC codec paths → the surviving
-csv_roundtrip_rollup row plus tests/test_formats.py's sink/source matrix.
+rows: P10/A4 → groupby_having_dups, F7 → scalar_function_suite, F9 →
+datetime_function_suite's ist_ts column, F10 → the flagship's dd/MM/yyyy
+render, W1 → sequential_surrogate_key (the reference-exact form), the
+grouping-set family → grouping_sets_subtotals + cube_subtotals, and the
+JSONL/ORC codec paths → the surviving csv_roundtrip_rollup row plus
+tests/test_formats.py's sink/source matrix.
 """
 
 from __future__ import annotations
@@ -35,7 +41,7 @@ def test_retired_lists_are_disjoint_from_registry():
 
     overlap = {name for name, _, _ in _RETIRED} & set(QUERIES)
     assert not overlap, f"retired queries still registered: {sorted(overlap)}"
-    assert len(_RETIRED) == 5
+    assert len(_RETIRED) == 7
 
 
 @pytest.mark.parametrize(

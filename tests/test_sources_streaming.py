@@ -456,6 +456,44 @@ def test_decode_media_ieee_float_wav():
         decode_media(good[:-8])
 
 
+def test_decode_media_duplicate_fmt_chunk_is_corrupt():
+    """A RIFF with TWO fmt chunks must raise corrupt, not decode: the
+    r13 advisor scenario was first-fmt float (classification) + last-fmt
+    16-bit PCM (decode) silently reinterpreting PCM bytes as floats.
+    Classification reads the first fmt, so the decode walk refuses the
+    duplicate outright — the same header is never ambiguous."""
+    import struct
+
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    pcm_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = b"\x00" * 16
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(float_fmt)) + float_fmt
+        + b"fmt " + struct.pack("<I", len(pcm_fmt)) + pcm_fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    crafted = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="duplicate fmt chunk"):
+        decode_media(crafted)
+    # duplicate data chunks are the same class of corruption
+    body2 = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(float_fmt)) + float_fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    crafted2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    with pytest.raises(ValueError, match="duplicate data chunk"):
+        decode_media(crafted2)
+
+
 def _extensible_fmt(sub_tag: int, n_channels: int, rate: int, bits: int) -> bytes:
     """A WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt body wrapping the classic
     format tag ``sub_tag`` in its KSDATAFORMAT SubFormat GUID."""
