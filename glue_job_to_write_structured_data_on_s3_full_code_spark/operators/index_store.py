@@ -2197,3 +2197,85 @@ def gen_index_compact(
         f"compaction of '{index_name}' lost {max_retries} commit races; "
         "schedule it apart from heavy append traffic and retry"
     )
+
+
+def gen_index_catalog(
+    spark: SparkSession,
+    index_names: list[str] | None = None,
+    root_by_name: dict[str, str] | None = None,
+    store=None,
+) -> DataFrame:
+    """Fleet dashboard: ONE DataFrame row per generational index — the
+    first view an operator of MANY indexes asks for ("what indexes
+    exist, what is each serving, how much history does each retain").
+
+    Row shape: ``index_name``, the HEAD commit's ``head_seq / head_gen /
+    kind / rows / id_xor / n_cells / n_files / last_token`` (NULLs for a
+    root that exists but has never committed — e.g. a build crashed
+    before its first pointer), and the retention span ``n_retained`` +
+    ``oldest_retained_seq`` (the GC horizon: the oldest sequence
+    time-travel/rollback can still reach).
+
+    Cost: one pointer listing + ONE manifest read per index — zero
+    parquet I/O, zero LIST over data files — so it composes
+    :func:`gen_index_history` heads without paying per-commit manifest
+    reads. Safe to poll from a dashboard against any number of 100 TB
+    indexes: driver work is O(indexes), not O(rows) or O(commits).
+
+    Discovery: with no arguments, lists this application's staging dir
+    for ``*_gens`` index roots (the :func:`_store_root` convention —
+    POSIX by construction). ``index_names`` resolves each name through
+    the default convention; ``root_by_name`` addresses indexes at
+    explicit/shared roots (the multi-application deployment), combinable
+    with an injected pointer ``store`` like every other entry point.
+    """
+    if root_by_name is None:
+        if index_names is None:
+            app_dir = os.path.dirname(_store_root(spark, "_probe"))
+            try:
+                children = sorted(os.listdir(app_dir))
+            except FileNotFoundError:
+                children = []
+            index_names = [
+                c[: -len("_gens")]
+                for c in children
+                if c.endswith("_gens")
+                and os.path.isdir(os.path.join(app_dir, c))
+            ]
+        root_by_name = {
+            name: _resolve_root(spark, name, None, store)
+            for name in index_names
+        }
+    rows = []
+    for name in sorted(root_by_name):
+        root = root_by_name[name]
+        ptr = _store_for(root, store)
+        entries = ptr.pointers()
+        if not entries:
+            rows.append(
+                (name, None, None, None, None, None, None, None, None, 0, None)
+            )
+            continue
+        head_seq, payload = entries[-1]
+        m = _read_manifest(_HadoopFS(spark, root), root, payload["gen"])
+        rows.append(
+            (
+                name,
+                head_seq,
+                payload["gen"],
+                m.get("kind"),
+                int(m["fingerprint"]["rows"]),
+                int(m["fingerprint"]["id_xor"]),
+                len(m["cells"]),
+                sum(len(fl) for fl in m["cells"].values()),
+                payload.get("last_token"),
+                len(entries),
+                entries[0][0],
+            )
+        )
+    schema = (
+        "index_name string, head_seq long, head_gen string, kind string, "
+        "rows long, id_xor long, n_cells int, n_files int, "
+        "last_token string, n_retained int, oldest_retained_seq long"
+    )
+    return spark.createDataFrame(rows, schema)

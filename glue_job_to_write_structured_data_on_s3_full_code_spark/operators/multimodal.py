@@ -7,10 +7,13 @@ deterministic feature extraction. :func:`decode_media` REALLY decodes
 WAV audio — integer PCM (stdlib ``wave`` — 8/16/24/32-bit, any channel
 count), IEEE float (format tag 3: float32/float64), and
 WAVE_FORMAT_EXTENSIBLE wrapping either, via a direct chunk walk; see
-``audio_frame_energy(decode=True)``. Compressed codecs
-(PNG/JPEG/MP4/Ogg/FLAC/MP3) refuse loudly naming the library a real
-deployment plugs in — the sandbox has none of them, and every
-downstream stage keeps working either way.
+``audio_frame_energy(decode=True)``. It also REALLY decodes baseline
+PNG images (zlib inflate + the five scanline filters, pure stdlib —
+:func:`_decode_png`). Compressed codecs (JPEG/MP4/Ogg/FLAC/MP3, plus
+the PNG variants that need a real decoder: interlaced/16-bit/palette)
+refuse loudly naming the library a real deployment plugs in — the
+sandbox has none of them, and every downstream stage keeps working
+either way.
 
 Scale notes: payloads never pass through Python row-at-a-time — Arrow
 moves whole batches; ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -35,9 +38,10 @@ MEDIA_FEATURE_SCHEMA = (
 
 
 #: container magic → human name, for the refusal message when the codec
-#: library is genuinely absent in this environment
+#: library is genuinely absent in this environment. PNG is NOT here:
+#: its baseline forms decode natively (zlib inflate + the five scanline
+#: filters — see :func:`_decode_png`).
 _KNOWN_MAGICS = (
-    (b"\x89PNG\r\n\x1a\n", "PNG image (needs PIL/pillow)"),
     (b"\xff\xd8\xff", "JPEG image (needs PIL/pillow)"),
     (b"GIF8", "GIF image (needs PIL/pillow)"),
     (b"OggS", "Ogg audio (needs soundfile/libsndfile)"),
@@ -186,6 +190,151 @@ def _wav_tags(buf: bytes) -> tuple[int | None, int | None]:
     return None, None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → sample channel count (type 3 = palette, refused)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(buf: bytes):
+    """Yield ``(type, body)`` for each PNG chunk, CRC-verified — a
+    declared length overrunning the buffer, a truncated CRC field, or a
+    CRC mismatch is corruption (the checksum is part of the format; a
+    flipped bit must not decode to silently-wrong pixels)."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_MAGIC)
+    while pos + 8 <= len(buf):
+        length = struct.unpack(">I", buf[pos : pos + 4])[0]
+        ctype = buf[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(buf):
+            raise ValueError(
+                f"corrupt PNG: chunk {ctype!r} claims {length} bytes but "
+                f"the buffer ends first"
+            )
+        body = buf[pos + 8 : end]
+        crc = struct.unpack(">I", buf[end : end + 4])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"corrupt PNG: CRC mismatch on chunk {ctype!r}")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        pos = end + 4
+    raise ValueError("corrupt PNG: no IEND chunk (truncated stream)")
+
+
+def _decode_png(buf: bytes) -> dict:
+    """Decode a baseline PNG with pure stdlib: ``zlib`` inflate + the
+    five scanline filters (None/Sub/Up/Average/Paeth, unfiltered per the
+    PNG spec §9) — no codec library needed. Covers non-interlaced 8-bit
+    greyscale / grey+alpha / RGB / RGBA (color types 0/4/2/6). The
+    genuinely-additional variants stay NAMED refusals like the WAV codec
+    gaps: Adam7 interlace, 16-bit and sub-byte depths, and palette
+    (indexed) PNGs raise :class:`NotImplementedError` naming PIL/pillow.
+
+    Returns ``{"kind": "image", "width", "height", "n_channels",
+    "bit_depth", "color_type", "pixels": np.ndarray (h, w, c) uint8}``.
+
+    The unfilter is vectorized for None/Up (whole-row numpy) and scalar
+    for Sub/Average/Paeth (byte recurrences along the row — correctness
+    over cleverness; a production deployment plugs pillow's C decoder
+    into the same ``decode_media`` seam and nothing downstream changes).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    chunks = _png_chunks(buf)
+    ctype, ihdr = next(chunks, (None, None))
+    if ctype != b"IHDR" or len(ihdr) != 13:
+        raise ValueError("corrupt PNG: first chunk is not a 13-byte IHDR")
+    w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError(
+            f"corrupt PNG: undefined compression/filter/interlace method "
+            f"({comp}/{filt}/{interlace})"
+        )
+    if w == 0 or h == 0:
+        raise ValueError("corrupt PNG: zero-sized image")
+    if interlace == 1:
+        raise NotImplementedError(
+            "payload is an Adam7-interlaced PNG (needs PIL/pillow) — "
+            "non-interlaced baseline PNG decodes natively"
+        )
+    if color_type == 3:
+        raise NotImplementedError(
+            "payload is a palette (indexed) PNG (needs PIL/pillow) — "
+            "greyscale/RGB/RGBA PNG decodes natively"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"corrupt PNG: undefined color type {color_type}")
+    if bit_depth != 8:
+        raise NotImplementedError(
+            f"payload is a {bit_depth}-bit PNG (needs PIL/pillow) — "
+            f"8-bit-per-sample PNG decodes natively"
+        )
+    idat = b"".join(body for t, body in chunks if t == b"IDAT")
+    if not idat:
+        raise ValueError("corrupt PNG: no IDAT chunk")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: IDAT inflate failed ({exc})") from exc
+    channels = _PNG_CHANNELS[color_type]
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"corrupt PNG: decompressed to {len(raw)} bytes, expected "
+            f"{h * (1 + stride)} ({h} rows × (1 + {stride}))"
+        )
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        cur = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up (uint8 addition wraps mod 256, per spec)
+            cur += prev
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: undefined filter type {f} on row {y}")
+        out[y] = cur
+        prev = cur
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "n_channels": channels,
+        "bit_depth": 8,
+        "color_type": color_type,
+        "pixels": out.reshape(h, w, channels),
+    }
+
+
 def decode_media(payload: bytes) -> dict:
     """Decode a binary media payload into samples + typed metadata.
 
@@ -207,16 +356,28 @@ def decode_media(payload: bytes) -> dict:
     energy/feature math is bit-reproducible across engines. Float
     samples come back as float64 (nominally in [-1, 1]).
 
+    REAL for PNG: baseline (non-interlaced, 8-bit greyscale / grey+alpha
+    / RGB / RGBA) images decode natively via :func:`_decode_png` (zlib
+    inflate + the five scanline filters — pure stdlib), returning::
+
+        {"kind": "image", "width": int, "height": int, "n_channels": int,
+         "bit_depth": 8, "color_type": int,
+         "pixels": np.ndarray[shape (height, width, n_channels), uint8]}
+
     Still a stub for compressed codecs: payloads whose magic identifies
-    PNG/JPEG/MP4/Ogg/FLAC/MP3 raise :class:`NotImplementedError` naming
-    the library a real deployment would plug in — the sandbox has none
-    of them. Unrecognized payloads raise ``ValueError`` (corrupt or
-    unknown container), distinct from "codec unavailable".
+    JPEG/MP4/Ogg/FLAC/MP3 — and the PNG variants that genuinely need a
+    codec library (Adam7 interlace, 16-bit/sub-byte depths, palette) —
+    raise :class:`NotImplementedError` naming the library a real
+    deployment would plug in — the sandbox has none of them.
+    Unrecognized payloads raise ``ValueError`` (corrupt or unknown
+    container), distinct from "codec unavailable".
     """
     import io
     import wave
 
     buf = bytes(payload) if payload is not None else b""
+    if buf.startswith(_PNG_MAGIC):
+        return _decode_png(buf)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         raw_tag, eff_tag = _wav_tags(buf)
         if raw_tag == 3 or (raw_tag == 0xFFFE and eff_tag in (1, 3)):
@@ -582,3 +743,126 @@ def audio_frame_energy(
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_energy, schema=AUDIO_ENERGY_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, "
+    "px_sum long, px_min int, px_max int"
+)
+
+
+def encode_png_grey(data: bytes, width: int, height: int) -> bytes:
+    """Encode ``data`` as a baseline 8-bit GREYSCALE PNG whose pixel
+    bytes are ``data`` truncated/zero-padded to ``width*height``, row
+    ``y`` filtered with type ``y % 5`` — deliberately cycling all five
+    scanline filters so a corpus encoded this way drives every
+    :func:`_decode_png` unfilter path at scale. Pure stdlib (zlib +
+    struct), the ENCODE inverse of the decoder; round-trip identity is
+    pinned by tests and by the image-stats oracle (the pixel bytes ARE
+    the payload bytes, so DuckDB can replay the whole pipeline without
+    any image library)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    n = width * height
+    px = np.frombuffer(bytes(data)[:n].ljust(n, b"\0"), dtype=np.uint8)
+    rows = px.reshape(height, width).astype(np.int32)
+    lines = []
+    prev = np.zeros(width, dtype=np.int32)
+    for y in range(height):
+        f = y % 5
+        cur = rows[y]
+        left = np.concatenate([np.zeros(1, np.int32), cur[:-1]])
+        upleft = np.concatenate([np.zeros(1, np.int32), prev[:-1]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image-modality plumbing, end to end and hash-verifiable: each
+    payload's bytes become a REAL baseline greyscale PNG
+    (:func:`encode_png_grey` — every scanline filter exercised), the PNG
+    is decoded back through :func:`decode_media`/:func:`_decode_png`,
+    and the DECODED pixel grid reports integer stats (sum/min/max —
+    exact in int64, so the Pandas-UDF fan-out hash-matches a DuckDB
+    oracle that computes the same stats straight from the payload
+    bytes). The encode→decode identity is therefore verified on every
+    row of the corpus, not just in unit tests.
+
+    Scale shape: mapInPandas over Arrow batches, one PNG per row, no
+    driver involvement; at 100 TB the encode side disappears (payloads
+    arrive as stored images) and the same operator body runs with the
+    decoder alone — swap :func:`decode_media`'s PNG path for pillow's C
+    decoder and nothing else changes.
+    """
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                png = encode_png_grey(
+                    payload if payload is not None else b"", width, height
+                )
+                img = decode_media(png)
+                arr = img["pixels"].ravel().astype(np.int64)
+                out.append(
+                    (
+                        doc_id,
+                        img["width"],
+                        img["height"],
+                        img["n_channels"],
+                        int(arr.sum()),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)

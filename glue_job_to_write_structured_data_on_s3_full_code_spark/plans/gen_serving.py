@@ -225,6 +225,97 @@ def gen_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def gen_index_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLEET view: one row per generational index with its head
+    commit and retention span, from
+    :func:`~..operators.index_store.gen_index_catalog` (manifest-only —
+    one pointer listing + ONE manifest read per index, zero parquet
+    I/O). Reported over two indexes held in known lifecycle states
+    (build-only, and build→append→rollback), so every column the oracle
+    checks is a real invariant of the commit protocol: head sequence,
+    served kind, corpus row accounting, retained-pointer count, and the
+    GC horizon. r15 swap candidate (registry is rotation-saturated);
+    parity pinned by tests/test_r15_swap_candidates.py.
+
+    Crash-safe by ledger inspection like :func:`gen_ivf_rollback_probe`:
+    the rolled-back index converges from any crash state (build only →
+    append + rollback; head off the build snapshot → rollback), and the
+    build-only index is a single commit (no partial state possible).
+    """
+    from ..operators.index_store import (
+        gen_index_catalog,
+        gen_index_history,
+        gen_index_rollback,
+    )
+
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    tag = _sf_tag(sf_dir)
+    idx_a, idx_c = f"gen_cat_build_{tag}", f"gen_cat_rb_{tag}"
+    if not gen_index_built(spark, idx_a):
+        gen_index_build(base, index_name=idx_a)
+    if not gen_index_built(spark, idx_c):
+        gen_index_build(base, index_name=idx_c)
+    ledger = gen_index_history(spark, index_name=idx_c).collect()
+    builds = [r for r in ledger if r.kind == "build"]
+    if not builds:
+        raise ValueError(
+            f"generational index '{idx_c}' retains no build commit — "
+            "cannot identify the rollback base (GC swept it?)"
+        )
+    base_seq, base_gen = builds[0].seq, builds[0].gen
+    if len(ledger) == 1:  # fresh build (or a crash before the append)
+        gen_index_append(
+            emb.where(F.col("vec_id") % 50 == 17),
+            index_name=idx_c,
+            idempotency_token="cat_bench:b0",
+        )
+        gen_index_rollback(spark, base_seq, index_name=idx_c)
+    elif ledger[-1].gen != base_gen:  # crash between append and rollback
+        gen_index_rollback(spark, base_seq, index_name=idx_c)
+    cat = gen_index_catalog(spark, index_names=[idx_a, idx_c])
+    # sf-tagged physical names → stable report labels so the oracle is
+    # corpus-only; gen uuids / file counts / tokens are runtime-specific
+    # and stay out of the hash (they are pinned by the pytest surface)
+    return cat.select(
+        F.when(F.col("index_name") == idx_a, "build_only")
+        .otherwise("rolled_back")
+        .alias("index_state"),
+        "head_seq",
+        "kind",
+        F.col("rows").alias("corpus_rows"),
+        "n_retained",
+        "oldest_retained_seq",
+    ).orderBy("index_state")
+
+
+# both catalog rows are pure protocol invariants over the base corpus:
+# the build-only index serves commit 1; the rolled-back index serves the
+# BASE snapshot (kind build, base rows) at head sequence 3 with all three
+# pointers retained back to sequence 1
+GEN_CATALOG_ORACLE = """
+WITH n AS (
+    SELECT count(*) AS base_n FROM embeddings WHERE vec_id % 50 != 17
+)
+SELECT 'build_only' AS index_state,
+       CAST(1 AS BIGINT) AS head_seq,
+       'build' AS kind,
+       CAST(base_n AS BIGINT) AS corpus_rows,
+       CAST(1 AS INT) AS n_retained,
+       CAST(1 AS BIGINT) AS oldest_retained_seq
+FROM n
+UNION ALL
+SELECT 'rolled_back',
+       CAST(3 AS BIGINT),
+       'build',
+       CAST(base_n AS BIGINT),
+       CAST(3 AS INT),
+       CAST(1 AS BIGINT)
+FROM n
+"""
+
+
 # `gen_ivf_append` is the name bench.py has recorded for the two-fileset
 # probe since round 11 — the registry row keeps it so BENCH_r* history
 # lines up with the gate row. gen_ivf_rollback_probe and

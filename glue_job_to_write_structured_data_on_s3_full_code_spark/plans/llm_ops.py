@@ -1438,6 +1438,61 @@ FROM f
 """
 
 
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality plumbing, end to end through a REAL codec: each
+    document's bytes become a baseline greyscale PNG
+    (operators/multimodal.encode_png_grey — row filter cycles all five
+    PNG scanline filters), the PNG is decoded back through the native
+    stdlib decoder (_decode_png: zlib inflate + unfilter), and the
+    DECODED pixel grid reports exact integer stats. Because the pixel
+    bytes are the payload bytes, the DuckDB oracle replays the whole
+    encode→decode pipeline from the text column — a hash gate over a
+    real image codec path, the same trick multimodal_audio_energy plays
+    with PCM. r15 swap candidate (registry is rotation-saturated);
+    parity pinned by tests/test_r15_swap_candidates.py."""
+    from ..operators.multimodal import image_pixel_stats
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    stats = image_pixel_stats(payloads, width=16, height=16)
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        F.round(F.col("px_sum") / F.lit(256.0), 9).alias("px_mean"),
+        "px_min",
+        "px_max",
+    )
+
+
+# fixture text is pure ASCII (same guarantee the other multimodal oracles
+# rely on), so ord(substr(...)) reads exactly the byte the engine encodes
+# into the PNG pixel grid; bytes past the text zero-pad to the 16×16 grid
+IMAGE_STATS_ORACLE = """
+WITH px AS (
+    SELECT doc_id,
+           [CASE WHEN i < octet_length(CAST(text AS BLOB))
+                 THEN ord(substr(text, CAST(i + 1 AS BIGINT), 1))
+                 ELSE 0 END FOR i IN range(256)] AS p
+    FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       round(list_sum(p) / 256.0, 9) AS px_mean,
+       CAST(list_min(p) AS INT) AS px_min,
+       CAST(list_max(p) AS INT) AS px_max
+FROM px
+"""
+
+
 REGISTRY = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("dedup_jaccard_pairs", dedup_jaccard_pairs, DEDUP_JACCARD_ORACLE),

@@ -2400,3 +2400,71 @@ def test_gen_lifecycle_all_on_one_emulated_s3(spark, sf_dir):
             else:
                 hconf.set(k, old)
         server.stop()
+
+
+def test_gen_index_catalog_fleet_view(spark, sf_dir):
+    """gen_index_catalog is the ONE-DataFrame fleet dashboard: a row per
+    index with its head commit (seq/gen/kind/rows/fingerprint/cells/
+    files/token) and retention span — manifest-only (one pointer listing
+    + one manifest read per index), over indexes in mixed states:
+    build-only, appended, rolled-back, and never-committed."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    batch = emb.where(F.col("vec_id") % 50 == 17)
+    base_n, full_n = base.count(), emb.count()
+
+    gs.gen_index_build(base, index_name="t_cat_a")
+    gs.gen_index_build(base, index_name="t_cat_b")
+    gs.gen_index_append(batch, index_name="t_cat_b", idempotency_token="cat:b0")
+    gs.gen_index_build(base, index_name="t_cat_c")
+    gs.gen_index_append(batch, index_name="t_cat_c", idempotency_token="cat:c0")
+    gs.gen_index_rollback(spark, 1, index_name="t_cat_c")
+    # the never-committed root is created EXPLICITLY (not via the default
+    # LocalPointerStore's mkdir side effect): the module's pointer_backend
+    # fixture window may have the _store_for seam pointed at an in-memory
+    # store for tests running nearby, and filesystem discovery must still
+    # see the root either way
+    os.makedirs(gs._store_root(spark, "t_cat_d"), exist_ok=True)
+
+    names = ["t_cat_a", "t_cat_b", "t_cat_c", "t_cat_d"]
+    cat = gs.gen_index_catalog(spark, index_names=names)
+    rows = cat.collect()
+    assert [r.index_name for r in rows] == names  # sorted, one row each
+    by = {r.index_name: r for r in rows}
+
+    a = by["t_cat_a"]  # fresh build
+    assert (a.head_seq, a.kind, a.rows) == (1, "build", base_n)
+    assert (a.n_retained, a.oldest_retained_seq) == (1, 1)
+    assert a.n_files >= a.n_cells > 0 and a.last_token is None
+
+    b = by["t_cat_b"]  # build + append: head is the accreted commit
+    assert (b.head_seq, b.kind, b.rows) == (2, "append", full_n)
+    assert b.last_token == "cat:b0"
+    assert (b.n_retained, b.oldest_retained_seq) == (2, 1)
+
+    c = by["t_cat_c"]  # rolled back: head SERVES the build snapshot
+    assert (c.head_seq, c.kind, c.rows) == (3, "build", base_n)
+    assert c.last_token is None  # the high-water token reverted with it
+    assert (c.n_retained, c.oldest_retained_seq) == (3, 1)
+    assert (c.rows, c.id_xor) == (a.rows, a.id_xor)  # same corpus as the base
+
+    d = by["t_cat_d"]  # root exists (ptr dir auto-created), never committed
+    assert d.head_seq is None and d.kind is None and d.rows is None
+    assert d.n_retained == 0 and d.oldest_retained_seq is None
+
+    # zero-argument discovery walks the app staging dir's *_gens roots:
+    # it must find at least these four (other tests' indexes may coexist)
+    discovered = {
+        r.index_name for r in gs.gen_index_catalog(spark).collect()
+    }
+    assert set(names) <= discovered
+
+    # after GC on the rolled-back index the retention span shrinks and
+    # the catalog reports the surviving horizon
+    gs.gen_index_gc(
+        spark, root=gs._store_root(spark, "t_cat_c"), keep_pointers=1,
+        min_age_s=0.0,
+    )
+    c2 = gs.gen_index_catalog(spark, index_names=["t_cat_c"]).collect()[0]
+    assert (c2.head_seq, c2.n_retained, c2.oldest_retained_seq) == (3, 1, 3)
+    assert (c2.rows, c2.kind) == (base_n, "build")

@@ -359,7 +359,10 @@ def test_decode_media_refusal_taxonomy():
         decode_media,
     )
 
-    with pytest.raises(NotImplementedError, match="PNG.*pillow"):
+    # PNG decodes natively since r14 — garbage after the PNG magic is
+    # now CORRUPT (the refusals that remain are the named variants:
+    # interlaced/16-bit/palette, tested in test_decode_media_png_*)
+    with pytest.raises(ValueError, match="corrupt PNG"):
         decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
@@ -492,6 +495,176 @@ def test_decode_media_duplicate_fmt_chunk_is_corrupt():
     crafted2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
     with pytest.raises(ValueError, match="duplicate data chunk"):
         decode_media(crafted2)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(pixels, color_type: int, filters, bit_depth: int = 8,
+              interlace: int = 0) -> bytes:
+    """Assemble a PNG byte-by-byte with a CHOSEN filter type per row —
+    the inverse of the decoder's unfilter, so round-trips exercise each
+    of the five spec filters explicitly (no encoder library involved)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    stride = w * c
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_png_roundtrip_all_filters():
+    """decode_media REALLY decodes baseline PNG (pure stdlib: zlib +
+    the five scanline filters). Round-trip over every filter type and
+    every natively-supported color type, exact pixel equality."""
+    import numpy as np
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(14)
+    for color_type, c in ((0, 1), (4, 2), (2, 3), (6, 4)):
+        h, w = 11, 7  # ≥5 rows so the cycling filter list covers all five
+        pixels = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            out = decode_media(_make_png(pixels, color_type, filters))
+            assert out["kind"] == "image"
+            assert (out["width"], out["height"]) == (w, h)
+            assert out["n_channels"] == c and out["color_type"] == color_type
+            assert out["pixels"].dtype == np.uint8
+            assert np.array_equal(out["pixels"], pixels), (
+                f"pixel mismatch color_type={color_type} filters={filters}"
+            )
+    # flat-color image (the >>1 average and Paeth ties take their
+    # tie-break branches), plus a 1×1 edge
+    flat = np.full((5, 5, 3), 200, dtype=np.uint8)
+    assert np.array_equal(
+        decode_media(_make_png(flat, 2, [3, 4]))["pixels"], flat
+    )
+    one = np.array([[[7]]], dtype=np.uint8)
+    assert np.array_equal(decode_media(_make_png(one, 0, [1]))["pixels"], one)
+
+
+def test_decode_media_png_refusal_variants():
+    """The PNG variants that genuinely need a codec library stay NAMED
+    refusals: Adam7 interlace, non-8-bit depths, palette color."""
+    import numpy as np
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="interlaced PNG.*pillow"):
+        decode_media(_make_png(px, 2, [0], interlace=1))
+    with pytest.raises(NotImplementedError, match="16-bit PNG.*pillow"):
+        decode_media(_make_png(px, 2, [0], bit_depth=16))
+    with pytest.raises(NotImplementedError, match="4-bit PNG.*pillow"):
+        decode_media(_make_png(np.zeros((2, 2, 1), np.uint8), 0, [0], bit_depth=4))
+    with pytest.raises(NotImplementedError, match="palette.*pillow"):
+        decode_media(_make_png(np.zeros((2, 2, 1), np.uint8), 3, [0]))
+
+
+def test_decode_media_png_corruption_classes():
+    """Corruption stays ValueError, never a refusal and never silently
+    wrong pixels: CRC flips, truncation, undefined filter bytes, bad
+    inflate streams, and size mismatches."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    good = _make_png(px, 2, [0, 1])
+    # flip one byte inside the IDAT body: CRC mismatch
+    idat_at = good.index(b"IDAT") + 4
+    bad = bytearray(good)
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt PNG: CRC mismatch"):
+        decode_media(bytes(bad))
+    # truncation mid-chunk
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        decode_media(good[:-6])
+    # undefined filter byte (5) on the first row, CRC recomputed so the
+    # failure is the filter check, not the checksum
+    stride = 3 * 3
+    raw = bytes([5]) + bytes(stride) + bytes([0]) + bytes(stride)
+    crafted = (
+        good[: good.index(b"IHDR") + 4 + 13 + 4]
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="undefined filter type 5"):
+        decode_media(crafted)
+    # IDAT that is not a zlib stream
+    crafted = (
+        good[: good.index(b"IHDR") + 4 + 13 + 4]
+        + _png_chunk(b"IDAT", b"not-zlib")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate failed"):
+        decode_media(crafted)
+    # valid zlib, wrong decompressed size (one row short)
+    crafted = (
+        good[: good.index(b"IHDR") + 4 + 13 + 4]
+        + _png_chunk(b"IDAT", zlib.compress(bytes(1 + stride)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decompressed to"):
+        decode_media(crafted)
+    # missing IEND (truncated stream)
+    no_end = good[: good.rindex(b"IEND") - 4]
+    with pytest.raises(ValueError, match="no IEND"):
+        decode_media(no_end)
 
 
 def _extensible_fmt(sub_tag: int, n_channels: int, rate: int, bits: int) -> bytes:
