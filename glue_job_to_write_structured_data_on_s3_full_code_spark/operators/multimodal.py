@@ -237,10 +237,12 @@ def _decode_png(buf: bytes) -> dict:
     Returns ``{"kind": "image", "width", "height", "n_channels",
     "bit_depth", "color_type", "pixels": np.ndarray (h, w, c) uint8}``.
 
-    The unfilter is vectorized for None/Up (whole-row numpy) and scalar
-    for Sub/Average/Paeth (byte recurrences along the row — correctness
-    over cleverness; a production deployment plugs pillow's C decoder
-    into the same ``decode_media`` seam and nothing downstream changes).
+    The unfilter is vectorized for None/Up (whole-row numpy) and Sub
+    (per-channel prefix sum — mod 256 distributes over cumsum), scalar
+    for Average/Paeth (their predictors mix the left neighbor with the
+    row above, a genuine byte recurrence — correctness over cleverness;
+    a production deployment plugs pillow's C decoder into the same
+    ``decode_media`` seam and nothing downstream changes).
     """
     import struct
     import zlib
@@ -304,9 +306,11 @@ def _decode_png(buf: bytes) -> dict:
             pass
         elif f == 2:  # Up (uint8 addition wraps mod 256, per spec)
             cur += prev
-        elif f == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 1:  # Sub: per-channel prefix sum (mod 256 distributes
+            # over the cumulative sum, so one vectorized cumsum replaces
+            # the byte recurrence)
+            cs = np.cumsum(cur.reshape(-1, bpp), axis=0, dtype=np.int64)
+            cur = (cs & 0xFF).astype(np.uint8).reshape(-1)
         elif f == 3:  # Average
             for i in range(stride):
                 left = int(cur[i - bpp]) if i >= bpp else 0
