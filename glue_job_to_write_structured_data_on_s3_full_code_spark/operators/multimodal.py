@@ -755,31 +755,38 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def encode_png_grey(data: bytes, width: int, height: int) -> bytes:
-    """Encode ``data`` as a baseline 8-bit GREYSCALE PNG whose pixel
-    bytes are ``data`` truncated/zero-padded to ``width*height``, row
-    ``y`` filtered with type ``y % 5`` — deliberately cycling all five
-    scanline filters so a corpus encoded this way drives every
-    :func:`_decode_png` unfilter path at scale. Pure stdlib (zlib +
-    struct), the ENCODE inverse of the decoder; round-trip identity is
-    pinned by tests and by the image-stats oracle (the pixel bytes ARE
-    the payload bytes, so DuckDB can replay the whole pipeline without
-    any image library)."""
+def encode_png(pixels) -> bytes:
+    """Encode a ``(height, width, channels)`` uint8 array as a baseline
+    8-bit PNG (greyscale / grey+alpha / RGB / RGBA from the channel
+    count), row ``y`` filtered with type ``y % 5`` — deliberately
+    cycling all five scanline filters so a corpus encoded this way
+    drives every :func:`_decode_png` unfilter path at scale. Pure
+    stdlib (zlib + struct), the ENCODE inverse of the decoder;
+    round-trip identity is pinned by deterministic and hypothesis
+    tests and (for the grey form) by the image-stats oracle."""
     import struct
     import zlib
 
     import numpy as np
 
-    n = width * height
-    px = np.frombuffer(bytes(data)[:n].ljust(n, b"\0"), dtype=np.uint8)
-    rows = px.reshape(height, width).astype(np.int32)
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim != 3 or pixels.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(
+            f"encode_png expects (height, width, channels∈1..4) uint8, "
+            f"got shape {pixels.shape}"
+        )
+    height, width, channels = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    rows = pixels.reshape(height, stride).astype(np.int32)
     lines = []
-    prev = np.zeros(width, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    zero = np.zeros(channels, np.int32)
     for y in range(height):
         f = y % 5
         cur = rows[y]
-        left = np.concatenate([np.zeros(1, np.int32), cur[:-1]])
-        upleft = np.concatenate([np.zeros(1, np.int32), prev[:-1]])
+        left = np.concatenate([zero, cur[:-channels]])
+        upleft = np.concatenate([zero, prev[:-channels]])
         if f == 0:
             enc = cur
         elif f == 1:
@@ -806,13 +813,25 @@ def encode_png_grey(data: bytes, width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(b"".join(lines)))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_grey(data: bytes, width: int, height: int) -> bytes:
+    """Byte-payload convenience over :func:`encode_png`: a GREYSCALE PNG
+    whose pixel bytes are ``data`` truncated/zero-padded to
+    ``width*height`` — the form whose DuckDB oracle can replay the
+    pixels straight from the payload bytes."""
+    import numpy as np
+
+    n = width * height
+    px = np.frombuffer(bytes(data)[:n].ljust(n, b"\0"), dtype=np.uint8)
+    return encode_png(px.reshape(height, width, 1))
 
 
 def image_pixel_stats(
@@ -870,3 +889,67 @@ def image_pixel_stats(
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, payload binary"
+)
+
+
+def image_resize(
+    df: DataFrame,
+    stride: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image resize over PNG payloads: decode
+    (:func:`decode_media`), nearest-neighbor downsample by an integer
+    ``stride`` (output pixel ``(r, c)`` = source pixel
+    ``(r*stride, c*stride)`` — output dims ``ceil(dim/stride)``, so a
+    1×1 image survives any stride), re-encode (:func:`encode_png`) and
+    emit the resized PNG payload with its new dimensions — the
+    thumbnail/downsample stage of an image-corpus pipeline, with the
+    whole decode→transform→encode loop inside the Arrow batch.
+
+    ``stride=1`` is a decode→re-encode identity pass (pixel-exact; the
+    bytes may differ — filter choice is the encoder's). Deterministic
+    nearest-neighbor keeps every output pixel a SOURCE pixel, so
+    round-trips are exact-integer-checkable without resampling-kernel
+    tolerance; a real deployment swaps in pillow's area/bilinear resize
+    through the same seam when fidelity beats determinism.
+
+    Scale shape: mapInPandas, one image per row, no shuffle — parallelism
+    comes from the input splits, and only the (much smaller) resized
+    payloads flow downstream.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_media(payload if payload is not None else b"")
+                if img.get("kind") != "image":
+                    raise ValueError(
+                        f"image_resize over a non-image payload "
+                        f"(decoded kind {img.get('kind')!r}) — filter or "
+                        f"quarantine mixed-modality corpora upstream"
+                    )
+                small = img["pixels"][::stride, ::stride]
+                out.append(
+                    (
+                        doc_id,
+                        small.shape[1],
+                        small.shape[0],
+                        small.shape[2],
+                        encode_png(small),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_channels", "payload"],
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_resize, schema=IMAGE_RESIZE_SCHEMA)

@@ -1616,3 +1616,70 @@ def test_salted_join_spreads_duplicate_rows(spark):
         ),
     )
     assert salted.select("_salt").distinct().count() > 1
+
+
+def test_encode_png_all_color_types_roundtrip():
+    """The general product encoder (encode_png) round-trips through the
+    native decoder for every supported channel count, and refuses
+    non-(h, w, c) input loudly."""
+    import numpy as np
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(15)
+    for c in (1, 2, 3, 4):
+        pixels = rng.integers(0, 256, size=(9, 6, c), dtype=np.uint8)
+        out = decode_media(encode_png(pixels))
+        assert (out["height"], out["width"], out["n_channels"]) == (9, 6, c)
+        assert np.array_equal(out["pixels"], pixels)
+    with pytest.raises(ValueError, match="expects \\(height, width"):
+        encode_png(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="expects \\(height, width"):
+        encode_png(np.zeros((4, 4, 5), dtype=np.uint8))
+
+
+def test_image_resize_nearest_neighbor(spark):
+    """image_resize is a REAL decode→downsample→re-encode pass through
+    mapInPandas: output pixels are exactly the stride-strided source
+    pixels (ceil-division dims, 1×1 survives any stride), the emitted
+    payload is a decodable PNG, and stride=1 is pixel-exact identity."""
+    import numpy as np
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+        image_resize,
+    )
+
+    rng = np.random.default_rng(16)
+    images = {
+        1: rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8),  # RGB
+        2: rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8),   # grey
+        3: rng.integers(0, 256, size=(1, 1, 4), dtype=np.uint8),   # 1×1 RGBA
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(px))) for i, px in images.items()],
+        "doc_id long, payload binary",
+    )
+    for stride in (1, 2, 3):
+        rows = {r.doc_id: r for r in image_resize(df, stride=stride).collect()}
+        for i, px in images.items():
+            want = px[::stride, ::stride]
+            r = rows[i]
+            assert (r.height, r.width, r.n_channels) == want.shape
+            got = decode_media(bytes(r.payload))
+            assert np.array_equal(got["pixels"], want), (i, stride)
+    # bad stride refuses before any job runs
+    with pytest.raises(ValueError, match="stride must be >= 1"):
+        image_resize(df, stride=0)
+    # a non-image payload (a WAV) fails loudly inside the batch
+    wav_df = spark.createDataFrame(
+        [(9, bytearray(_make_wav(16)[0]))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="non-image payload"):
+        image_resize(wav_df, stride=2).collect()
