@@ -594,6 +594,7 @@ def perceptual_hash(
     block: int = 4,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    decode: bool = False,
 ) -> DataFrame:
     """REAL (non-stub) numpy-only perceptual hash — mean-threshold aHash
     over the raw byte grid, no codec needed: the payload is tiled
@@ -613,9 +614,18 @@ def perceptual_hash(
     batch, the grid fill walks rows in Python (unavoidable for ragged
     binary payloads; NULL and empty payloads hash to 0), but block-sum,
     threshold, and the ``np.packbits`` bit-pack are whole-batch
-    vectorized numpy. A real image deployment swaps the byte grid for
-    :func:`decode_media` output; the batching, schema, and integer
-    thresholding carry over unchanged.
+    vectorized numpy.
+
+    ``decode=True`` is the real-image mode (the same two-mode pattern as
+    :func:`audio_frame_energy`): each payload is REALLY decoded via
+    :func:`decode_media` (PNG natively), channel-summed to an integer
+    luminance proxy, nearest-neighbor resampled to the ``grid×grid``
+    plane by pure index math (``(i·dim)//grid`` — every sample a SOURCE
+    pixel), then hashed by the identical integer threshold machinery. A
+    k×-upscaled copy of an image resamples onto the same source pixels,
+    so scale-duplicate images collide by construction (pinned by test).
+    Non-image payloads raise; empty/NULL payloads hash to 0 in both
+    modes.
     """
     import numpy as np
 
@@ -633,8 +643,23 @@ def perceptual_hash(
             n = len(pdf)
             img = np.zeros((n, grid * grid), dtype=np.int64)
             for row, payload in enumerate(pdf["payload"]):
-                if payload is None:
-                    continue  # NULL payload == empty: all-zero hash
+                if payload is None or len(payload) == 0:
+                    continue  # NULL/empty payload: all-zero hash
+                if decode:
+                    m = decode_media(bytes(payload))
+                    if m.get("kind") != "image":
+                        raise ValueError(
+                            f"perceptual_hash(decode=True) over a "
+                            f"non-image payload (decoded kind "
+                            f"{m.get('kind')!r}) — filter or quarantine "
+                            f"mixed-modality corpora upstream"
+                        )
+                    px = m["pixels"].astype(np.int64).sum(axis=2)
+                    h, w = px.shape
+                    ri = (np.arange(grid) * h) // grid
+                    ci = (np.arange(grid) * w) // grid
+                    img[row] = px[np.ix_(ri, ci)].reshape(-1)
+                    continue
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if len(b):
                     img[row] = np.resize(b, grid * grid)  # cyclic tile

@@ -1683,3 +1683,54 @@ def test_image_resize_nearest_neighbor(spark):
     )
     with pytest.raises(Exception, match="non-image payload"):
         image_resize(wav_df, stride=2).collect()
+
+
+def test_perceptual_hash_decode_mode_collides_scale_duplicates(spark):
+    """perceptual_hash(decode=True) hashes REAL decoded pixels
+    (nearest-neighbor resample by index math): a k×-upscaled copy of an
+    image lands on the same source pixels, so scale duplicates collide;
+    a structurally different image does not, a flat image hashes to 0
+    (no cell exceeds the mean), and the raw-byte mode would MISS the
+    scale duplicate (the PNG bytes differ) — exactly what the decoded
+    mode exists to fix."""
+    import numpy as np
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        encode_png,
+        image_resize,
+        perceptual_hash,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    up2 = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)  # 64×64 copy
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    flat = np.full((16, 16, 1), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(base))),
+            (2, bytearray(encode_png(up2))),
+            (3, bytearray(encode_png(other))),
+            (4, bytearray(encode_png(flat))),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(df, grid=32, block=4, decode=True).collect()
+    }
+    assert hashes[1] == hashes[2]  # scale duplicate collides
+    assert hashes[1] != hashes[3]  # different content separates
+    assert hashes[4] == 0  # flat image: no cell beats the mean
+    raw = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(df, grid=32, block=4).collect()
+    }
+    assert raw[1] != raw[2]  # byte mode misses the scale duplicate
+    # composes with image_resize: the downsampled thumbnail of the
+    # upscaled copy hashes identically too (it IS the base image)
+    resized = image_resize(
+        df.where("doc_id = 2"), stride=2
+    ).select("doc_id", "payload")
+    h = perceptual_hash(resized, grid=32, block=4, decode=True).collect()
+    assert h[0].phash == hashes[1]
