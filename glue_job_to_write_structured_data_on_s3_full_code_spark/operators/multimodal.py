@@ -9,8 +9,9 @@ count), IEEE float (format tag 3: float32/float64), and
 WAVE_FORMAT_EXTENSIBLE wrapping either, via a direct chunk walk; see
 ``audio_frame_energy(decode=True)``. It also REALLY decodes baseline
 PNG images (zlib inflate + the five scanline filters, pure stdlib —
-:func:`_decode_png`). Compressed codecs (JPEG/MP4/Ogg/FLAC/MP3, plus
-the PNG variants that need a real decoder: interlaced/16-bit/palette)
+:func:`_decode_png`; 8-bit palette decodes too, via PLTE lookup).
+Compressed codecs (JPEG/MP4/Ogg/FLAC/MP3, plus the PNG variants that
+need a real decoder: interlaced, 16-bit and sub-byte depths)
 refuse loudly naming the library a real deployment plugs in — the
 sandbox has none of them, and every downstream stage keeps working
 either way.
@@ -192,7 +193,8 @@ def _wav_tags(buf: bytes) -> tuple[int | None, int | None]:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-#: PNG color type → sample channel count (type 3 = palette, refused)
+#: PNG color type → sample channel count (type 3 = palette decodes via
+#: a 1-byte index stream + PLTE lookup, handled separately)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -229,13 +231,18 @@ def _decode_png(buf: bytes) -> dict:
     """Decode a baseline PNG with pure stdlib: ``zlib`` inflate + the
     five scanline filters (None/Sub/Up/Average/Paeth, unfiltered per the
     PNG spec §9) — no codec library needed. Covers non-interlaced 8-bit
-    greyscale / grey+alpha / RGB / RGBA (color types 0/4/2/6). The
-    genuinely-additional variants stay NAMED refusals like the WAV codec
-    gaps: Adam7 interlace, 16-bit and sub-byte depths, and palette
-    (indexed) PNGs raise :class:`NotImplementedError` naming PIL/pillow.
+    greyscale / grey+alpha / RGB / RGBA (color types 0/4/2/6) AND 8-bit
+    palette (color type 3: the filtered stream is a 1-byte index per
+    pixel, looked up in the PLTE chunk — RGB out, RGBA when a tRNS
+    chunk supplies per-entry alpha). The genuinely-additional variants
+    stay NAMED refusals like the WAV codec gaps: Adam7 interlace and
+    16-bit / sub-byte depths raise :class:`NotImplementedError` naming
+    PIL/pillow.
 
     Returns ``{"kind": "image", "width", "height", "n_channels",
-    "bit_depth", "color_type", "pixels": np.ndarray (h, w, c) uint8}``.
+    "bit_depth", "color_type", "pixels": np.ndarray (h, w, c) uint8}``
+    (palette images report the POST-lookup channel count: 3, or 4 with
+    tRNS).
 
     The unfilter is vectorized for None/Up (whole-row numpy) and Sub
     (per-channel prefix sum — mod 256 distributes over cumsum), scalar
@@ -268,31 +275,73 @@ def _decode_png(buf: bytes) -> dict:
             "payload is an Adam7-interlaced PNG (needs PIL/pillow) — "
             "non-interlaced baseline PNG decodes natively"
         )
-    if color_type == 3:
-        raise NotImplementedError(
-            "payload is a palette (indexed) PNG (needs PIL/pillow) — "
-            "greyscale/RGB/RGBA PNG decodes natively"
-        )
-    if color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS and color_type != 3:
         raise ValueError(f"corrupt PNG: undefined color type {color_type}")
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError(
+            "corrupt PNG: 16-bit palette is not a legal depth/type pair"
+        )
     if bit_depth != 8:
         raise NotImplementedError(
             f"payload is a {bit_depth}-bit PNG (needs PIL/pillow) — "
             f"8-bit-per-sample PNG decodes natively"
         )
-    idat = b"".join(body for t, body in chunks if t == b"IDAT")
+    palette = trns = None
+    idat_parts: list[bytes] = []
+    for t, body in chunks:
+        if t == b"IDAT":
+            idat_parts.append(body)
+        elif t == b"PLTE":
+            if palette is not None:
+                raise ValueError("corrupt PNG: more than one PLTE chunk")
+            if idat_parts:
+                raise ValueError("corrupt PNG: PLTE after the first IDAT")
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError(
+                    f"corrupt PNG: PLTE length {len(body)} is not a "
+                    f"multiple of 3 in 3..768"
+                )
+            palette = body
+        elif t == b"tRNS" and color_type == 3:
+            if idat_parts:
+                raise ValueError("corrupt PNG: tRNS after the first IDAT")
+            trns = body
+    idat = b"".join(idat_parts)
     if not idat:
         raise ValueError("corrupt PNG: no IDAT chunk")
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("corrupt PNG: palette image has no PLTE chunk")
+        if trns is not None and len(trns) > len(palette) // 3:
+            raise ValueError(
+                f"corrupt PNG: tRNS has {len(trns)} entries but the "
+                f"palette only {len(palette) // 3}"
+            )
+    # the FILTERED stream's sample width: palette pixels are 1-byte
+    # indexes (the PLTE lookup happens after unfiltering)
+    channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    stride = w * channels
+    expected = h * (1 + stride)
+    # inflate with a hard output cap: untrusted corpora contain
+    # decompression bombs (tiny IDAT, ~1000× ratio), and an uncapped
+    # zlib.decompress would materialize the whole bomb in executor
+    # memory before the size check ever ran. The declared geometry
+    # bounds the only legal output, so cap there and classify ONE extra
+    # byte as corrupt.
+    inflater = zlib.decompressobj()
     try:
-        raw = zlib.decompress(idat)
+        raw = inflater.decompress(idat, expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG: IDAT inflate failed ({exc})") from exc
-    channels = _PNG_CHANNELS[color_type]
-    stride = w * channels
-    if len(raw) != h * (1 + stride):
+    if len(raw) > expected:
+        raise ValueError(
+            f"corrupt PNG: IDAT inflates past the {expected} bytes the "
+            f"declared {w}x{h} geometry allows (decompression bomb?)"
+        )
+    if len(raw) != expected:
         raise ValueError(
             f"corrupt PNG: decompressed to {len(raw)} bytes, expected "
-            f"{h * (1 + stride)} ({h} rows × (1 + {stride}))"
+            f"{expected} ({h} rows × (1 + {stride}))"
         )
     bpp = channels  # bytes per pixel at depth 8
     out = np.empty((h, stride), dtype=np.uint8)
@@ -328,6 +377,29 @@ def _decode_png(buf: bytes) -> dict:
             raise ValueError(f"corrupt PNG: undefined filter type {f} on row {y}")
         out[y] = cur
         prev = cur
+    if color_type == 3:
+        # PLTE lookup: index grid -> RGB (RGBA with tRNS alpha). An index
+        # past the palette is corruption, not a silent black pixel.
+        pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                f"corrupt PNG: palette index {int(out.max())} out of "
+                f"range for a {pal.shape[0]}-entry PLTE"
+            )
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            pal = np.concatenate([pal, alpha[:, None]], axis=1)
+        px = pal[out.reshape(h, w)]
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "n_channels": px.shape[2],
+            "bit_depth": 8,
+            "color_type": 3,
+            "pixels": px,
+        }
     return {
         "kind": "image",
         "width": w,
@@ -361,8 +433,9 @@ def decode_media(payload: bytes) -> dict:
     samples come back as float64 (nominally in [-1, 1]).
 
     REAL for PNG: baseline (non-interlaced, 8-bit greyscale / grey+alpha
-    / RGB / RGBA) images decode natively via :func:`_decode_png` (zlib
-    inflate + the five scanline filters — pure stdlib), returning::
+    / RGB / RGBA, plus 8-bit palette via PLTE lookup with optional tRNS
+    alpha) images decode natively via :func:`_decode_png` (zlib inflate
+    + the five scanline filters — pure stdlib), returning::
 
         {"kind": "image", "width": int, "height": int, "n_channels": int,
          "bit_depth": 8, "color_type": int,
@@ -370,7 +443,7 @@ def decode_media(payload: bytes) -> dict:
 
     Still a stub for compressed codecs: payloads whose magic identifies
     JPEG/MP4/Ogg/FLAC/MP3 — and the PNG variants that genuinely need a
-    codec library (Adam7 interlace, 16-bit/sub-byte depths, palette) —
+    codec library (Adam7 interlace, 16-bit/sub-byte depths) —
     raise :class:`NotImplementedError` naming the library a real
     deployment would plug in — the sandbox has none of them.
     Unrecognized payloads raise ``ValueError`` (corrupt or unknown
@@ -857,6 +930,49 @@ def encode_png_grey(data: bytes, width: int, height: int) -> bytes:
     n = width * height
     px = np.frombuffer(bytes(data)[:n].ljust(n, b"\0"), dtype=np.uint8)
     return encode_png(px.reshape(height, width, 1))
+
+
+IMAGES_FROM_BYTES_SCHEMA = "doc_id long, payload binary"
+
+
+def images_from_bytes(
+    df: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize an IMAGE column from a byte column: each payload
+    becomes a real baseline greyscale PNG (:func:`encode_png_grey` —
+    pixel bytes are the payload bytes truncated/zero-padded to
+    ``width*height``, scanline filters cycling all five types). The
+    corpus-synthesis stage of the image pipelines: downstream operators
+    (:func:`image_resize`, :func:`perceptual_hash` decode mode,
+    :func:`image_pixel_stats`) then run against REAL codec output, and
+    because the pixels ARE the payload bytes a DuckDB oracle can replay
+    the whole pipeline from the source column. mapInPandas, map-only —
+    no shuffle; at 100 TB this stage disappears (payloads arrive as
+    stored images) and downstream operators are unchanged.
+    """
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png_grey(
+                            b"" if payload is None else bytes(payload),
+                            width,
+                            height,
+                        )
+                        for payload in pdf["payload"]
+                    ],
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_encode, schema=IMAGES_FROM_BYTES_SCHEMA)
 
 
 def image_pixel_stats(

@@ -510,10 +510,13 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 
 def _make_png(pixels, color_type: int, filters, bit_depth: int = 8,
-              interlace: int = 0) -> bytes:
+              interlace: int = 0, plte: bytes | None = None,
+              trns: bytes | None = None) -> bytes:
     """Assemble a PNG byte-by-byte with a CHOSEN filter type per row —
     the inverse of the decoder's unfilter, so round-trips exercise each
-    of the five spec filters explicitly (no encoder library involved)."""
+    of the five spec filters explicitly (no encoder library involved).
+    For palette images pass the index grid as (h, w, 1) ``pixels`` plus
+    the raw ``plte`` (RGB triples) and optional ``trns`` bytes."""
     import struct
     import zlib
 
@@ -547,9 +550,15 @@ def _make_png(pixels, color_type: int, filters, bit_depth: int = 8,
         lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
         prev = cur
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    ancillary = b""
+    if plte is not None:
+        ancillary += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        ancillary += _png_chunk(b"tRNS", trns)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + ancillary
         + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
         + _png_chunk(b"IEND", b"")
     )
@@ -588,9 +597,94 @@ def test_decode_media_png_roundtrip_all_filters():
     assert np.array_equal(decode_media(_make_png(one, 0, [1]))["pixels"], one)
 
 
+def test_decode_media_png_palette_roundtrip():
+    """8-bit palette (color type 3) decodes natively: the filtered
+    stream is a 1-byte index per pixel, unfiltered with bpp=1 across all
+    five filters, then looked up in PLTE — RGB out, RGBA when tRNS adds
+    per-entry alpha (entries past tRNS default opaque per spec)."""
+    import numpy as np
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(15)
+    n_pal = 17
+    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    h, w = 11, 7
+    idx = rng.integers(0, n_pal, size=(h, w, 1), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        out = decode_media(_make_png(idx, 3, filters, plte=pal.tobytes()))
+        assert (out["width"], out["height"], out["color_type"]) == (w, h, 3)
+        assert out["n_channels"] == 3
+        assert np.array_equal(out["pixels"], pal[idx[..., 0]]), (
+            f"palette pixel mismatch filters={filters}"
+        )
+    # tRNS: first 5 entries get explicit alpha, the rest default to 255
+    trns = bytes([0, 64, 128, 192, 255])
+    out = decode_media(
+        _make_png(idx, 3, [0, 1, 2, 3, 4], plte=pal.tobytes(), trns=trns)
+    )
+    assert out["n_channels"] == 4
+    alpha = np.full(n_pal, 255, np.uint8)
+    alpha[:5] = np.frombuffer(trns, np.uint8)
+    rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+    assert np.array_equal(out["pixels"], rgba[idx[..., 0]])
+
+
+def test_decode_media_png_palette_corruption_classes():
+    """Palette-specific corruption stays ValueError: missing/duplicate/
+    misplaced/ragged PLTE, out-of-range indexes, oversized tRNS, and the
+    illegal 16-bit palette combination."""
+    import numpy as np
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    idx = np.zeros((2, 2, 1), dtype=np.uint8)
+    pal = bytes(range(12))  # 4 entries
+    with pytest.raises(ValueError, match="no PLTE chunk"):
+        decode_media(_make_png(idx, 3, [0]))
+    with pytest.raises(ValueError, match="not a multiple of 3"):
+        decode_media(_make_png(idx, 3, [0], plte=bytes(11)))
+    with pytest.raises(ValueError, match="not a multiple of 3"):
+        decode_media(_make_png(idx, 3, [0], plte=bytes(769 + 2)))
+    good = _make_png(idx, 3, [0], plte=pal)
+    # duplicate PLTE: splice a second palette chunk before IDAT
+    at = good.index(b"IDAT") - 4
+    dup = good[:at] + _png_chunk(b"PLTE", pal) + good[at:]
+    with pytest.raises(ValueError, match="more than one PLTE"):
+        decode_media(dup)
+    # PLTE after the first IDAT
+    ihdr_end = good.index(b"IHDR") + 4 + 13 + 4
+    idat_start = good.index(b"IDAT") - 4
+    iend_start = good.index(b"IEND") - 4
+    moved = (
+        good[:ihdr_end]
+        + good[idat_start:iend_start]
+        + _png_chunk(b"PLTE", pal)
+        + good[iend_start:]
+    )
+    with pytest.raises(ValueError, match="PLTE after the first IDAT"):
+        decode_media(moved)
+    # index 9 in a 4-entry palette
+    bad_idx = np.full((2, 2, 1), 9, dtype=np.uint8)
+    with pytest.raises(ValueError, match="palette index 9 out of range"):
+        decode_media(_make_png(bad_idx, 3, [0], plte=pal))
+    # tRNS longer than the palette
+    with pytest.raises(ValueError, match="tRNS has 5 entries"):
+        decode_media(_make_png(idx, 3, [0], plte=pal, trns=bytes(5)))
+    # 16-bit palette is not refused to pillow — it is illegal, full stop
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_media(_make_png(idx, 3, [0], bit_depth=16, plte=pal))
+
+
 def test_decode_media_png_refusal_variants():
     """The PNG variants that genuinely need a codec library stay NAMED
-    refusals: Adam7 interlace, non-8-bit depths, palette color."""
+    refusals: Adam7 interlace and non-8-bit depths (8-bit palette
+    decodes natively since r15)."""
     import numpy as np
     import pytest
 
@@ -605,8 +699,15 @@ def test_decode_media_png_refusal_variants():
         decode_media(_make_png(px, 2, [0], bit_depth=16))
     with pytest.raises(NotImplementedError, match="4-bit PNG.*pillow"):
         decode_media(_make_png(np.zeros((2, 2, 1), np.uint8), 0, [0], bit_depth=4))
-    with pytest.raises(NotImplementedError, match="palette.*pillow"):
-        decode_media(_make_png(np.zeros((2, 2, 1), np.uint8), 3, [0]))
+    # 8-bit palette decodes natively since r15; SUB-BYTE palette depths
+    # stay named refusals (the bit-unpacking path needs a real decoder)
+    with pytest.raises(NotImplementedError, match="2-bit PNG.*pillow"):
+        decode_media(
+            _make_png(
+                np.zeros((2, 2, 1), np.uint8), 3, [0], bit_depth=2,
+                plte=bytes(12),
+            )
+        )
 
 
 def test_decode_media_png_corruption_classes():
@@ -665,6 +766,18 @@ def test_decode_media_png_corruption_classes():
     no_end = good[: good.rindex(b"IEND") - 4]
     with pytest.raises(ValueError, match="no IEND"):
         decode_media(no_end)
+    # decompression bomb: a few-hundred-byte IDAT declaring 2x3 geometry
+    # but inflating to megabytes must fail at the output CAP (never
+    # materializing the bomb), not after a full inflate
+    bomb = zlib.compress(bytes(4 * 1024 * 1024), 9)  # ~4 KiB compressed
+    assert len(bomb) < 8192
+    crafted = (
+        good[: good.index(b"IHDR") + 4 + 13 + 4]
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decompression bomb"):
+        decode_media(crafted)
 
 
 def _extensible_fmt(sub_tag: int, n_channels: int, rate: int, bits: int) -> bytes:
