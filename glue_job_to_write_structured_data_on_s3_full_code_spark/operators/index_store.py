@@ -2246,6 +2246,18 @@ def gen_index_catalog(
             name: _resolve_root(spark, name, None, store)
             for name in index_names
         }
+    elif store is None:
+        # caller-supplied roots get the same POSIX refusal as explicit
+        # root= everywhere else: with the default LocalPointerStore an
+        # object-store URI would be mkdir'd as a local relative path and
+        # a LIVE s3a:// index reported as never-committed (all-NULL head)
+        # — the silent-failure mode _resolve_root's docstring warns about
+        root_by_name = {
+            name: _require_posix_warehouse(
+                root, what=f"root_by_name[{name!r}]"
+            )
+            for name, root in root_by_name.items()
+        }
     rows = []
     for name in sorted(root_by_name):
         root = root_by_name[name]

@@ -1265,6 +1265,13 @@ def test_gen_explicit_root_refuses_object_store_uri(spark, sf_dir):
         gs.gen_index_verify(spark, root="gs://bucket/shared_idx")
     # a local explicit root still resolves untouched
     assert gs._resolve_root(spark, "x", "/tmp/local_idx") == "/tmp/local_idx"
+    # gen_index_catalog's root_by_name path gets the same refusal (r14
+    # advisor finding: with the default store an s3a:// root would be
+    # mkdir'd locally and a LIVE index reported as never-committed)
+    with pytest.raises(UnsupportedIndexFilesystem, match="atomic rename"):
+        gs.gen_index_catalog(
+            spark, root_by_name={"live": "s3a://bucket/shared_idx"}
+        )
 
 
 def test_inmemory_pointer_store_contract():
