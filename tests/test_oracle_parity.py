@@ -10,7 +10,7 @@ from tests.parity import assert_parity
 # full-registry sweep (201 cases, ~6 min): the driver's t2 gate mirror.
 # In the `slow` tier — run before committing engine changes; the core
 # tier (-m "not slow") keeps per-edit signal under 5 minutes.
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 def _cases():
