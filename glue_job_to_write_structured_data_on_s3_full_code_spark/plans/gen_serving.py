@@ -234,13 +234,24 @@ def gen_index_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build-only, and build→append→rollback), so every column the oracle
     checks is a real invariant of the commit protocol: head sequence,
     served kind, corpus row accounting, retained-pointer count, and the
-    GC horizon. r15 swap candidate (registry is rotation-saturated);
-    parity pinned by tests/test_r15_swap_candidates.py.
+    GC horizon. Registered in the r15 swap (paired with two same-round
+    retirements in plans/llm_ops.py); parity pinned by
+    tests/test_r15_swap_candidates.py.
 
     Crash-safe by ledger inspection like :func:`gen_ivf_rollback_probe`:
     the rolled-back index converges from any crash state (build only →
     append + rollback; head off the build snapshot → rollback), and the
     build-only index is a single commit (no partial state possible).
+
+    Oracle scope: ``GEN_CATALOG_ORACLE``'s sequence/retention constants
+    (head_seq 3, n_retained 3) pin the IN-PROCESS lifecycle. A head
+    mutated by an EXTERNAL writer heals back to serving the build
+    snapshot (kind/corpus rows converge), but the healing rollback is a
+    real commit, so head_seq/n_retained advance past the constants —
+    the exact divergence is asserted in
+    tests/test_r15_swap_candidates.py's crash-recovery test, which runs
+    against its own symlink-tagged index pair so the gate row's indexes
+    stay on the clean lifecycle.
     """
     from ..operators.index_store import (
         gen_index_catalog,
@@ -333,4 +344,8 @@ REGISTRY: list[tuple] = [
         gen_streaming_ivf_maintenance,
         EMBEDDING_IVF_ORACLE,
     ),
+    # r15 swap registration (COVERAGE.md "round 14 draft" item 2): the
+    # fleet-catalog protocol invariants under the driver's DuckDB hash,
+    # paired with two same-round retirements in plans/llm_ops.py.
+    ("gen_index_catalog_report", gen_index_catalog_report, GEN_CATALOG_ORACLE),
 ]

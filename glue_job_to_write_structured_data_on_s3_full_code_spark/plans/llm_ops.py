@@ -1448,8 +1448,9 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes are the payload bytes, the DuckDB oracle replays the whole
     encode→decode pipeline from the text column — a hash gate over a
     real image codec path, the same trick multimodal_audio_energy plays
-    with PCM. r15 swap candidate (registry is rotation-saturated);
-    parity pinned by tests/test_r15_swap_candidates.py."""
+    with PCM. Registered in the r15 swap (paired with the
+    embedding_ivf_topk + multimodal_frame_sample retirements); parity
+    pinned by tests/test_r15_swap_candidates.py."""
     from ..operators.multimodal import image_pixel_stats
 
     tune(spark)
@@ -1493,6 +1494,85 @@ FROM px
 """
 
 
+def image_thumbnail_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-dedup: the image-corpus near-dup pipeline, end to end
+    through the REAL codec twice — each document's bytes become a 16×16
+    greyscale PNG (:func:`~..operators.multimodal.images_from_bytes`),
+    :func:`~..operators.multimodal.image_resize` decodes and
+    nearest-neighbor-downsamples it to an 8×8 thumbnail PNG (stride 2:
+    thumbnail pixel (r,c) = source pixel (2r,2c) — exact integers), and
+    :func:`~..operators.multimodal.perceptual_hash` in decode mode
+    aHashes the DECODED thumbnail (grid=8, block=1: bit k = pixel k's
+    value·64 > grid total). Groups by the 64-bit hash for duplicate
+    counts. Because every stage is exact integer math on the payload
+    bytes, the DuckDB oracle replays encode→resize→decode→hash straight
+    from the text column. r16 swap candidate (registry is
+    rotation-saturated); parity pinned by
+    tests/test_r16_swap_candidates.py.
+
+    Scale shape: three map-only Arrow stages (encode, resize, hash) —
+    zero shuffles until the final hash groupBy, which exchanges only
+    (doc_id, 8-byte hash). At 100 TB the encode stage disappears
+    (payloads arrive as stored images) and the pipeline is unchanged.
+    """
+    from ..operators.multimodal import (
+        image_resize,
+        images_from_bytes,
+        perceptual_hash,
+    )
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    pngs = images_from_bytes(payloads, width=16, height=16)
+    thumbs = image_resize(pngs, stride=2)
+    ph = perceptual_hash(thumbs, grid=8, block=1, decode=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash")
+    return ph.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(w).alias("n_same"),
+    )
+
+
+# replays the full pipeline from the text bytes: 16x16 grid pixel
+# (r,c) = byte[r*16+c] (zero-padded), stride-2 thumbnail pixel k
+# (k = r*8+c, row-major) = byte[32*(r) + 2*(c)] = byte[32*(k//8)+2*(k%8)];
+# aHash bit k = pixel*64 > total, packed MSB-first into a signed BIGINT
+# (same HUGEINT fold as PHASH_DEDUP_ORACLE)
+IMAGE_THUMBNAIL_ORACLE = """
+WITH px AS (
+    SELECT doc_id,
+           [CASE WHEN 32 * (k // 8) + 2 * (k % 8)
+                      < octet_length(CAST(text AS BLOB))
+                 THEN ord(substr(text,
+                                 32 * (k // 8) + 2 * (k % 8) + 1, 1))
+                 ELSE 0 END FOR k IN range(64)] AS p
+    FROM documents
+), t AS (
+    SELECT doc_id, p, list_sum(p) AS total FROM px
+), h AS (
+    SELECT doc_id,
+           list_sum([CASE WHEN p[k + 1] * 64 > total
+                          THEN CAST(pow(2, 63 - k) AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END
+                     FOR k IN range(64)]) AS u
+    FROM t
+), hs AS (
+    SELECT doc_id,
+           CAST(CASE WHEN u >= CAST(pow(2, 63) AS HUGEINT)
+                     THEN u - CAST(pow(2, 64) AS HUGEINT)
+                     ELSE u END AS BIGINT) AS phash
+    FROM h
+)
+SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same FROM hs
+"""
+
+
 REGISTRY = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("dedup_jaccard_pairs", dedup_jaccard_pairs, DEDUP_JACCARD_ORACLE),
@@ -1505,7 +1585,6 @@ REGISTRY = [
     ("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_COSINE_ORACLE),
     ("embedding_lsh_topk", embedding_lsh_topk, EMBEDDING_LSH_ORACLE),
     ("embedding_neardup_dedup", embedding_neardup_dedup, EMBEDDING_NEARDUP_ORACLE),
-    ("embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_ORACLE),
     ("embedding_ivf_indexed_topk", embedding_ivf_indexed_topk, EMBEDDING_IVF_ORACLE),
     ("embedding_ivf_cell_skew", embedding_ivf_cell_skew, IVF_CELL_SKEW_ORACLE),
     (
@@ -1530,7 +1609,29 @@ REGISTRY = [
     ("ann_recall_report_fast", ann_recall_report_fast, ANN_RECALL_FAST_ORACLE),
     ("minhash_lsh_fast", minhash_lsh_fast, None),
     ("multimodal_feature_extract", multimodal_feature_extract, MULTIMODAL_ORACLE),
-    ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
     ("multimodal_audio_energy", multimodal_audio_energy, AUDIO_ENERGY_ORACLE),
     ("multimodal_phash_dedup", multimodal_phash_dedup, PHASH_DEDUP_ORACLE),
+    # r15 swap registration (COVERAGE.md "round 14 draft" item 1): the PNG
+    # codec path (encode cycling all five scanline filters → native stdlib
+    # decode → exact integer pixel stats) under the driver's DuckDB hash.
+    ("multimodal_image_stats", multimodal_image_stats, IMAGE_STATS_ORACLE),
+]
+
+# r15 registry-swap retirees (COVERAGE.md "Retire-and-swap", round 14
+# draft confirmed at unfreeze with one substitution): the gate slot is
+# retired, the capability is not — the plan functions stay above and
+# tests/test_retired_queries.py hash-verifies each against its oracle
+# every session.
+#   - embedding_ivf_topk (substituted for the drafted cube_subtotals,
+#     which is a frozen comparable-23 bench row and keeps its slot): the
+#     in-memory mod-id IVF probe whose EMBEDDING_IVF_ORACLE is still
+#     gate-verified by SIX surviving rows (indexed/compacted/append +
+#     the three generational probes) — the lowest-marginal slot in the
+#     registry.
+#   - multimodal_frame_sample: its mapInPandas 1→N fan-out plumbing is
+#     equally exercised by the surviving multimodal_audio_energy row
+#     (same Arrow iterator shape, stricter math).
+RETIRED: list[tuple] = [
+    ("embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_ORACLE),
+    ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
 ]

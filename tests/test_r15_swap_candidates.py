@@ -1,4 +1,5 @@
-"""Pre-validated oracles for the r15 registry swap candidates.
+"""Gate-shaped parity for the r15 registry swap rows (staged round 14,
+REGISTERED round 15 — see COVERAGE.md "Round-15 delta").
 
 Same staging rhythm as rounds 12→13 and 13→14: the registry is
 rotation-saturated at 200 rows, so new capabilities carry
@@ -59,21 +60,33 @@ def test_gen_index_catalog_report_parity(spark, duck, sf_dir):
     )
 
 
-def test_gen_index_catalog_report_recovers_from_crash_state(spark, sf_dir):
+def test_gen_index_catalog_report_recovers_from_crash_state(
+    spark, sf_dir, tmp_path
+):
     """The rolled-back index must converge from the state a crash leaves
     behind: head re-pointed AT the append snapshot (crash between append
-    and rollback) heals back to serving the build snapshot."""
+    and rollback) heals back to serving the build snapshot.
+
+    Runs against a SYMLINKED sf_dir so the crash mutation lands on its
+    own index pair (``_sf_tag`` keys the index name off the dir name):
+    the registered gate row and the parity test above keep their clean
+    3/3 lifecycle regardless of test ordering."""
+    import os
+
     import glue_job_to_write_structured_data_on_s3_full_code_spark.operators.index_store as gs
     from glue_job_to_write_structured_data_on_s3_full_code_spark.plans.gen_serving import (
         _sf_tag,
         gen_index_catalog_report,
     )
 
+    crash_dir = str(tmp_path / "sf_crash")
+    os.symlink(os.path.abspath(sf_dir), crash_dir)
+
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    want = rows(gen_index_catalog_report(spark, sf_dir))
-    name = f"gen_cat_rb_{_sf_tag(sf_dir)}"
+    want = rows(gen_index_catalog_report(spark, crash_dir))
+    name = f"gen_cat_rb_{_sf_tag(crash_dir)}"
     # simulate the crash: re-point the head at the APPEND snapshot
     # (sequence 2), leaving the ledger tail off the build generation
     root = gs._store_root(spark, name)
@@ -82,12 +95,22 @@ def test_gen_index_catalog_report_recovers_from_crash_state(spark, sf_dir):
     append_payload = ptr.read_at(2)
     assert append_payload is not None
     assert ptr.try_commit(head_seq + 1, dict(append_payload))
-    # the next invocation inspects the ledger and rolls back again;
-    # the REPORT is identical even though the healed index now retains
-    # two more pointers than the clean run (n_retained is re-derived)
-    healed = rows(gen_index_catalog_report(spark, sf_dir))
+    # the next invocation inspects the ledger and rolls back again. The
+    # report is NOT identical to the clean run: the external re-point
+    # (seq 4) plus the healing rollback (seq 5) are real commits, so the
+    # healed index retains five pointers at head_seq 5 where the clean
+    # lifecycle pins 3/3 — only the SERVED state (kind/corpus rows)
+    # converges. GEN_CATALOG_ORACLE's seq/retention constants therefore
+    # assume the in-process lifecycle with no external head mutation
+    # (documented on gen_index_catalog_report); natural crash states
+    # (ledger shorter than 3, or head off the build gen without extra
+    # commits) do converge to the oracle's 3/3.
+    healed = rows(gen_index_catalog_report(spark, crash_dir))
     by_state = {r[0]: r for r in healed}
-    assert by_state["rolled_back"][2] == "build"  # kind serves the base
-    assert by_state["build_only"] == dict(
-        (r[0], r) for r in want
-    )["build_only"]
+    want_rb = {r[0]: r for r in want}["rolled_back"]
+    rb = by_state["rolled_back"]
+    assert rb[2] == "build"  # kind serves the base snapshot again
+    assert rb[3] == want_rb[3]  # corpus rows converge to the base count
+    assert rb[1] == 5 and rb[4] == 5  # the exact divergence: 2 extra commits
+    assert rb[5] == want_rb[5]  # GC horizon unchanged (nothing swept)
+    assert by_state["build_only"] == {r[0]: r for r in want}["build_only"]
