@@ -173,6 +173,63 @@ GROUP BY 1
 """
 
 
+def jdbc_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RDBMS landing path end-to-end over a REAL JDBC endpoint:
+    events → ``spark.write.jdbc`` into an embedded Apache Derby database
+    (in-process, on every pyspark classpath — see
+    :func:`~..sources.jdbc.embedded_derby_url`) → re-read as N CONCURRENT
+    range-partitioned JDBC scans (partitionColumn/lowerBound/upperBound/
+    numPartitions — SURVEY §2.1 S3's scale knobs, the difference between
+    one serial cursor and N parallel ones on the reference's 41-table
+    BCP inventory) → the same rollup the file roundtrips hash. Proves
+    driver resolution, dialect type mapping (long/timestamp/double/
+    string through Derby and back, microsecond-exact), the overwrite
+    lifecycle, and the partitioned reader — everything production JDBC
+    uses except the server socket. r16 swap candidate (registry is
+    rotation-saturated); parity pinned by
+    tests/test_r16_swap_candidates.py.
+
+    Scale shape: the write is executor-parallel (one INSERT stream per
+    partition); the read-back is 8 concurrent range scans that land as 8
+    Spark partitions feeding one map-side-combined hash aggregate. The
+    min/max bound probe collects a single row. At 100 TB the URL points
+    at a real warehouse server and ``numPartitions`` scales with the
+    executor count; nothing else changes.
+    """
+    from ..sources.jdbc import DERBY_EMBEDDED_DRIVER, embedded_derby_url
+
+    tune(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    url = embedded_derby_url(spark, f"ingest_{tag}")
+    table = "EVENTS_LANDING"
+    (
+        ev.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY_EMBEDDED_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    # single-row bound probe (Spark's JDBC partitioner needs numeric
+    # bounds; production reads them from table stats the same way)
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY_EMBEDDED_DRIVER)
+        .option("partitionColumn", "event_id")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi + 1))
+        .option("numPartitions", "8")
+        .load()
+    )
+    return _rollup(back)
+
+
 # r13 registry swap: jsonl_roundtrip_rollup / orc_roundtrip_rollup retired
 # from the driver gate (COVERAGE.md "Retire-and-swap shortlist" items 1-2 —
 # three near-identical roundtrips held three gate slots; csv keeps the slot).

@@ -8,9 +8,13 @@ fine for lookup tables, fatal for the 41-table BCP inventory at scale
 read knobs (partitionColumn/lowerBound/upperBound/numPartitions, or an
 explicit predicate list) so a big table lands as N concurrent range scans.
 
-No RDBMS exists in the test sandbox; :func:`jdbc_snapshot_to_parquet` is
-exercised in production through any JDBC driver on the classpath, and the
-option-assembly logic is unit-tested directly.
+The sandbox ships no RDBMS *server*, but pyspark's own classpath carries
+Apache Derby (derby-*.jar — it backs Spark's default Hive metastore), so
+:func:`embedded_derby_url` provides a REAL in-process JDBC endpoint: the
+write→partitioned-read round trip is exercised end-to-end against it
+(plans/formats.jdbc_partitioned_ingest), while production swaps the URL
+for a real server and nothing else changes. The option-assembly logic is
+additionally unit-tested directly.
 """
 
 from __future__ import annotations
@@ -51,6 +55,33 @@ def jdbc_options(
         )
     opts.update({k: str(v) for k, v in extra.items()})
     return opts
+
+
+#: Derby's embedded driver class — on every pyspark classpath.
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def embedded_derby_url(spark: SparkSession, db_name: str) -> str:
+    """JDBC URL for an EMBEDDED Apache Derby database under this
+    application's staging dir.
+
+    Derby runs inside the Spark JVM (no server, no network), which makes
+    it the sandbox's genuine JDBC endpoint: ``spark.read/write.jdbc``
+    drive the same code paths (driver resolution, dialect type mapping,
+    partitioned range scans) they would against SQL Server — the
+    reference's source (JDBC.sql:88-90) — so the S3 operator gets an
+    end-to-end proof instead of an options unit test. App-scoped path
+    (the heartbeat-swept staging dir keyed on applicationId), so
+    concurrent sessions get independent databases and a dead session's
+    database is reclaimed with its staging.
+
+    Embedded Derby permits ONE booting JVM per database directory —
+    exactly the app-scoped layout; a multi-process deployment uses a
+    server URL instead.
+    """
+    from ..operators.similarity import _ivf_index_path
+
+    return f"jdbc:derby:{_ivf_index_path(spark, f'derby_{db_name}')};create=true"
 
 
 def read_jdbc(
