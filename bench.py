@@ -94,6 +94,13 @@ BENCH_QUERIES = [
     # run, so the timed rows measure the SERVING cost like their siblings.
     "gen_ivf_rollback_probe",
     "gen_streaming_ivf_maintenance",
+    # round-15 additions: the two r15-swap gate rows — the PNG-codec
+    # image-stats path (encode cycling all five scanline filters → native
+    # stdlib decode → integer pixel stats; the first image-pixel math under
+    # the driver gate) and the generational fleet catalog (manifest-only,
+    # zero parquet I/O — its cost IS the protocol's bookkeeping reads).
+    "multimodal_image_stats",
+    "gen_index_catalog_report",
 ]
 
 # The r1-r3 bench set was the first 23 queries; the set then grew (deep
@@ -132,6 +139,8 @@ GROWN = {
     "gen_ivf_append",
     "gen_ivf_rollback_probe",
     "gen_streaming_ivf_maintenance",
+    "multimodal_image_stats",
+    "gen_index_catalog_report",
 }
 
 

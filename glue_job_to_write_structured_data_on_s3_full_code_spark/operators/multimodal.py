@@ -9,9 +9,10 @@ count), IEEE float (format tag 3: float32/float64), and
 WAVE_FORMAT_EXTENSIBLE wrapping either, via a direct chunk walk; see
 ``audio_frame_energy(decode=True)``. It also REALLY decodes baseline
 PNG images (zlib inflate + the five scanline filters, pure stdlib —
-:func:`_decode_png`; 8-bit palette decodes too, via PLTE lookup).
+:func:`_decode_png`; palette decodes too via PLTE lookup, and the
+sub-byte depths — 1/2/4-bit greyscale and palette — unpack natively).
 Compressed codecs (JPEG/MP4/Ogg/FLAC/MP3, plus the PNG variants that
-need a real decoder: interlaced, 16-bit and sub-byte depths)
+need a real decoder: interlaced and 16-bit depths)
 refuse loudly naming the library a real deployment plugs in — the
 sandbox has none of them, and every downstream stage keeps working
 either way.
@@ -194,8 +195,18 @@ def _wav_tags(buf: bytes) -> tuple[int | None, int | None]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 #: PNG color type → sample channel count (type 3 = palette decodes via
-#: a 1-byte index stream + PLTE lookup, handled separately)
+#: an index stream + PLTE lookup, handled separately)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+#: PNG color type → legal bit depths (spec §11.2.2) — sub-byte depths
+#: exist only for greyscale and palette images
+_PNG_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 
 def _png_chunks(buf: bytes):
@@ -231,13 +242,17 @@ def _decode_png(buf: bytes) -> dict:
     """Decode a baseline PNG with pure stdlib: ``zlib`` inflate + the
     five scanline filters (None/Sub/Up/Average/Paeth, unfiltered per the
     PNG spec §9) — no codec library needed. Covers non-interlaced 8-bit
-    greyscale / grey+alpha / RGB / RGBA (color types 0/4/2/6) AND 8-bit
-    palette (color type 3: the filtered stream is a 1-byte index per
-    pixel, looked up in the PLTE chunk — RGB out, RGBA when a tRNS
-    chunk supplies per-entry alpha). The genuinely-additional variants
-    stay NAMED refusals like the WAV codec gaps: Adam7 interlace and
-    16-bit / sub-byte depths raise :class:`NotImplementedError` naming
-    PIL/pillow.
+    greyscale / grey+alpha / RGB / RGBA (color types 0/4/2/6), palette
+    (color type 3: the filtered stream is an index per pixel, looked up
+    in the PLTE chunk — RGB out, RGBA when a tRNS chunk supplies
+    per-entry alpha), AND the sub-byte depths (1/2/4-bit greyscale and
+    palette: scanlines pack samples MSB-first into ``ceil(w·depth/8)``
+    bytes, filters operate on the packed BYTES per spec §9.2, and the
+    unpack is one vectorized ``np.unpackbits``; greyscale samples scale
+    to 8-bit by exact left-bit replication — ×255/×85/×17). The
+    genuinely-additional variants stay NAMED refusals like the WAV codec
+    gaps: Adam7 interlace and 16-bit depths raise
+    :class:`NotImplementedError` naming PIL/pillow.
 
     Returns ``{"kind": "image", "width", "height", "n_channels",
     "bit_depth", "color_type", "pixels": np.ndarray (h, w, c) uint8}``
@@ -277,14 +292,19 @@ def _decode_png(buf: bytes) -> dict:
         )
     if color_type not in _PNG_CHANNELS and color_type != 3:
         raise ValueError(f"corrupt PNG: undefined color type {color_type}")
-    if color_type == 3 and bit_depth == 16:
+    if bit_depth not in _PNG_LEGAL_DEPTHS[color_type]:
+        if color_type == 3 and bit_depth == 16:
+            raise ValueError(
+                "corrupt PNG: 16-bit palette is not a legal depth/type pair"
+            )
         raise ValueError(
-            "corrupt PNG: 16-bit palette is not a legal depth/type pair"
+            f"corrupt PNG: {bit_depth}-bit is not a legal depth for "
+            f"color type {color_type}"
         )
-    if bit_depth != 8:
+    if bit_depth == 16:
         raise NotImplementedError(
-            f"payload is a {bit_depth}-bit PNG (needs PIL/pillow) — "
-            f"8-bit-per-sample PNG decodes natively"
+            "payload is a 16-bit PNG (needs PIL/pillow) — "
+            "1/2/4/8-bit-per-sample PNG decodes natively"
         )
     palette = trns = None
     idat_parts: list[bytes] = []
@@ -317,10 +337,11 @@ def _decode_png(buf: bytes) -> dict:
                 f"corrupt PNG: tRNS has {len(trns)} entries but the "
                 f"palette only {len(palette) // 3}"
             )
-    # the FILTERED stream's sample width: palette pixels are 1-byte
-    # indexes (the PLTE lookup happens after unfiltering)
+    # the FILTERED stream's byte layout: palette pixels are indexes (the
+    # PLTE lookup happens after unfiltering), and sub-byte samples pack
+    # MSB-first into ceil(w·depth/8) bytes per scanline
     channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    stride = w * channels
+    stride = (w * channels * bit_depth + 7) // 8
     expected = h * (1 + stride)
     # inflate with a hard output cap: untrusted corpora contain
     # decompression bombs (tiny IDAT, ~1000× ratio), and an uncapped
@@ -343,7 +364,9 @@ def _decode_png(buf: bytes) -> dict:
             f"corrupt PNG: decompressed to {len(raw)} bytes, expected "
             f"{expected} ({h} rows × (1 + {stride}))"
         )
-    bpp = channels  # bytes per pixel at depth 8
+    # filter predictors step one whole BYTE at sub-byte depths (spec
+    # §9.2: "bpp is rounded up to one")
+    bpp = max(1, (channels * bit_depth) // 8)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -377,20 +400,32 @@ def _decode_png(buf: bytes) -> dict:
             raise ValueError(f"corrupt PNG: undefined filter type {f} on row {y}")
         out[y] = cur
         prev = cur
+    if bit_depth < 8:
+        # sub-byte samples: unpack MSB-first, drop each scanline's pad
+        # bits, regroup depth-sized bit runs into one value per pixel
+        unpacked = np.unpackbits(out, axis=1)[:, : w * bit_depth]
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
+        grid = (
+            (unpacked.reshape(h, w, bit_depth).astype(np.uint16) * weights)
+            .sum(axis=2)
+            .astype(np.uint8)
+        )
+    else:
+        grid = out.reshape(h, w) if channels == 1 else None
     if color_type == 3:
         # PLTE lookup: index grid -> RGB (RGBA with tRNS alpha). An index
         # past the palette is corruption, not a silent black pixel.
         pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
-        if int(out.max(initial=0)) >= pal.shape[0]:
+        if int(grid.max(initial=0)) >= pal.shape[0]:
             raise ValueError(
-                f"corrupt PNG: palette index {int(out.max())} out of "
+                f"corrupt PNG: palette index {int(grid.max())} out of "
                 f"range for a {pal.shape[0]}-entry PLTE"
             )
         if trns is not None:
             alpha = np.full(pal.shape[0], 255, np.uint8)
             alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
             pal = np.concatenate([pal, alpha[:, None]], axis=1)
-        px = pal[out.reshape(h, w)]
+        px = pal[grid]
         return {
             "kind": "image",
             "width": w,
@@ -399,6 +434,20 @@ def _decode_png(buf: bytes) -> dict:
             "bit_depth": 8,
             "color_type": 3,
             "pixels": px,
+        }
+    if bit_depth < 8:
+        # sub-byte greyscale: scale to 8-bit by exact left-bit
+        # replication (×255/×85/×17 for depths 1/2/4 — max maps to 255)
+        factor = 255 // ((1 << bit_depth) - 1)
+        px = (grid.astype(np.uint16) * factor).astype(np.uint8)
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "n_channels": 1,
+            "bit_depth": 8,
+            "color_type": color_type,
+            "pixels": px[:, :, None],
         }
     return {
         "kind": "image",
@@ -433,9 +482,10 @@ def decode_media(payload: bytes) -> dict:
     samples come back as float64 (nominally in [-1, 1]).
 
     REAL for PNG: baseline (non-interlaced, 8-bit greyscale / grey+alpha
-    / RGB / RGBA, plus 8-bit palette via PLTE lookup with optional tRNS
-    alpha) images decode natively via :func:`_decode_png` (zlib inflate
-    + the five scanline filters — pure stdlib), returning::
+    / RGB / RGBA, palette via PLTE lookup with optional tRNS alpha, and
+    1/2/4-bit greyscale + palette) images decode natively via
+    :func:`_decode_png` (zlib inflate + the five scanline filters — pure
+    stdlib), returning::
 
         {"kind": "image", "width": int, "height": int, "n_channels": int,
          "bit_depth": 8, "color_type": int,
@@ -443,7 +493,7 @@ def decode_media(payload: bytes) -> dict:
 
     Still a stub for compressed codecs: payloads whose magic identifies
     JPEG/MP4/Ogg/FLAC/MP3 — and the PNG variants that genuinely need a
-    codec library (Adam7 interlace, 16-bit/sub-byte depths) —
+    codec library (Adam7 interlace, 16-bit depths) —
     raise :class:`NotImplementedError` naming the library a real
     deployment would plug in — the sandbox has none of them.
     Unrecognized payloads raise ``ValueError`` (corrupt or unknown

@@ -516,15 +516,27 @@ def _make_png(pixels, color_type: int, filters, bit_depth: int = 8,
     the inverse of the decoder's unfilter, so round-trips exercise each
     of the five spec filters explicitly (no encoder library involved).
     For palette images pass the index grid as (h, w, 1) ``pixels`` plus
-    the raw ``plte`` (RGB triples) and optional ``trns`` bytes."""
+    the raw ``plte`` (RGB triples) and optional ``trns`` bytes. Sub-byte
+    depths pack each row's samples MSB-first into scanline bytes first;
+    the filter loop then steps one packed BYTE (bpp=1), matching the
+    spec's byte-level filtering."""
     import struct
     import zlib
 
     import numpy as np
 
     h, w, c = pixels.shape
-    stride = w * c
-    flat = pixels.reshape(h, stride).astype(np.int32)
+    if bit_depth < 8:
+        vals = pixels[..., 0]
+        bits = (
+            (vals[..., None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).reshape(h, -1)
+        flat = np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32)
+        stride = flat.shape[1]
+        c = 1
+    else:
+        stride = w * c
+        flat = pixels.reshape(h, stride).astype(np.int32)
     prev = np.zeros(stride, dtype=np.int32)
     lines = []
     for y in range(h):
@@ -632,6 +644,69 @@ def test_decode_media_png_palette_roundtrip():
     assert np.array_equal(out["pixels"], rgba[idx[..., 0]])
 
 
+def test_decode_media_png_subbyte_grey_roundtrip():
+    """1/2/4-bit greyscale decodes natively: packed scanline bytes
+    unfilter at bpp=1 (spec §9.2 byte-level filtering), samples unpack
+    MSB-first dropping each row's pad bits, and scale to 8-bit by exact
+    left-bit replication (×255/×85/×17 — the max sample maps to 255)."""
+    import numpy as np
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(16)
+    h, w = 6, 11  # odd width: the last scanline byte carries pad bits
+    for d in (1, 2, 4):
+        vals = rng.integers(0, 1 << d, size=(h, w, 1), dtype=np.uint8)
+        factor = 255 // ((1 << d) - 1)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            out = decode_media(_make_png(vals, 0, filters, bit_depth=d))
+            assert (out["width"], out["height"], out["n_channels"]) == (w, h, 1)
+            assert np.array_equal(out["pixels"], vals * factor), (
+                f"sub-byte grey mismatch depth={d} filters={filters}"
+            )
+
+
+def test_decode_media_png_subbyte_palette_roundtrip():
+    """1/2/4-bit palette — the classic tiny-thumbnail encoding: packed
+    indexes unpack then look up PLTE; tRNS alpha still applies; an
+    unpacked index past the palette is corruption."""
+    import numpy as np
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(17)
+    h, w = 5, 9
+    for d in (1, 2, 4):
+        n_pal = 1 << d
+        pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_pal, size=(h, w, 1), dtype=np.uint8)
+        out = decode_media(
+            _make_png(idx, 3, [0, 1, 2, 3, 4], bit_depth=d, plte=pal.tobytes())
+        )
+        assert out["n_channels"] == 3
+        assert np.array_equal(out["pixels"], pal[idx[..., 0]]), (
+            f"sub-byte palette mismatch depth={d}"
+        )
+    # tRNS alpha applies after the sub-byte unpack (d=4 from the loop)
+    out = decode_media(
+        _make_png(idx, 3, [2], bit_depth=4, plte=pal.tobytes(), trns=bytes([7]))
+    )
+    alpha = np.full(16, 255, np.uint8)
+    alpha[0] = 7
+    rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+    assert np.array_equal(out["pixels"], rgba[idx[..., 0]])
+    # out-of-range index: a 2-bit stream can name entry 3 of a 3-entry
+    # palette — corruption, not a silent black pixel
+    bad = np.full((2, 2, 1), 3, np.uint8)
+    with pytest.raises(ValueError, match="palette index 3"):
+        decode_media(_make_png(bad, 3, [0], bit_depth=2, plte=bytes(9)))
+
+
 def test_decode_media_png_palette_corruption_classes():
     """Palette-specific corruption stays ValueError: missing/duplicate/
     misplaced/ragged PLTE, out-of-range indexes, oversized tRNS, and the
@@ -697,17 +772,13 @@ def test_decode_media_png_refusal_variants():
         decode_media(_make_png(px, 2, [0], interlace=1))
     with pytest.raises(NotImplementedError, match="16-bit PNG.*pillow"):
         decode_media(_make_png(px, 2, [0], bit_depth=16))
-    with pytest.raises(NotImplementedError, match="4-bit PNG.*pillow"):
-        decode_media(_make_png(np.zeros((2, 2, 1), np.uint8), 0, [0], bit_depth=4))
-    # 8-bit palette decodes natively since r15; SUB-BYTE palette depths
-    # stay named refusals (the bit-unpacking path needs a real decoder)
-    with pytest.raises(NotImplementedError, match="2-bit PNG.*pillow"):
-        decode_media(
-            _make_png(
-                np.zeros((2, 2, 1), np.uint8), 3, [0], bit_depth=2,
-                plte=bytes(12),
-            )
-        )
+    # sub-byte depths decode natively since r15 — but only where the
+    # spec defines them (greyscale + palette); elsewhere it's corruption,
+    # not a codec gap
+    with pytest.raises(ValueError, match="not a legal depth"):
+        decode_media(_make_png(px, 2, [0], bit_depth=4))
+    with pytest.raises(ValueError, match="not a legal depth"):
+        decode_media(_make_png(np.zeros((2, 2, 2), np.uint8), 4, [0], bit_depth=2))
 
 
 def test_decode_media_png_corruption_classes():
