@@ -9,10 +9,10 @@ count), IEEE float (format tag 3: float32/float64), and
 WAVE_FORMAT_EXTENSIBLE wrapping either, via a direct chunk walk; see
 ``audio_frame_energy(decode=True)``. It also REALLY decodes baseline
 PNG images (zlib inflate + the five scanline filters, pure stdlib —
-:func:`_decode_png`; palette decodes too via PLTE lookup, and the
-sub-byte depths — 1/2/4-bit greyscale and palette — unpack natively).
-Compressed codecs (JPEG/MP4/Ogg/FLAC/MP3, plus the PNG variants that
-need a real decoder: interlaced and 16-bit depths)
+:func:`_decode_png` — the full decode surface: palette via PLTE
+lookup, 1/2/4-bit sub-byte unpacking, 16-bit at native uint16 range,
+and Adam7 interlace; every legal IHDR combination decodes).
+Compressed codecs (JPEG/MP4/Ogg/FLAC/MP3)
 refuse loudly naming the library a real deployment plugs in — the
 sandbox has none of them, and every downstream stage keeps working
 either way.
@@ -208,6 +208,18 @@ _PNG_LEGAL_DEPTHS = {
     6: (8, 16),
 }
 
+#: Adam7 interlace pass grid (spec §8.2): (x0, y0, dx, dy) per pass —
+#: pass p covers full-image pixels (y0 + i·dy, x0 + j·dx)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
 
 def _png_chunks(buf: bytes):
     """Yield ``(type, body)`` for each PNG chunk, CRC-verified — a
@@ -249,15 +261,19 @@ def _decode_png(buf: bytes) -> dict:
     palette: scanlines pack samples MSB-first into ``ceil(w·depth/8)``
     bytes, filters operate on the packed BYTES per spec §9.2, and the
     unpack is one vectorized ``np.unpackbits``; greyscale samples scale
-    to 8-bit by exact left-bit replication — ×255/×85/×17). The
-    genuinely-additional variants stay NAMED refusals like the WAV codec
-    gaps: Adam7 interlace and 16-bit depths raise
-    :class:`NotImplementedError` naming PIL/pillow.
+    to 8-bit by exact left-bit replication — ×255/×85/×17), 16-bit
+    depths (big-endian sample pairs per spec §7.1, kept at native
+    dynamic range as uint16 pixels), AND Adam7 interlace (seven
+    independently-filtered sub-images in the one IDAT stream, each
+    unfiltered with the same machinery and scattered into the full grid
+    by its pass geometry — spec §8.2). That is EVERY legal IHDR
+    combination: the PNG decode surface is complete, pure stdlib+numpy.
 
     Returns ``{"kind": "image", "width", "height", "n_channels",
-    "bit_depth", "color_type", "pixels": np.ndarray (h, w, c) uint8}``
-    (palette images report the POST-lookup channel count: 3, or 4 with
-    tRNS).
+    "bit_depth", "color_type", "pixels": np.ndarray (h, w, c)}`` —
+    pixels are uint8 (``bit_depth`` 8), except 16-bit sources which
+    keep uint16 pixels and report ``bit_depth`` 16. Palette images
+    report the POST-lookup channel count: 3, or 4 with tRNS.
 
     The unfilter is vectorized for None/Up (whole-row numpy) and Sub
     (per-channel prefix sum — mod 256 distributes over cumsum), scalar
@@ -285,11 +301,6 @@ def _decode_png(buf: bytes) -> dict:
         )
     if w == 0 or h == 0:
         raise ValueError("corrupt PNG: zero-sized image")
-    if interlace == 1:
-        raise NotImplementedError(
-            "payload is an Adam7-interlaced PNG (needs PIL/pillow) — "
-            "non-interlaced baseline PNG decodes natively"
-        )
     if color_type not in _PNG_CHANNELS and color_type != 3:
         raise ValueError(f"corrupt PNG: undefined color type {color_type}")
     if bit_depth not in _PNG_LEGAL_DEPTHS[color_type]:
@@ -300,11 +311,6 @@ def _decode_png(buf: bytes) -> dict:
         raise ValueError(
             f"corrupt PNG: {bit_depth}-bit is not a legal depth for "
             f"color type {color_type}"
-        )
-    if bit_depth == 16:
-        raise NotImplementedError(
-            "payload is a 16-bit PNG (needs PIL/pillow) — "
-            "1/2/4/8-bit-per-sample PNG decodes natively"
         )
     palette = trns = None
     idat_parts: list[bytes] = []
@@ -341,8 +347,24 @@ def _decode_png(buf: bytes) -> dict:
     # PLTE lookup happens after unfiltering), and sub-byte samples pack
     # MSB-first into ceil(w·depth/8) bytes per scanline
     channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    stride = (w * channels * bit_depth + 7) // 8
-    expected = h * (1 + stride)
+
+    def _row_bytes(width: int) -> int:
+        return (width * channels * bit_depth + 7) // 8
+
+    if interlace:
+        # Adam7: seven independently-filtered sub-images concatenated in
+        # the one IDAT stream; empty passes contribute nothing (spec §8.2)
+        passes = [
+            (x0, y0, dx, dy, (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _PNG_ADAM7
+        ]
+        expected = sum(
+            ph * (1 + _row_bytes(pw))
+            for _, _, _, _, pw, ph in passes
+            if pw and ph
+        )
+    else:
+        expected = h * (1 + _row_bytes(w))
     # inflate with a hard output cap: untrusted corpora contain
     # decompression bombs (tiny IDAT, ~1000× ratio), and an uncapped
     # zlib.decompress would materialize the whole bomb in executor
@@ -362,56 +384,91 @@ def _decode_png(buf: bytes) -> dict:
     if len(raw) != expected:
         raise ValueError(
             f"corrupt PNG: decompressed to {len(raw)} bytes, expected "
-            f"{expected} ({h} rows × (1 + {stride}))"
+            f"{expected} for the declared {w}x{h} geometry"
         )
     # filter predictors step one whole BYTE at sub-byte depths (spec
     # §9.2: "bpp is rounded up to one")
     bpp = max(1, (channels * bit_depth) // 8)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = raw[y * (1 + stride)]
-        cur = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (1 + stride) + 1
-        ).copy()
-        if f == 0:  # None
-            pass
-        elif f == 2:  # Up (uint8 addition wraps mod 256, per spec)
-            cur += prev
-        elif f == 1:  # Sub: per-channel prefix sum (mod 256 distributes
-            # over the cumulative sum, so one vectorized cumsum replaces
-            # the byte recurrence)
-            cs = np.cumsum(cur.reshape(-1, bpp), axis=0, dtype=np.int64)
-            cur = (cs & 0xFF).astype(np.uint8).reshape(-1)
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(cur[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"corrupt PNG: undefined filter type {f} on row {y}")
-        out[y] = cur
-        prev = cur
-    if bit_depth < 8:
-        # sub-byte samples: unpack MSB-first, drop each scanline's pad
-        # bits, regroup depth-sized bit runs into one value per pixel
-        unpacked = np.unpackbits(out, axis=1)[:, : w * bit_depth]
-        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
-        grid = (
-            (unpacked.reshape(h, w, bit_depth).astype(np.uint16) * weights)
-            .sum(axis=2)
-            .astype(np.uint8)
+
+    def _unfilter(offset: int, n_rows: int, stride: int) -> np.ndarray:
+        out = np.empty((n_rows, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(n_rows):
+            f = raw[offset + y * (1 + stride)]
+            cur = np.frombuffer(
+                raw, np.uint8, count=stride, offset=offset + y * (1 + stride) + 1
+            ).copy()
+            if f == 0:  # None
+                pass
+            elif f == 2:  # Up (uint8 addition wraps mod 256, per spec)
+                cur += prev
+            elif f == 1:  # Sub: per-channel prefix sum (mod 256 distributes
+                # over the cumulative sum, so one vectorized cumsum replaces
+                # the byte recurrence)
+                cs = np.cumsum(cur.reshape(-1, bpp), axis=0, dtype=np.int64)
+                cur = (cs & 0xFF).astype(np.uint8).reshape(-1)
+            elif f == 3:  # Average
+                for i in range(stride):
+                    left = int(cur[i - bpp]) if i >= bpp else 0
+                    cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = int(cur[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (int(cur[i]) + pred) & 0xFF
+            else:
+                raise ValueError(
+                    f"corrupt PNG: undefined filter type {f} on row {y}"
+                )
+            out[y] = cur
+            prev = cur
+        return out
+
+    def _samples(rows: np.ndarray, n_rows: int, width: int) -> np.ndarray:
+        """Unfiltered scanline bytes → per-pixel samples
+        ``(n_rows, width, channels)`` (palette/sub-byte: channels 1,
+        values are indexes/levels)."""
+        if bit_depth < 8:
+            # sub-byte: unpack MSB-first, drop each scanline's pad bits,
+            # regroup depth-sized bit runs into one value per pixel
+            unpacked = np.unpackbits(rows, axis=1)[:, : width * bit_depth]
+            weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
+            return (
+                (
+                    unpacked.reshape(n_rows, width, bit_depth).astype(np.uint16)
+                    * weights
+                )
+                .sum(axis=2)
+                .astype(np.uint8)[:, :, None]
+            )
+        if bit_depth == 16:
+            # network byte order per spec §7.1: big-endian sample pairs
+            pairs = rows.reshape(n_rows, width * channels, 2).astype(np.uint16)
+            return ((pairs[..., 0] << 8) | pairs[..., 1]).reshape(
+                n_rows, width, channels
+            )
+        return rows.reshape(n_rows, width, channels)
+
+    if interlace:
+        full = np.zeros(
+            (h, w, channels), dtype=np.uint16 if bit_depth == 16 else np.uint8
         )
+        offset = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if not pw or not ph:
+                continue
+            stride_p = _row_bytes(pw)
+            full[y0::dy, x0::dx] = _samples(
+                _unfilter(offset, ph, stride_p), ph, pw
+            )
+            offset += ph * (1 + stride_p)
     else:
-        grid = out.reshape(h, w) if channels == 1 else None
+        full = _samples(_unfilter(0, h, _row_bytes(w)), h, w)
+    grid = full[:, :, 0] if channels == 1 else None
     if color_type == 3:
         # PLTE lookup: index grid -> RGB (RGBA with tRNS alpha). An index
         # past the palette is corruption, not a silent black pixel.
@@ -454,9 +511,11 @@ def _decode_png(buf: bytes) -> dict:
         "width": w,
         "height": h,
         "n_channels": channels,
-        "bit_depth": 8,
+        # 16-bit sources keep their native dynamic range (uint16 pixels);
+        # everything else lands as uint8
+        "bit_depth": 16 if bit_depth == 16 else 8,
         "color_type": color_type,
-        "pixels": out.reshape(h, w, channels),
+        "pixels": full,
     }
 
 
@@ -481,19 +540,22 @@ def decode_media(payload: bytes) -> dict:
     energy/feature math is bit-reproducible across engines. Float
     samples come back as float64 (nominally in [-1, 1]).
 
-    REAL for PNG: baseline (non-interlaced, 8-bit greyscale / grey+alpha
-    / RGB / RGBA, palette via PLTE lookup with optional tRNS alpha, and
-    1/2/4-bit greyscale + palette) images decode natively via
-    :func:`_decode_png` (zlib inflate + the five scanline filters — pure
-    stdlib), returning::
+    REAL for PNG — the COMPLETE decode surface (every legal IHDR
+    combination): 8-bit greyscale / grey+alpha / RGB / RGBA, palette via
+    PLTE lookup with optional tRNS alpha, 1/2/4-bit greyscale + palette,
+    16-bit (native uint16 range), non-interlaced AND Adam7-interlaced —
+    all decode natively via :func:`_decode_png` (zlib inflate + the five
+    scanline filters — pure stdlib), returning::
 
         {"kind": "image", "width": int, "height": int, "n_channels": int,
-         "bit_depth": 8, "color_type": int,
-         "pixels": np.ndarray[shape (height, width, n_channels), uint8]}
+         "bit_depth": 8 | 16, "color_type": int,
+         "pixels": np.ndarray[shape (height, width, n_channels)]}
+
+    with uint8 pixels (``bit_depth`` 8) for everything except 16-bit
+    sources, which keep uint16 pixels and report ``bit_depth`` 16.
 
     Still a stub for compressed codecs: payloads whose magic identifies
-    JPEG/MP4/Ogg/FLAC/MP3 — and the PNG variants that genuinely need a
-    codec library (Adam7 interlace, 16-bit depths) —
+    JPEG/MP4/Ogg/FLAC/MP3
     raise :class:`NotImplementedError` naming the library a real
     deployment would plug in — the sandbox has none of them.
     Unrecognized payloads raise ``ValueError`` (corrupt or unknown
@@ -917,7 +979,14 @@ def encode_png(pixels) -> bytes:
 
     import numpy as np
 
-    pixels = np.asarray(pixels, dtype=np.uint8)
+    pixels = np.asarray(pixels)
+    if pixels.dtype != np.uint8:
+        # a silent uint8 cast would corrupt 16-bit decode output (e.g.
+        # image_resize over a 16-bit source); demand explicit quantization
+        raise ValueError(
+            f"encode_png writes 8-bit PNGs; got {pixels.dtype} pixels — "
+            f"quantize explicitly (e.g. >> 8 for 16-bit sources) first"
+        )
     if pixels.ndim != 3 or pixels.shape[2] not in (1, 2, 3, 4):
         raise ValueError(
             f"encode_png expects (height, width, channels∈1..4) uint8, "

@@ -519,48 +519,74 @@ def _make_png(pixels, color_type: int, filters, bit_depth: int = 8,
     the raw ``plte`` (RGB triples) and optional ``trns`` bytes. Sub-byte
     depths pack each row's samples MSB-first into scanline bytes first;
     the filter loop then steps one packed BYTE (bpp=1), matching the
-    spec's byte-level filtering."""
+    spec's byte-level filtering. ``interlace=1`` emits the seven Adam7
+    passes (each filtered independently, empty passes absent)."""
     import struct
     import zlib
 
     import numpy as np
 
-    h, w, c = pixels.shape
-    if bit_depth < 8:
-        vals = pixels[..., 0]
-        bits = (
-            (vals[..., None] >> np.arange(bit_depth - 1, -1, -1)) & 1
-        ).reshape(h, -1)
-        flat = np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32)
-        stride = flat.shape[1]
-        c = 1
-    else:
-        stride = w * c
-        flat = pixels.reshape(h, stride).astype(np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    lines = []
-    for y in range(h):
-        f = filters[y % len(filters)]
-        cur = flat[y]
-        left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
-        upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
-        if f == 0:
-            enc = cur
-        elif f == 1:
-            enc = cur - left
-        elif f == 2:
-            enc = cur - prev
-        elif f == 3:
-            enc = cur - ((left + prev) >> 1)
-        else:  # Paeth
-            p = left + prev - upleft
-            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+    def stream(px) -> bytes:
+        hh, ww, c = px.shape
+        if bit_depth < 8:
+            vals = px[..., 0]
+            bits = (
+                (vals[..., None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+            ).reshape(hh, -1)
+            flat = np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32)
+            stride = flat.shape[1]
+            c = 1
+        elif bit_depth == 16:
+            # big-endian sample pairs; the filters then step 2c bytes
+            stride = ww * c * 2
+            flat = (
+                np.frombuffer(px.astype(">u2").tobytes(), np.uint8)
+                .reshape(hh, stride)
+                .astype(np.int32)
             )
-            enc = cur - pred
-        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
-        prev = cur
+            c = c * 2
+        else:
+            stride = ww * c
+            flat = px.reshape(hh, stride).astype(np.int32)
+        prev = np.zeros(stride, dtype=np.int32)
+        lines = []
+        for y in range(hh):
+            f = filters[y % len(filters)]
+            cur = flat[y]
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - left
+            elif f == 2:
+                enc = cur - prev
+            elif f == 3:
+                enc = cur - ((left + prev) >> 1)
+            else:  # Paeth
+                p = left + prev - upleft
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                enc = cur - pred
+            lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+            prev = cur
+        return b"".join(lines)
+
+    h, w, _ = pixels.shape
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = pixels[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(stream(sub))
+        body = b"".join(parts)
+    else:
+        body = stream(pixels)
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
     ancillary = b""
     if plte is not None:
@@ -571,7 +597,7 @@ def _make_png(pixels, color_type: int, filters, bit_depth: int = 8,
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + ancillary
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IDAT", zlib.compress(body))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -707,6 +733,94 @@ def test_decode_media_png_subbyte_palette_roundtrip():
         decode_media(_make_png(bad, 3, [0], bit_depth=2, plte=bytes(9)))
 
 
+def test_decode_media_png_16bit_roundtrip():
+    """16-bit PNGs decode natively at NATIVE dynamic range: big-endian
+    sample pairs (spec §7.1) come back as uint16 pixels with bit_depth
+    16 — no silent 8-bit quantization. All four sample layouts, every
+    filter (the byte-level predictors step 2c bytes), Adam7 composition,
+    and the loud encode_png refusal that keeps downstream re-encoders
+    (image_resize) from quietly truncating."""
+    import numpy as np
+    import pytest
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(19)
+    for c, ctype in ((1, 0), (2, 4), (3, 2), (4, 6)):
+        px = rng.integers(0, 1 << 16, size=(5, 7, c), dtype=np.uint16)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            out = decode_media(_make_png(px, ctype, filters, bit_depth=16))
+            assert out["bit_depth"] == 16
+            assert out["pixels"].dtype == np.uint16
+            assert np.array_equal(out["pixels"], px), (
+                f"16-bit mismatch ctype={ctype} filters={filters}"
+            )
+    # Adam7 at 16-bit: the interlace scatter keeps the wide dtype
+    px = rng.integers(0, 1 << 16, size=(11, 9, 3), dtype=np.uint16)
+    out = decode_media(_make_png(px, 2, [0, 1, 2, 3, 4], bit_depth=16, interlace=1))
+    assert out["pixels"].dtype == np.uint16
+    assert np.array_equal(out["pixels"], px)
+    # 16-bit palette stays ILLEGAL (depth/type table), and re-encoding
+    # uint16 pixels without explicit quantization refuses loudly
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_media(
+            _make_png(
+                np.zeros((2, 2, 1), np.uint8), 3, [0], bit_depth=16,
+                plte=bytes(9),
+            )
+        )
+    with pytest.raises(ValueError, match="quantize explicitly"):
+        encode_png(out["pixels"])
+    # the documented quantization path round-trips through the 8-bit
+    # encoder: high bytes survive
+    q = (out["pixels"] >> 8).astype(np.uint8)
+    assert np.array_equal(decode_media(encode_png(q))["pixels"], q)
+
+
+def test_decode_media_png_adam7_roundtrip():
+    """Adam7 interlace decodes natively: seven independently-filtered
+    sub-images concatenate in the one IDAT stream and scatter back into
+    the full grid by pass geometry (spec §8.2). Exercised across all
+    four sample layouts, every filter type, and sizes that empty some
+    passes (any dim < 8 skips passes; 1×1 leaves only pass 1)."""
+    import numpy as np
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(18)
+    for c, ctype in ((1, 0), (2, 4), (3, 2), (4, 6)):
+        for hw in ((16, 16), (13, 11), (7, 5), (3, 9), (1, 1)):
+            px = rng.integers(0, 256, size=(*hw, c), dtype=np.uint8)
+            for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+                out = decode_media(_make_png(px, ctype, filters, interlace=1))
+                assert np.array_equal(out["pixels"], px), (
+                    f"adam7 mismatch ctype={ctype} hw={hw} filters={filters}"
+                )
+    # interlace composes with the OTHER decode dimensions: sub-byte
+    # greyscale (pass scanlines re-pack at each pass's own width) and
+    # palette + tRNS lookup after the scatter
+    vals = rng.integers(0, 4, size=(10, 13, 1), dtype=np.uint8)
+    out = decode_media(_make_png(vals, 0, [0, 1, 2, 3, 4], bit_depth=2, interlace=1))
+    assert np.array_equal(out["pixels"], vals * 85)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 6, 1), dtype=np.uint8)
+    out = decode_media(
+        _make_png(
+            idx, 3, [4, 3, 2, 1, 0], bit_depth=4, interlace=1,
+            plte=pal.tobytes(), trns=bytes([9]),
+        )
+    )
+    alpha = np.full(16, 255, np.uint8)
+    alpha[0] = 9
+    rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+    assert np.array_equal(out["pixels"], rgba[idx[..., 0]])
+
+
 def test_decode_media_png_palette_corruption_classes():
     """Palette-specific corruption stays ValueError: missing/duplicate/
     misplaced/ragged PLTE, out-of-range indexes, oversized tRNS, and the
@@ -768,13 +882,9 @@ def test_decode_media_png_refusal_variants():
     )
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
-    with pytest.raises(NotImplementedError, match="interlaced PNG.*pillow"):
-        decode_media(_make_png(px, 2, [0], interlace=1))
-    with pytest.raises(NotImplementedError, match="16-bit PNG.*pillow"):
-        decode_media(_make_png(px, 2, [0], bit_depth=16))
-    # sub-byte depths decode natively since r15 — but only where the
-    # spec defines them (greyscale + palette); elsewhere it's corruption,
-    # not a codec gap
+    # sub-byte and 16-bit depths decode natively since r15 — but only
+    # where the spec defines them; elsewhere it's corruption, not a
+    # codec gap
     with pytest.raises(ValueError, match="not a legal depth"):
         decode_media(_make_png(px, 2, [0], bit_depth=4))
     with pytest.raises(ValueError, match="not a legal depth"):
