@@ -565,6 +565,73 @@ def test_png_roundtrip_matches_pixels(dims, color, seed, data):
     assert np.array_equal(out["pixels"], pixels)
 
 
+@given(
+    dims=png_dims_st,
+    combo=st.sampled_from(
+        # every legal (bit_depth, color_type) pair — spec §11.2.2
+        [(d, 0) for d in (1, 2, 4, 8, 16)]
+        + [(d, 3) for d in (1, 2, 4, 8)]
+        + [(8, 2), (8, 4), (8, 6), (16, 2), (16, 4), (16, 6)]
+    ),
+    interlace=st.sampled_from([0, 1]),
+    with_trns=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_png_full_ihdr_space_roundtrip(dims, combo, interlace, with_trns, seed, data):
+    """EVERY legal IHDR combination round-trips: all 15 depth/type pairs
+    × interlace × (palette: optional tRNS) × arbitrary per-row filters.
+    The expected pixels are computed independently of the decoder (the
+    test applies the left-bit-replication scaling and PLTE/tRNS lookup
+    itself), so a decoder bug can't cancel out."""
+    import numpy as np
+
+    from glue_job_to_write_structured_data_on_s3_full_code_spark.operators.multimodal import (
+        decode_media,
+    )
+    from tests.test_sources_streaming import _make_png
+
+    (h, w), (depth, ctype) = dims, combo
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    rng = np.random.default_rng(seed)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=1, max_size=5), label="filters"
+    )
+    plte = trns_b = None
+    if depth == 16:
+        pixels = rng.integers(0, 1 << 16, size=(h, w, nch), dtype=np.uint16)
+        want = pixels
+    elif ctype == 3:
+        n_pal = 1 << depth
+        pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+        pixels = rng.integers(0, n_pal, size=(h, w, 1), dtype=np.uint8)
+        plte = pal.tobytes()
+        table = pal
+        if with_trns:
+            n_trns = int(rng.integers(1, n_pal + 1))
+            trns = rng.integers(0, 256, size=n_trns, dtype=np.uint8)
+            trns_b = trns.tobytes()
+            alpha = np.full(n_pal, 255, np.uint8)
+            alpha[:n_trns] = trns
+            table = np.concatenate([pal, alpha[:, None]], axis=1)
+        want = table[pixels[..., 0]]
+    else:
+        hi = 1 << depth
+        pixels = rng.integers(0, hi, size=(h, w, nch), dtype=np.uint8)
+        want = pixels if depth == 8 else pixels * (255 // (hi - 1))
+    out = decode_media(
+        _make_png(
+            pixels, ctype, filters, bit_depth=depth, interlace=interlace,
+            plte=plte, trns=trns_b,
+        )
+    )
+    assert out["bit_depth"] == (16 if depth == 16 else 8)
+    assert (out["height"], out["width"]) == (h, w)
+    assert np.array_equal(out["pixels"], want)
+
+
 def test_png_encoder_inverse_pins_the_operator_encoder():
     """encode_png_grey (the PRODUCT encoder image_pixel_stats rides) and
     the test-local encoder agree byte-for-byte on the grey cycling-filter
