@@ -965,7 +965,7 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def encode_png(pixels) -> bytes:
+def encode_png(pixels, interlace: int = 0) -> bytes:
     """Encode a ``(height, width, channels)`` uint8 array as a baseline
     8-bit PNG (greyscale / grey+alpha / RGB / RGBA from the channel
     count), row ``y`` filtered with type ``y % 5`` — deliberately
@@ -973,7 +973,13 @@ def encode_png(pixels) -> bytes:
     drives every :func:`_decode_png` unfilter path at scale. Pure
     stdlib (zlib + struct), the ENCODE inverse of the decoder;
     round-trip identity is pinned by deterministic and hypothesis
-    tests and (for the grey form) by the image-stats oracle."""
+    tests and (for the grey form) by the image-stats oracle.
+
+    ``interlace=1`` writes Adam7 output: the seven pass sub-images
+    (spec §8.2) each filtered independently with the same ``y % 5``
+    cycle — physically different bytes, logically identical pixels, so
+    an interlaced corpus exercises the decoder's de-interleave scatter
+    under the very same stats oracle as the baseline layout."""
     import struct
     import zlib
 
@@ -994,61 +1000,80 @@ def encode_png(pixels) -> bytes:
         )
     height, width, channels = pixels.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = width * channels
-    rows = pixels.reshape(height, stride).astype(np.int32)
-    lines = []
-    prev = np.zeros(stride, dtype=np.int32)
     zero = np.zeros(channels, np.int32)
-    for y in range(height):
-        f = y % 5
-        cur = rows[y]
-        left = np.concatenate([zero, cur[:-channels]])
-        upleft = np.concatenate([zero, prev[:-channels]])
-        if f == 0:
-            enc = cur
-        elif f == 1:
-            enc = cur - left
-        elif f == 2:
-            enc = cur - prev
-        elif f == 3:
-            enc = cur - ((left + prev) >> 1)
-        else:
-            p = left + prev - upleft
-            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
-            )
-            enc = cur - pred
-        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
-        prev = cur
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
+    def filtered(block: np.ndarray) -> bytes:
+        hh, ww, _ = block.shape
+        stride = ww * channels
+        rows = block.reshape(hh, stride).astype(np.int32)
+        lines = []
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(hh):
+            f = y % 5
+            cur = rows[y]
+            left = np.concatenate([zero, cur[:-channels]])
+            upleft = np.concatenate([zero, prev[:-channels]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - left
+            elif f == 2:
+                enc = cur - prev
+            elif f == 3:
+                enc = cur - ((left + prev) >> 1)
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                enc = cur - pred
+            lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+            prev = cur
+        return b"".join(lines)
+
+    if interlace:
+        body = b"".join(
+            filtered(sub)
+            for x0, y0, dx, dy in _PNG_ADAM7
+            for sub in (pixels[y0::dy, x0::dx],)
+            if sub.shape[0] and sub.shape[1]
+        )
+    else:
+        body = filtered(pixels)
+
+    def chunk(ctype: bytes, body_: bytes) -> bytes:
         return (
-            struct.pack(">I", len(body))
+            struct.pack(">I", len(body_))
             + ctype
-            + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            + body_
+            + struct.pack(">I", zlib.crc32(ctype + body_) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IDAT", zlib.compress(body))
         + chunk(b"IEND", b"")
     )
 
 
-def encode_png_grey(data: bytes, width: int, height: int) -> bytes:
+def encode_png_grey(
+    data: bytes, width: int, height: int, interlace: int = 0
+) -> bytes:
     """Byte-payload convenience over :func:`encode_png`: a GREYSCALE PNG
     whose pixel bytes are ``data`` truncated/zero-padded to
     ``width*height`` — the form whose DuckDB oracle can replay the
-    pixels straight from the payload bytes."""
+    pixels straight from the payload bytes (``interlace=1`` writes the
+    Adam7 layout of the SAME pixels, so the oracle is unchanged)."""
     import numpy as np
 
     n = width * height
     px = np.frombuffer(bytes(data)[:n].ljust(n, b"\0"), dtype=np.uint8)
-    return encode_png(px.reshape(height, width, 1))
+    return encode_png(px.reshape(height, width, 1), interlace=interlace)
 
 
 IMAGES_FROM_BYTES_SCHEMA = "doc_id long, payload binary"
@@ -1100,6 +1125,7 @@ def image_pixel_stats(
     height: int = 16,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    interlace: int = 0,
 ) -> DataFrame:
     """Image-modality plumbing, end to end and hash-verifiable: each
     payload's bytes become a REAL baseline greyscale PNG
@@ -1109,7 +1135,10 @@ def image_pixel_stats(
     exact in int64, so the Pandas-UDF fan-out hash-matches a DuckDB
     oracle that computes the same stats straight from the payload
     bytes). The encode→decode identity is therefore verified on every
-    row of the corpus, not just in unit tests.
+    row of the corpus, not just in unit tests. ``interlace=1`` writes
+    and decodes the Adam7 layout of the same pixels — physically
+    different bytes through the decoder's de-interleave scatter, same
+    stats, same oracle.
 
     Scale shape: mapInPandas over Arrow batches, one PNG per row, no
     driver involvement; at 100 TB the encode side disappears (payloads
@@ -1124,7 +1153,10 @@ def image_pixel_stats(
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 png = encode_png_grey(
-                    payload if payload is not None else b"", width, height
+                    payload if payload is not None else b"",
+                    width,
+                    height,
+                    interlace=interlace,
                 )
                 img = decode_media(png)
                 arr = img["pixels"].ravel().astype(np.int64)

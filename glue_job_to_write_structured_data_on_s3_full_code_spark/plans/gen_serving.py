@@ -327,6 +327,96 @@ FROM n
 """
 
 
+def gen_gc_horizon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GC end of the commit protocol under the driver's hash: a
+    build → append → rollback lifecycle is garbage-collected down to
+    ``keep_pointers=1``, and the report pins the POST-GC invariants —
+    exactly one retained pointer (the rollback head), the horizon
+    advanced to its sequence, and the served snapshot still accounting
+    for the full base corpus. Two ``min_age_s=0`` sweeps run because
+    generation deletion is leased: reachability is computed from the
+    pointers alive at sweep START, so the append generation survives
+    the sweep that drops its pointer and is reclaimed by the next
+    (operators/index_store.gen_index_gc — the historical-reader lease).
+    r17 swap candidate (registry is rotation-saturated); parity pinned
+    by tests/test_r17_swap_candidates.py, which also pins post-GC
+    SERVING (probe rows identical to the in-memory IVF on the base
+    corpus) and on-disk generation reclamation.
+
+    Crash-safe by ledger inspection: every interruption point
+    (fresh build / append committed but not rolled back / rollback at
+    head with any subset of GC sweeps done) is detected from the ledger
+    kinds and converges to the same report, and the GC sweeps
+    themselves are idempotent no-ops once converged — repeated
+    invocations (smoke, gate, bench) are stable by construction.
+    """
+    from ..operators.index_store import (
+        gen_index_catalog,
+        gen_index_gc,
+        gen_index_history,
+        gen_index_rollback,
+    )
+
+    tune(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 50 != 17)
+    idx = f"gen_gc_{_sf_tag(sf_dir)}"
+    if not gen_index_built(spark, idx):
+        gen_index_build(base, index_name=idx)
+    ledger = gen_index_history(spark, index_name=idx).collect()
+    # ledger `kind` comes from the POINTED generation's manifest, so the
+    # converged post-GC state — one pointer, the rollback head — also
+    # reads kind='build'. Sequence disambiguates: a FRESH build is the
+    # only single-pointer state at seq 1 (GC keeps the newest pointer,
+    # and the lifecycle's head commit is seq 3).
+    if len(ledger) == 1 and ledger[0].seq == 1:
+        # fresh build (or a crash before the append)
+        gen_index_append(
+            emb.where(F.col("vec_id") % 50 == 17),
+            index_name=idx,
+            idempotency_token="gc_probe:a0",
+        )
+        gen_index_rollback(spark, ledger[0].seq, index_name=idx)
+    elif ledger[-1].kind == "append":  # crash between append and rollback
+        builds = [r for r in ledger if r.kind == "build"]
+        if not builds:
+            raise ValueError(
+                f"generational index '{idx}' retains an append head but "
+                "no build commit — cannot identify the rollback base"
+            )
+        gen_index_rollback(spark, builds[0].seq, index_name=idx)
+    # else: the rollback is already at head — only the sweeps remain.
+    # Always sweep twice: the first drops pointers below the horizon,
+    # the second reclaims the generations those pointers leased; both
+    # are no-ops once converged.
+    gen_index_gc(spark, index_name=idx, keep_pointers=1, min_age_s=0.0)
+    gen_index_gc(spark, index_name=idx, keep_pointers=1, min_age_s=0.0)
+    cat = gen_index_catalog(spark, index_names=[idx])
+    return cat.select(
+        F.lit("gc_converged").alias("index_state"),
+        "head_seq",
+        "kind",
+        F.col("rows").alias("corpus_rows"),
+        "n_retained",
+        "oldest_retained_seq",
+    )
+
+
+# post-GC protocol invariants: the lifecycle commits three pointers
+# (build 1, append 2, rollback 3); gc(keep_pointers=1) retains ONLY the
+# rollback head, so the horizon advances to sequence 3 while the served
+# snapshot still accounts for the full base corpus
+GEN_GC_ORACLE = """
+SELECT 'gc_converged' AS index_state,
+       CAST(3 AS BIGINT) AS head_seq,
+       'build' AS kind,
+       CAST(count(*) AS BIGINT) AS corpus_rows,
+       CAST(1 AS INT) AS n_retained,
+       CAST(3 AS BIGINT) AS oldest_retained_seq
+FROM embeddings WHERE vec_id % 50 != 17
+"""
+
+
 # `gen_ivf_append` is the name bench.py has recorded for the two-fileset
 # probe since round 11 — the registry row keeps it so BENCH_r* history
 # lines up with the gate row. gen_ivf_rollback_probe and

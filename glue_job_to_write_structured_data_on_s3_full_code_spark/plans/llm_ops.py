@@ -1494,6 +1494,42 @@ FROM px
 """
 
 
+def multimodal_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Adam7 twin of :func:`multimodal_image_stats`: the same
+    payload bytes encode as an INTERLACED greyscale PNG
+    (operators/multimodal.encode_png(interlace=1) — seven independently
+    filtered pass sub-images), decode back through the native decoder's
+    de-interleave scatter, and report the same exact integer stats.
+    Physically different bytes, logically identical pixels — so
+    ``IMAGE_STATS_ORACLE`` gates this row UNCHANGED, and a hash match
+    proves the Adam7 pass geometry is exact on every corpus row (a
+    mis-scattered pixel moves px_sum). r17 swap candidate (registry is
+    rotation-saturated); parity pinned by
+    tests/test_r17_swap_candidates.py.
+
+    Scale shape: identical to the baseline row — mapInPandas, map-only,
+    one PNG per row, no shuffle, no driver involvement.
+    """
+    from ..operators.multimodal import image_pixel_stats
+
+    tune(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    stats = image_pixel_stats(payloads, width=16, height=16, interlace=1)
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        F.round(F.col("px_sum") / F.lit(256.0), 9).alias("px_mean"),
+        "px_min",
+        "px_max",
+    )
+
+
 def image_thumbnail_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail-dedup: the image-corpus near-dup pipeline, end to end
     through the REAL codec twice — each document's bytes become a 16×16
