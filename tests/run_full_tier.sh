@@ -1,35 +1,48 @@
 #!/bin/sh
 # Full test tier on a wall-clock budget (COVERAGE.md "Test tiers").
 #
-# The sandbox has no pytest-xdist, so the split is process-level: the
-# DuckDB-hash parity sweeps (-m parity: the 201-case registry sweep +
-# the retired-row sweep — the full tier's biggest sequential chunk) run
-# CONCURRENTLY with everything else (-m "not parity"). The two pytest
-# processes are separate JVMs with app-scoped staging dirs
-# (operators/similarity._ivf_index_path keys on applicationId), so they
-# share nothing but the read-only testdata. Each gets half the cores;
-# Spark jobs at test scale are scheduling-bound, not core-bound, so the
-# halves lose little and the wall time is max(half) instead of sum.
+# The sandbox has no pytest-xdist, so the split is process-level — three
+# concurrent pytest processes (separate JVMs; app-scoped staging dirs
+# keep them isolated; they share only the read-only testdata):
 #
-# Usage: tests/run_full_tier.sh [extra pytest args for BOTH halves]
+#   parity — the DuckDB-hash sweeps (-m parity): the 201-case registry
+#            sweep + the retired-row sweep       (~5 min)
+#   slow   — the rest of the slow tier (-m "slow and not parity"):
+#            property suites, crash-injection + lifecycle index tests,
+#            registry-wide plan sweeps, equivalence stress, streaming
+#            batch-parity, swap-candidate staging  (~15 min — the
+#            critical path)
+#   core   — everything unmarked (-m "not slow")   (~5 min)
+#
+# Wall time is max(slow half) instead of the 30:15 a single process
+# measured at the r14 HEAD. Each process gets a third of the cores;
+# Spark jobs at test scale are scheduling-bound, not core-bound.
+#
+# Usage: tests/run_full_tier.sh [extra pytest args for ALL thirds]
 set -u
 cd "$(dirname "$0")/.."
 
-HALF_CPUS=${SPARK_GRAFT_TIER_CPUS:-16}
+THIRD_CPUS=${SPARK_GRAFT_TIER_CPUS:-10}
 
-SPARK_GRAFT_CPUS=$HALF_CPUS python -m pytest tests/ -m parity -q "$@" \
+SPARK_GRAFT_CPUS=$THIRD_CPUS python -m pytest tests/ -m parity -q "$@" \
     >/tmp/full_tier_parity.log 2>&1 &
 parity_pid=$!
-SPARK_GRAFT_CPUS=$HALF_CPUS python -m pytest tests/ -m "not parity" -q "$@" \
-    >/tmp/full_tier_rest.log 2>&1 &
-rest_pid=$!
+SPARK_GRAFT_CPUS=$THIRD_CPUS python -m pytest tests/ -m "slow and not parity" -q "$@" \
+    >/tmp/full_tier_slow.log 2>&1 &
+slow_pid=$!
+SPARK_GRAFT_CPUS=$THIRD_CPUS python -m pytest tests/ -m "not slow" -q "$@" \
+    >/tmp/full_tier_core.log 2>&1 &
+core_pid=$!
 
 wait "$parity_pid"; parity_rc=$?
-wait "$rest_pid"; rest_rc=$?
+wait "$slow_pid"; slow_rc=$?
+wait "$core_pid"; core_rc=$?
 
-echo "== parity half (rc=$parity_rc) =="
+echo "== parity third (rc=$parity_rc) =="
 tail -n 3 /tmp/full_tier_parity.log
-echo "== rest half (rc=$rest_rc) =="
-tail -n 3 /tmp/full_tier_rest.log
+echo "== slow third (rc=$slow_rc) =="
+tail -n 3 /tmp/full_tier_slow.log
+echo "== core third (rc=$core_rc) =="
+tail -n 3 /tmp/full_tier_core.log
 
-[ "$parity_rc" -eq 0 ] && [ "$rest_rc" -eq 0 ]
+[ "$parity_rc" -eq 0 ] && [ "$slow_rc" -eq 0 ] && [ "$core_rc" -eq 0 ]
