@@ -65,36 +65,53 @@ def connected_components(
         "components_labels_init",
     )
 
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym.b == labels.node
         ).select(F.col("a").alias("node"), "component")
         # pointer jumping: adopt my current component's OWN current label
         # (component values are node ids, and every one is in `labels`
         # by the endpoint-complete init) — this is what turns chain
-        # convergence from O(diameter) rounds into O(log diameter)
-        jumped = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
-            .select(
-                F.col("l1.node").alias("node"),
-                F.col("l2.component").alias("component"),
-            )
+        # convergence from O(diameter) rounds into O(log diameter).
+        # Round 1 skips it (r15): on the identity init every label IS its
+        # own node, so the self-join would reproduce `labels` verbatim —
+        # one join and one shuffle of pure no-op work.
+        candidates = labels.select(
+            "node", "component", F.col("component").alias("old_component")
+        ).unionByName(
+            neighbor_labels.withColumn("old_component", F.lit(None).cast(
+                labels.schema["component"].dataType.simpleString()
+            ))
         )
-        new_labels = eager_checkpoint(
-            labels.union(neighbor_labels)
-            .union(jumped)
-            .groupBy("node")
-            .agg(F.min("component").alias("component")),
+        if round_no > 0:
+            jumped = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
+                .select(
+                    F.col("l1.node").alias("node"),
+                    F.col("l2.component").alias("component"),
+                    F.lit(None).cast(
+                        labels.schema["component"].dataType.simpleString()
+                    ).alias("old_component"),
+                )
+            )
+            candidates = candidates.unionByName(jumped)
+        # the convergence probe rides the SAME aggregate (r15): the old
+        # label travels as a tagged column (unique per node — only the
+        # `labels` branch carries it), so "did anything change" is a
+        # filter+count over the just-checkpointed round output instead of
+        # a second join job against the previous labels
+        new_with_old = eager_checkpoint(
+            candidates.groupBy("node").agg(
+                F.min("component").alias("component"),
+                F.max("old_component").alias("old_component"),
+            ),
             "components_labels_round",
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_with_old.where(
+            F.col("component") != F.col("old_component")
+        ).count()
+        labels = new_with_old.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(

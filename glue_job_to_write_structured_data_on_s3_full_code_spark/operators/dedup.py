@@ -437,19 +437,16 @@ def minhash_lsh_candidates(
     toks = df.repartition(par).select(
         F.col(id_col).alias("doc_id"), tokens(normalized_text(text_col)).alias("ts")
     )
-    n = F.size(F.col("ts"))
+    gram = ", ".join(
+        "ts[i]" if k == 0 else f"ts[i + {k}]" for k in range(shingle_len)
+    )
     shingled = toks.select(
         "doc_id",
-        F.array_distinct(
-            F.when(
-                n >= shingle_len,
-                F.transform(
-                    F.sequence(F.lit(0), n - shingle_len),
-                    lambda i: F.concat_ws(
-                        " ", *[F.col("ts")[i + k] for k in range(shingle_len)]
-                    ),
-                ),
-            ).otherwise(F.array(F.concat_ws(" ", "ts")))
+        F.expr(
+            f"array_distinct(CASE WHEN size(ts) >= {shingle_len} THEN "
+            f"transform(sequence(0, size(ts) - {shingle_len}), "
+            f"i -> concat_ws(' ', {gram})) "
+            "ELSE array(concat_ws(' ', ts)) END)"
         ).alias("shingles"),
     )
 
@@ -463,31 +460,32 @@ def minhash_lsh_candidates(
     # each family member is then two multiplies and a mod. Band keys hash
     # signature slices; emitting them with one array<struct> explode keeps
     # a single pass (not one select per band unioned).
+    # Expression trees below are built as SQL strings parsed ONCE
+    # (F.expr): the Column/lambda composition they replace is
+    # value-identical but costs one py4j round-trip per sub-expression —
+    # measured as a multi-second driver-side plan-construction tax per
+    # invocation (r15; see operators/similarity._cosine_cols).
     M = MINHASH_MOD
     if hash_family == "xxhash64":
         # two seeded 64-bit hashes per shingle, reduced mod M (pmod:
         # xxhash64 is signed). No hex parsing, no md5 — pure codegen.
         uv = shingled.withColumn(
             "uv",
-            F.transform(
-                "shingles",
-                lambda s: F.struct(
-                    F.pmod(F.xxhash64(s), F.lit(M)).alias("u"),
-                    F.pmod(F.xxhash64(F.lit("v"), s), F.lit(M)).alias("v"),
-                ),
+            F.expr(
+                "transform(shingles, s -> named_struct("
+                f"'u', pmod(xxhash64(s), {M}), "
+                f"'v', pmod(xxhash64('v', s), {M})))"
             ),
         )
     elif hash_family == "md5cw":
         uv = shingled.withColumn(
-            "_hex", F.transform("shingles", lambda s: F.md5(s))
+            "_hex", F.expr("transform(shingles, s -> md5(s))")
         ).withColumn(
             "uv",
-            F.transform(
-                "_hex",
-                lambda h: F.struct(
-                    (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % M).alias("u"),
-                    (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % M).alias("v"),
-                ),
+            F.expr(
+                "transform(_hex, h -> named_struct("
+                f"'u', CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % {M}, "
+                f"'v', CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT) % {M}))"
             ),
         )
     else:
@@ -496,36 +494,41 @@ def minhash_lsh_candidates(
             "(expected 'md5cw' or 'xxhash64')"
         )
 
-    def _hasher(a: int, b: int, c: int):
-        # factory, not default args: PySpark keys the lambda's arity off
-        # its signature, and extra (defaulted) parameters would silently
-        # switch transform() to its (element, index) form
-        return lambda p: ((a * p["u"]) % M + (b * p["v"]) % M + c) % M
-
     sig_cols = [
-        F.array_min(F.transform("uv", _hasher(a, b, c))).alias(f"h{i}")
+        F.expr(
+            f"array_min(transform(uv, p -> "
+            f"(({a} * p.u) % {M} + ({b} * p.v) % {M} + {c}) % {M}))"
+        ).alias(f"h{i}")
         for i, (a, b, c) in enumerate(minhash_coeffs(num_hashes))
     ]
     sig = uv.select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh"), *sig_cols
     )
+    # Materialize the signature table ONCE before the band self-join (r15,
+    # guide §2.4/§5): the join's two inputs are separate plan branches, so
+    # without a lineage break the whole pre-band pipeline (tokenize →
+    # shingle → md5 → 16 array_min signatures — the CPU-heavy map side)
+    # executes TWICE, once per side (and the build side is collected for a
+    # broadcast at small scale). Signature materialization is the standard
+    # MinHash-at-scale shape (one corpus pass emits signatures, every
+    # banding/join step reads the materialized frame); measured ~15%
+    # end-to-end at sf0.1 with a bit-identical pair set.
+    from ..session import eager_checkpoint
+
+    sig = eager_checkpoint(sig, "minhash_signatures")
     rows_per_band = num_hashes // bands
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
+    band_entries = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('band', {b}, 'band_key', md5(concat_ws(',', {hs})))".format(
+                b=b,
+                hs=", ".join(
+                    f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+                ),
             )
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     # carry the shingle set through the band join so verification needs no
     # extra join back to an exploded posting table: candidates are few by

@@ -75,6 +75,8 @@ from pyspark.sql import functions as F
 
 from .similarity import (
     _as_double,
+    _as_double_name,
+    _cosine_cols,
     _corpus_fingerprint,
     _dot,
     _fp_core,
@@ -1070,7 +1072,7 @@ def gen_index_build(
     assigned = _ivf_assign(
         corpus.repartition(par).select(
             F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
+            _as_double_name(vec_col).alias("cv"),
         ),
         cents,
         "neighbor_id",
@@ -1184,7 +1186,7 @@ def gen_index_append(
         assigned = _ivf_assign(
             batch.repartition(par).select(
                 F.col(id_col).alias("neighbor_id"),
-                _as_double(F.col(vec_col)).alias("cv"),
+                _as_double_name(vec_col).alias("cv"),
             ),
             cents,
             "neighbor_id",
@@ -1322,7 +1324,7 @@ def gen_index_probe(
 
     q_plan = _ivf_assign(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("query_id"), _as_double_name(vec_col).alias("qv")
         ),
         cents,
         "query_id",
@@ -1376,13 +1378,7 @@ def gen_index_probe(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cosine"),
+            _cosine_cols("qv", "cv").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2069,13 +2065,7 @@ def gen_index_rebalance(
             "neighbor_id",
             "cv",
             "sub_id",
-            (
-                _dot(F.col("cv"), F.col("sub_v"))
-                / (
-                    F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                    * F.sqrt(_dot(F.col("sub_v"), F.col("sub_v")))
-                )
-            ).alias("sub_cos"),
+            _cosine_cols("cv", "sub_v").alias("sub_cos"),
             "parent",
         )
         wr = Window.partitionBy("parent", "neighbor_id").orderBy(

@@ -44,8 +44,39 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """The SQL spelling of :func:`_dot` over two column NAMES — parses to
+    the identical Catalyst tree (ArrayAggregate over ArraysZipWith, double
+    zero seed, left-to-right fold)."""
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _cosine_cols(a: str, b: str) -> Column:
+    """``cosine(`a`, `b`)`` as ONE parsed expression.
+
+    Value-identical to composing :func:`_dot` + ``F.sqrt`` Column ops (the
+    parser builds the same expression nodes), but costs a single py4j
+    round-trip instead of ~60: every ``F.zip_with``/``F.aggregate`` lambda
+    crosses the Python↔JVM socket once per sub-expression, and the cosine
+    block (3 dots + 2 sqrts) repeated across the ANN family made plan
+    CONSTRUCTION a measured multi-second driver cost per query (r15,
+    guide §1/§7.3 — driver-side work the cluster never parallelizes)."""
+    return F.expr(
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _as_double_name(name: str) -> Column:
+    """:func:`_as_double` over a column NAME as one parsed expression (same
+    tree, one py4j round-trip — see :func:`_cosine_cols`)."""
+    return F.expr(f"transform(`{name}`, x -> CAST(x AS DOUBLE))")
 
 
 #: Shared rounding precision for every near-dup threshold compare — one
@@ -80,13 +111,13 @@ def cosine_topk(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _as_double_name(vec_col).alias("qv")
     )
     # broadcast probes inherit the scan's partitioning; a small corpus file
     # is ONE partition and would score single-threaded (see cosine_neardup)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _as_double_name(vec_col).alias("cv")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -94,13 +125,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cosine"),
+            _cosine_cols("qv", "cv").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -185,7 +210,7 @@ def cosine_neardup(
             corpus, vec_col, id_col, threshold, num_blocks=num_blocks
         )
     v = corpus.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
+        F.col(id_col).alias("vid"), _as_double_name(vec_col).alias("vv")
     ).withColumn("vnorm", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
 
     # a small corpus arrives as ONE input partition; the broadcast
@@ -406,7 +431,7 @@ def _ivf_centroids(
         (F.col(id_col) % centroid_mod == 0)
         & (F.col(id_col) < centroid_mod * max_centroids)
     ).select(
-        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_v")
+        F.col(id_col).alias("cent_id"), _as_double_name(vec_col).alias("cent_v")
     )
 
 
@@ -437,13 +462,7 @@ def _ivf_assign(
         side_id,
         side_vec,
         "cent_id",
-        (
-            _dot(F.col(side_vec), F.col("cent_v"))
-            / (
-                F.sqrt(_dot(F.col(side_vec), F.col(side_vec)))
-                * F.sqrt(_dot(F.col("cent_v"), F.col("cent_v")))
-            )
-        ).alias("cent_cos"),
+        _cosine_cols(side_vec, "cent_v").alias("cent_cos"),
     )
     if keep == 1 and rank_col is None:
         return (
@@ -504,7 +523,7 @@ def ivf_topk(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = _ivf_assign(
         corpus.repartition(par).select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+            F.col(id_col).alias("neighbor_id"), _as_double_name(vec_col).alias("cv")
         ),
         cents,
         "neighbor_id",
@@ -513,7 +532,7 @@ def ivf_topk(
     )
     q = _ivf_assign(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("query_id"), _as_double_name(vec_col).alias("qv")
         ),
         cents,
         "query_id",
@@ -527,13 +546,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cosine"),
+            _cosine_cols("qv", "cv").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -584,7 +597,7 @@ def ivf_topk_curve(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = _ivf_assign(
         corpus.repartition(par).select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+            F.col(id_col).alias("neighbor_id"), _as_double_name(vec_col).alias("cv")
         ),
         cents,
         "neighbor_id",
@@ -593,7 +606,7 @@ def ivf_topk_curve(
     )
     q = _ivf_assign(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("query_id"), _as_double_name(vec_col).alias("qv")
         ),
         cents,
         "query_id",
@@ -609,13 +622,7 @@ def ivf_topk_curve(
             "query_id",
             "neighbor_id",
             "probe_rank",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cosine"),
+            _cosine_cols("qv", "cv").alias("cosine"),
         )
     )
     levels = corpus.sparkSession.range(1, nprobe_max + 1).select(
@@ -1010,7 +1017,7 @@ def build_ivf_index(
     assigned = _ivf_assign(
         corpus.repartition(par).select(
             F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
+            _as_double_name(vec_col).alias("cv"),
         ),
         cents,
         "neighbor_id",
@@ -1151,7 +1158,7 @@ def ivf_index_append(
     assigned = _ivf_assign(
         batch.repartition(par).select(
             F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
+            _as_double_name(vec_col).alias("cv"),
         ),
         cents,
         "neighbor_id",
@@ -2205,7 +2212,7 @@ def ivf_index_probe(
     cents = spark.read.parquet(f"{path}__meta/centroids")
     q = _ivf_assign(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("query_id"), _as_double_name(vec_col).alias("qv")
         ),
         cents,
         "query_id",
@@ -2228,13 +2235,7 @@ def ivf_index_probe(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cosine"),
+            _cosine_cols("qv", "cv").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2380,27 +2381,28 @@ def lsh_bucketed_topk(
 
     planes = lsh_plane_signs(num_planes, dim, seed)
 
-    def bucket_bits(vcol: Column) -> Column:
+    def bucket_bits(vname: str) -> Column:
+        # ONE parsed expression for the whole key (r15): the per-plane
+        # F.array(64 lits) + zip_with/aggregate lambdas cost hundreds of
+        # py4j round-trips per call site — the parser builds the identical
+        # tree (same ±1 literals, same fold) from a single string.
         bits = []
         for signs in planes:
+            arr = ", ".join(str(s) for s in signs)
             if quantize_scale is not None:
-                w = F.array(*[F.lit(s) for s in signs])
-                s = F.aggregate(
-                    F.zip_with(
-                        vcol, w, lambda x, wi: F.floor(x * quantize_scale) * wi
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, t: acc + t,
+                s = (
+                    f"aggregate(zip_with(`{vname}`, array({arr}), "
+                    f"(x, wi) -> floor(x * {quantize_scale}) * wi), "
+                    "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
                 )
             else:
-                w = F.array(*[F.lit(float(s)) for s in signs])
-                s = F.aggregate(
-                    F.zip_with(vcol, w, lambda x, wi: x * wi),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
+                arr = ", ".join(f"{float(s)}D" for s in signs)
+                s = (
+                    f"aggregate(zip_with(`{vname}`, array({arr}), "
+                    "(x, wi) -> x * wi), 0.0D, (acc, t) -> acc + t)"
                 )
-            bits.append(F.when(s > 0, "1").otherwise("0"))
-        return F.concat(*bits)
+            bits.append(f"CASE WHEN {s} > 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(bits) + ")")
 
     # fail fast on a dim mismatch: zip_with null-pads the shorter side,
     # which would silently collapse every bucket key to all-zero bits
@@ -2414,20 +2416,20 @@ def lsh_bucketed_topk(
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
+            _as_double_name(vec_col).alias("qv"),
         )
         .where(checked(F.col("qv")))
-        .withColumn("bucket", bucket_bits(F.col("qv")))
+        .withColumn("bucket", bucket_bits("qv"))
     )
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = (
         corpus.repartition(par)
         .select(
             F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
+            _as_double_name(vec_col).alias("cv"),
         )
         .where(checked(F.col("cv")))
-        .withColumn("bucket", bucket_bits(F.col("cv")))
+        .withColumn("bucket", bucket_bits("cv"))
     )
 
     scored = (
@@ -2436,13 +2438,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cosine"),
+            _cosine_cols("qv", "cv").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2528,7 +2524,7 @@ def pq_topk(
     ).select(
         F.col(id_col).alias("cent_id"),
         *[
-            subvec(_as_double(F.col(vec_col)), m).alias(f"cent_s{m}")
+            subvec(_as_double_name(vec_col), m).alias(f"cent_s{m}")
             for m in range(num_subspaces)
         ],
     )
@@ -2536,7 +2532,7 @@ def pq_topk(
     c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("cid"),
         *[
-            subvec(_as_double(F.col(vec_col)), m).alias(f"s{m}")
+            subvec(_as_double_name(vec_col), m).alias(f"s{m}")
             for m in range(num_subspaces)
         ],
     )
@@ -2575,7 +2571,7 @@ def pq_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             *[
-                subvec(_as_double(F.col(vec_col)), m).alias(f"q{m}")
+                subvec(_as_double_name(vec_col), m).alias(f"q{m}")
                 for m in range(num_subspaces)
             ],
         )
@@ -2685,7 +2681,7 @@ def ivfpq_topk(
         (F.col(id_col) % coarse_mod == 0)
         & (F.col(id_col) < coarse_mod * max_centroids)
     ).select(
-        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cell_v")
+        F.col(id_col).alias("cell"), _as_double_name(vec_col).alias("cell_v")
     )
 
     def coarse_assign(df: DataFrame, side_id: str, side_vec: str, keep: int) -> DataFrame:
@@ -2737,7 +2733,7 @@ def ivfpq_topk(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c_assigned = coarse_assign(
         corpus.repartition(par).select(
-            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+            F.col(id_col).alias("cid"), _as_double_name(vec_col).alias("cv")
         ),
         "cid",
         "cv",
@@ -2757,7 +2753,7 @@ def ivfpq_topk(
             (F.col(id_col) % pq_mod == 0)
             & (F.col(id_col) < pq_mod * max_centroids)
         ).select(
-            F.col(id_col).alias("pq_id"), _as_double(F.col(vec_col)).alias("pv")
+            F.col(id_col).alias("pq_id"), _as_double_name(vec_col).alias("pv")
         ),
         "pq_id",
         "pv",
@@ -2796,7 +2792,7 @@ def ivfpq_topk(
 
     q_assigned = coarse_assign(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("query_id"), _as_double_name(vec_col).alias("qv")
         ),
         "query_id",
         "qv",

@@ -431,6 +431,14 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr("substring(md5(cast(doc_id as string)), 1, 2)") < "d3")
         .select("doc_id", "source", "text", "n_tokens", "ttr")
     )
+    # Materialize the curated set ONCE (r15, guide §2.4): it feeds BOTH the
+    # MinHash candidate pipeline and the anti-join's probe side — without a
+    # lineage break the whole curation prefix (tokenize → quality gate →
+    # fingerprint window) executes once per consumer, i.e. two full corpus
+    # passes and two fingerprint shuffles instead of one.
+    from ..session import eager_checkpoint
+
+    curated = eager_checkpoint(curated, "pretraining_curated")
     pairs = minhash_lsh_candidates(curated, "text", "doc_id")
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     # the loser set is proportional to the near-dup count, orders of

@@ -179,27 +179,39 @@ def ngram_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the GPT-3/PaLM-style n-gram overlap check). Train/eval reuse the
     deterministic md5-bucket split from hash_split_train_eval.
 
-    The overlap join runs on md5(gram) — 32-hex-char keys — so at 100 TB
-    the shuffle carries fixed-width digests instead of raw 5-gram text;
-    both engines join the digest, so collisions (if any) affect both
-    identically."""
+    Every shuffle carries md5(gram) — 32-hex-char keys — so at 100 TB
+    fixed-width digests move instead of raw 5-gram text; both engines key
+    on the digest, so collisions (if any) affect both identically.
+
+    The train-overlap test is a ``max(bucket < cut) over (partition by
+    gh)`` window on the ONE distinct gram table instead of a distinct
+    train-digest set joined back: the join formulation generated the
+    grams TWICE (once per branch — two full scan→tokenize→explode chains)
+    and re-shuffled both sides for the digest join, with the train-digest
+    build side an UNBOUNDED broadcast at scale (train grams are
+    corpus-sized). The window sees train and eval rows of a digest in the
+    same partition, so one gram generation and one digest exchange decide
+    contamination (guide §2.4). r15: 2 scans / 2 Generates / 4 Exchanges
+    + corpus-sized broadcast → 1 scan / 1 Generate / 3 Exchanges."""
     tune(spark)
+    from pyspark.sql import Window
+
     docs = read_table(spark, sf_dir, "documents")
     bucket = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
     grams = five_gram_digests(
         docs.select("doc_id", bucket.alias("bucket"), "text"), "doc_id", "bucket"
     )
-    train_g = (
-        grams.where(F.col("bucket") < TRAIN_BUCKET_MAX).select("gh").distinct()
-    )
-    eval_g = grams.where(F.col("bucket") >= TRAIN_BUCKET_MAX)
+    hit = F.max(
+        F.when(F.col("bucket") < TRAIN_BUCKET_MAX, 1).otherwise(0)
+    ).over(Window.partitionBy("gh"))
     return (
-        eval_g.join(train_g.withColumn("hit", F.lit(1)), "gh", "left")
+        grams.withColumn("hit", hit)
+        .where(F.col("bucket") >= TRAIN_BUCKET_MAX)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_ngrams"),
-            F.count("hit").alias("n_contaminated"),
-            F.round(F.count("hit") / F.count("*"), 6).alias("contamination"),
+            F.sum("hit").alias("n_contaminated"),
+            F.round(F.sum("hit") / F.count("*"), 6).alias("contamination"),
         )
         .withColumn("flagged", F.col("contamination") >= 0.5)
     )

@@ -422,21 +422,32 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     `repetition_ratio_filter` (within-doc): this is the cross-document
     span-duplication rate that drives substring-trimming decisions.
 
-    Both shuffles carry 32-hex md5 digests, never gram text: one groupBy
-    on the digest for corpus frequencies, one digest-equality join back.
-    No broadcast — the gram-frequency table is corpus-sized by design.
+    Every shuffle carries 32-hex md5 digests, never gram text. The corpus
+    frequency is a ``count(*) over (partition by gh)`` window on the ONE
+    distinct gram table instead of a groupBy + join back: the join
+    formulation generated the grams TWICE (two full scan→tokenize→explode
+    chains, one per join input) and shuffled the gram table twice more for
+    the frequency join — the window gets the same per-row count from a
+    single gram generation and a single digest exchange (guide §2.4: two
+    operations keyed the same way share one exchange). r15: 2 scans /
+    2 Generates / 4 Exchanges + a corpus-sized broadcast → 1 scan /
+    1 Generate / 3 Exchanges, no broadcast (at 100 TB the frequency side
+    would not fit a broadcast and the join would add two sort-merge
+    exchanges instead).
 
     Gram generation uses llm_ops3.five_gram_digests (index-explode — the
     lambda-inlining hazard documented there and in SCALE.md's tuning log
     measured 77 s vs 2 s at sf0.1 for this query)."""
     tune(spark)
+    from pyspark.sql import Window
+
     from .llm_ops3 import five_gram_digests
 
     docs = read_table(spark, sf_dir, "documents")
     grams = five_gram_digests(docs.select("doc_id", "text"), "doc_id")
-    freq = grams.groupBy("gh").agg(F.count("*").alias("nd"))
+    nd = F.count("*").over(Window.partitionBy("gh"))
     return (
-        grams.join(freq, "gh")
+        grams.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -47,7 +47,15 @@ _TOKS = "string_split_regex({norm}, '\\s+')"
 
 
 def _u_col(tok) -> F.Column:
-    """One md5 per token → u ∈ [0, P): the seed every dimension mixes."""
+    """One md5 per token → u ∈ [0, P): the seed every dimension mixes.
+
+    Accepts a column NAME (one parsed expression — cheap plan
+    construction, see operators/similarity._cosine_cols) or a Column."""
+    if isinstance(tok, str):
+        return F.expr(
+            f"CAST(conv(substring(md5(`{tok}`), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_P}"
+        )
     return (
         F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % _P
     )
@@ -68,21 +76,33 @@ def _dim_weight_sql(j: int) -> str:
     return f"(({a} * u + {b}) % {_P}) % 3 - 1"
 
 
+_EMB_ARRAY_SQL = "array(" + ", ".join(f"e{j}" for j in range(_DIM)) + ")"
+_NRM_SQL = (
+    f"aggregate(transform({_EMB_ARRAY_SQL}, x -> x * x), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+#: integer dot of two array<long> columns — ONE parsed expression (same
+#: tree as the zip_with/aggregate Column composition, a fraction of its
+#: py4j plan-construction cost; all-integer, so no float-order hazard)
+_DOT_LONG_SQL = (
+    "aggregate(zip_with(`{a}`, `{b}`, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
 def _embed(tok_df: DataFrame, *keys: str) -> DataFrame:
     """(keys..., tok) → (keys..., emb array<long>, nrm). Rows whose key
     has zero tokens simply don't appear (nothing to embed)."""
-    with_u = tok_df.withColumn("u", _u_col(F.col("tok")))
+    with_u = tok_df.withColumn("u", _u_col("tok"))
     aggs = [
-        F.sum(_dim_weight(j)).alias(f"e{j}") for j in range(_DIM)
+        F.expr(f"sum({_dim_weight_sql(j)})").alias(f"e{j}") for j in range(_DIM)
     ]
     by_key = with_u.groupBy(*keys).agg(*aggs)
-    emb = F.array(*[F.col(f"e{j}") for j in range(_DIM)])
-    nrm = F.aggregate(
-        F.transform(emb, lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    return by_key.select(
+        *keys,
+        F.expr(_EMB_ARRAY_SQL).alias("emb"),
+        F.expr(_NRM_SQL).alias("nrm"),
     )
-    return by_key.select(*keys, emb.alias("emb"), nrm.alias("nrm"))
 
 
 def _embed_sql(src: str, keys: str, text_expr: str) -> str:
@@ -169,11 +189,7 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
 
-    dot = F.aggregate(
-        F.zip_with("q_emb", "emb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    dot = F.expr(_DOT_LONG_SQL.format(a="q_emb", b="emb"))
     scored = (
         chunk_emb.where(F.col("nrm") > 0)
         .crossJoin(F.broadcast(q_emb.where(F.col("q_nrm") > 0)))
@@ -424,7 +440,7 @@ def _doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
     )
     aggs = [F.count("*").alias("dl")] + [
-        F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
+        F.expr(f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END)").alias(f"tf{i}")
         for i, t in enumerate(QUERY_TERMS)
     ]
     return eager_checkpoint(tok.groupBy("doc_id").agg(*aggs), "bm25_doc_stats")
@@ -549,14 +565,14 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.where(normalized_text("text") != "").select(
         "doc_id", F.explode(tokens(normalized_text("text"))).alias("tok")
     )
-    with_u = tok.withColumn("u", _u_col(F.col("tok")))
+    with_u = tok.withColumn("u", _u_col("tok"))
     aggs = (
         [F.count("*").alias("dl")]
         + [
-            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
+            F.expr(f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END)").alias(f"tf{i}")
             for i, t in enumerate(QUERY_TERMS)
         ]
-        + [F.sum(_dim_weight(j)).alias(f"e{j}") for j in range(_DIM)]
+        + [F.expr(f"sum({_dim_weight_sql(j)})").alias(f"e{j}") for j in range(_DIM)]
     )
     per_doc = eager_checkpoint(
         with_u.groupBy("doc_id").agg(*aggs), "hybrid_doc_stats"
@@ -573,13 +589,11 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lex_rank")
     )
 
-    emb = F.array(*[F.col(f"e{j}") for j in range(_DIM)])
-    nrm = F.aggregate(
-        F.transform(emb, lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    doc_emb = per_doc.select(
+        "doc_id",
+        F.expr(_EMB_ARRAY_SQL).alias("emb"),
+        F.expr(_NRM_SQL).alias("nrm"),
     )
-    doc_emb = per_doc.select("doc_id", emb.alias("emb"), nrm.alias("nrm"))
     qdf = spark.createDataFrame(
         [(0, " ".join(QUERY_TERMS))], "qid int, text string"
     )
@@ -587,11 +601,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = _embed(q_tok, "qid").select(
         F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
-    dot = F.aggregate(
-        F.zip_with("q_emb", "emb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    dot = F.expr(_DOT_LONG_SQL.format(a="q_emb", b="emb"))
     sem = (
         doc_emb.where(F.col("nrm") > 0)
         .crossJoin(F.broadcast(q_emb.where(F.col("q_nrm") > 0)))
