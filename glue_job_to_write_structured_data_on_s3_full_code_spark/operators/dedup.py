@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, tokens
+from ..session import spread_small_input
 
 # Modulus of the MinHash universal-hash family: the Mersenne prime 2^31-1.
 # Small enough that (a·u) with a, u < M stays under 2^62 — no 64-bit
@@ -373,8 +374,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     # not subexpression-eliminated and would hash every token 32× (measured
     # 2.0 s → 1.1 s at sf0.1). Spread a single-partition scan so the
     # tokenize+hash map side is parallel (no-op on a partitioned scan).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    doc_tok = _doc_tokens(df.repartition(par), text_col, id_col).withColumn(
+    doc_tok = _doc_tokens(spread_small_input(df), text_col, id_col).withColumn(
         "_h", F.md5(F.col("tok"))
     )
     high = list("89abcdef")
@@ -433,8 +433,7 @@ def minhash_lsh_candidates(
     # all pre-band work is row-local; a small fixture arrives as ONE scan
     # partition and would hash single-threaded, so spread it (no-op knob
     # when the scan is already partitioned, as at 100 TB)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(par).select(
+    toks = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"), tokens(normalized_text(text_col)).alias("ts")
     )
     gram = ", ".join(

@@ -73,6 +73,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import spread_small_input
 from .similarity import (
     _as_double,
     _as_double_name,
@@ -1068,9 +1069,8 @@ def gen_index_build(
             "fingerprint claimed the full corpus — pick a centroid_mod "
             "that divides some corpus ids"
         )
-    par = spark.sparkContext.defaultParallelism
     assigned = _ivf_assign(
-        corpus.repartition(par).select(
+        spread_small_input(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             _as_double_name(vec_col).alias("cv"),
         ),
@@ -1182,9 +1182,8 @@ def gen_index_append(
         cents = spark.read.parquet(
             os.path.join(root, parent_manifest["centroids"])
         )
-        par = spark.sparkContext.defaultParallelism
         assigned = _ivf_assign(
-            batch.repartition(par).select(
+            spread_small_input(batch).select(
                 F.col(id_col).alias("neighbor_id"),
                 _as_double_name(vec_col).alias("cv"),
             ),

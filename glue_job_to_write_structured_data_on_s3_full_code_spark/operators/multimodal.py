@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread_small_input
+
 MEDIA_FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, digest string, fake_width int, fake_height int, "
     "features array<double>"
@@ -687,7 +689,7 @@ def extract_media_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over opaque binary payloads."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return src.mapInPandas(_fake_extract, schema=MEDIA_FEATURE_SCHEMA)
+    return spread_small_input(src).mapInPandas(_fake_extract, schema=MEDIA_FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"
@@ -729,7 +731,7 @@ def resize_media(
             )
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return src.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    return spread_small_input(src).mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
@@ -767,7 +769,7 @@ def sample_frames(
             )
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return src.mapInPandas(_frames, schema=FRAME_SCHEMA)
+    return spread_small_input(src).mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
 PHASH_SCHEMA = "doc_id long, phash long"
@@ -866,7 +868,7 @@ def perceptual_hash(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": packed})
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return src.mapInPandas(_phash, schema=PHASH_SCHEMA)
+    return spread_small_input(src).mapInPandas(_phash, schema=PHASH_SCHEMA)
 
 
 AUDIO_ENERGY_SCHEMA = "doc_id long, frame_idx int, n_samples int, rms double"
@@ -956,7 +958,7 @@ def audio_frame_energy(
             )
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return src.mapInPandas(_energy, schema=AUDIO_ENERGY_SCHEMA)
+    return spread_small_input(src).mapInPandas(_energy, schema=AUDIO_ENERGY_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = (
@@ -1116,7 +1118,7 @@ def images_from_bytes(
             )
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return src.mapInPandas(_encode, schema=IMAGES_FROM_BYTES_SCHEMA)
+    return spread_small_input(src).mapInPandas(_encode, schema=IMAGES_FROM_BYTES_SCHEMA)
 
 
 def image_pixel_stats(
@@ -1180,7 +1182,7 @@ def image_pixel_stats(
             )
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return src.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+    return spread_small_input(src).mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
 IMAGE_RESIZE_SCHEMA = (
@@ -1244,4 +1246,4 @@ def image_resize(
             )
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return src.mapInPandas(_resize, schema=IMAGE_RESIZE_SCHEMA)
+    return spread_small_input(src).mapInPandas(_resize, schema=IMAGE_RESIZE_SCHEMA)

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread_small_input
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns via zip_with + aggregate.
@@ -115,8 +117,7 @@ def cosine_topk(
     )
     # broadcast probes inherit the scan's partitioning; a small corpus file
     # is ONE partition and would score single-threaded (see cosine_neardup)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par).select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double_name(vec_col).alias("cv")
     )
     scored = (
@@ -217,8 +218,7 @@ def cosine_neardup(
     # nested-loop probe then runs single-threaded. Spread the probe side
     # over the cluster — at 100 TB the scan is already partitioned and
     # this is a no-op knob.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    hi = v.repartition(par).select(
+    hi = spread_small_input(v).select(
         F.col("vid").alias("id_hi"), F.col("vv").alias("v_hi"), F.col("vnorm").alias("n_hi")
     )
     lo = v.select(
@@ -316,10 +316,8 @@ def _cosine_neardup_matmul(
                 }
             )
 
-    par = spark.sparkContext.defaultParallelism
     return (
-        corpus.select(id_col, vec_col)
-        .repartition(par)
+        spread_small_input(corpus.select(id_col, vec_col))
         .mapInPandas(
             score, f"{id_col} long, n_smaller_neardups long, kept boolean"
         )
@@ -520,9 +518,8 @@ def ivf_topk(
 
     cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
 
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = _ivf_assign(
-        corpus.repartition(par).select(
+        spread_small_input(corpus).select(
             F.col(id_col).alias("neighbor_id"), _as_double_name(vec_col).alias("cv")
         ),
         cents,
@@ -594,9 +591,8 @@ def ivf_topk_curve(
     from pyspark.sql import Window
 
     cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = _ivf_assign(
-        corpus.repartition(par).select(
+        spread_small_input(corpus).select(
             F.col(id_col).alias("neighbor_id"), _as_double_name(vec_col).alias("cv")
         ),
         cents,
@@ -1013,9 +1009,8 @@ def build_ivf_index(
     # that deleting the data dir leaves behind)
     is_rebuild = os.path.isdir(path)
     cents = _ivf_centroids(corpus, vec_col, id_col, centroid_mod, max_centroids)
-    par = spark.sparkContext.defaultParallelism
     assigned = _ivf_assign(
-        corpus.repartition(par).select(
+        spread_small_input(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             _as_double_name(vec_col).alias("cv"),
         ),
@@ -1154,9 +1149,8 @@ def ivf_index_append(
             return path
     cents = spark.read.parquet(f"{path}__meta/centroids")
     cents_seen = _centroid_token(spark, path)
-    par = spark.sparkContext.defaultParallelism
     assigned = _ivf_assign(
-        batch.repartition(par).select(
+        spread_small_input(batch).select(
             F.col(id_col).alias("neighbor_id"),
             _as_double_name(vec_col).alias("cv"),
         ),
@@ -2421,9 +2415,8 @@ def lsh_bucketed_topk(
         .where(checked(F.col("qv")))
         .withColumn("bucket", bucket_bits("qv"))
     )
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = (
-        corpus.repartition(par)
+        spread_small_input(corpus)
         .select(
             F.col(id_col).alias("neighbor_id"),
             _as_double_name(vec_col).alias("cv"),
@@ -2529,7 +2522,7 @@ def pq_topk(
         ],
     )
 
-    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("cid"),
         *[
             subvec(_as_double_name(vec_col), m).alias(f"s{m}")
@@ -2730,9 +2723,8 @@ def ivfpq_topk(
         d = F.zip_with(a, b, lambda x, y: x - y)
         return _dot(d, d)
 
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     c_assigned = coarse_assign(
-        corpus.repartition(par).select(
+        spread_small_input(corpus).select(
             F.col(id_col).alias("cid"), _as_double_name(vec_col).alias("cv")
         ),
         "cid",

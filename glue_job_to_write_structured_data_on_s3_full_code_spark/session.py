@@ -68,6 +68,25 @@ def get_spark(app_name: str = "glue_job_to_write_structured_data_on_s3_full_code
     return tune(spark)
 
 
+def spread_small_input(df):
+    """Round-robin repartition to ``defaultParallelism`` ONLY when the
+    input plan yields fewer partitions (r15, guide §2.4/§2.5).
+
+    The CPU-heavy map-side operators (tokenize/shingle/hash, PNG codec,
+    IVF assignment) used an unconditional ``repartition(par)`` so a small
+    single-file fixture doesn't run single-threaded — but an unconditional
+    round-robin repartition is a FULL PAYLOAD SHUFFLE at 100 TB, where the
+    partitioned scan already provides the parallelism. This keeps the
+    local-mode knob (same partition count as before on the bench fixtures)
+    while making it a true no-op on an already-parallel scan: the
+    partition probe is plan-side only (no job runs).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 #: Observers called with ``(df, label)`` immediately BEFORE an eager
 #: lineage break executes. Empty in production (zero overhead). The
 #: registry-wide plan sweeps (tests/test_plan_quality.py) install one so
