@@ -21,7 +21,7 @@ write, OUTBOUND.py:227-229).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..session import eager_checkpoint
@@ -98,19 +98,30 @@ def connected_components(
             candidates = candidates.unionByName(jumped)
         # the convergence probe rides the SAME aggregate (r15): the old
         # label travels as a tagged column (unique per node — only the
-        # `labels` branch carries it), so "did anything change" is a
-        # filter+count over the just-checkpointed round output instead of
-        # a second join job against the previous labels
+        # `labels` branch carries it). r16: the changed-count rides the
+        # checkpoint JOB itself as an observed metric (CollectMetrics
+        # fires when the eager localCheckpoint materializes the round),
+        # so each round is ONE Spark job instead of checkpoint + a
+        # follow-up count over the checkpoint blocks. NULL-safe exactly
+        # like the old `!=` filter: a null old_component contributes 0.
+        obs = Observation()
         new_with_old = eager_checkpoint(
-            candidates.groupBy("node").agg(
+            candidates.groupBy("node")
+            .agg(
                 F.min("component").alias("component"),
                 F.max("old_component").alias("old_component"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(
+                        F.col("component") != F.col("old_component"), 1
+                    ).otherwise(0)
+                ).alias("changed"),
             ),
             "components_labels_round",
         )
-        changed = new_with_old.where(
-            F.col("component") != F.col("old_component")
-        ).count()
+        changed = obs.get["changed"] or 0
         labels = new_with_old.select("node", "component")
         if changed == 0:
             return labels

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, tokens
-from ..session import spread_small_input
+from ..session import eager_checkpoint, spread_small_input
 
 # Modulus of the MinHash universal-hash family: the Mersenne prime 2^31-1.
 # Small enough that (a·u) with a, u < M stays under 2^62 — no 64-bit
@@ -374,14 +374,40 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     # not subexpression-eliminated and would hash every token 32× (measured
     # 2.0 s → 1.1 s at sf0.1). Spread a single-partition scan so the
     # tokenize+hash map side is parallel (no-op on a partitioned scan).
-    doc_tok = _doc_tokens(spread_small_input(df), text_col, id_col).withColumn(
-        "_h", F.md5(F.col("tok"))
+    # The hex digest is then parsed ONCE into three bigints (conv of two
+    # 15-nibble slices + the 2-nibble tail — 15 hex chars = 60 bits, safely
+    # inside a signed 64-bit int, the same slicing minhash uses), so each
+    # of the 32 per-bit aggregates is a shift+mask integer test instead of
+    # a substring+isin over the string (r16: ~20% end-to-end at sf0.1,
+    # bit-identical by tests/test_r16_optimizations.py). Bit j is the high
+    # bit of hex nibble j: nibble >= 8 ⇔ hex char in 8..f — exact integer
+    # equivalence with the oracle's substr/IN spelling.
+    doc_tok = (
+        _doc_tokens(spread_small_input(df), text_col, id_col)
+        .withColumn("_h", F.md5(F.col("tok")))
+        .withColumn(
+            "_n1", F.expr("CAST(conv(substring(_h, 1, 15), 16, 10) AS BIGINT)")
+        )
+        .withColumn(
+            "_n2", F.expr("CAST(conv(substring(_h, 16, 15), 16, 10) AS BIGINT)")
+        )
+        .withColumn(
+            "_n3", F.expr("CAST(conv(substring(_h, 31, 2), 16, 10) AS BIGINT)")
+        )
     )
-    high = list("89abcdef")
+
+    def _bit_high(j: int) -> str:
+        # high bit of nibble j inside the three packed slices
+        if j < 15:
+            return f"(shiftright(_n1, {4 * (14 - j)}) & 8)"
+        if j < 30:
+            return f"(shiftright(_n2, {4 * (29 - j)}) & 8)"
+        return f"(shiftright(_n3, {4 * (31 - j)}) & 8)"
+
     aggs = [
-        F.sum(
-            F.when(F.substring(F.col("_h"), j + 1, 1).isin(high), 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.expr(f"sum(CASE WHEN {_bit_high(j)} != 0 THEN 1 ELSE -1 END)").alias(
+            f"s{j}"
+        )
         for j in range(bits)
     ]
     sums = doc_tok.groupBy("doc_id").agg(*aggs)
@@ -512,8 +538,6 @@ def minhash_lsh_candidates(
     # MinHash-at-scale shape (one corpus pass emits signatures, every
     # banding/join step reads the materialized frame); measured ~15%
     # end-to-end at sf0.1 with a bit-identical pair set.
-    from ..session import eager_checkpoint
-
     sig = eager_checkpoint(sig, "minhash_signatures")
     rows_per_band = num_hashes // bands
     band_entries = F.expr(

@@ -106,15 +106,26 @@ def fallback_join(
         # the preceding tiers), and nothing to checkpoint. The when-chain
         # keys on the MATCH FLAG, not coalesce of values: a matched
         # tier's NULL payload column must win over a later tier's value.
+        from pyspark.sql import Window
+
         out = fact
         match_flags: list[Column] = []
         for i, tier in enumerate(tiers):
             tier_dim = dim.where(tier.dim_filter) if tier.dim_filter is not None else dim
             fact_col, dim_col = tier.equi_on
-            tier_dim = top1_per_group(tier_dim, [dim_col], order_cols).select(
+            # the per-key top-1 rides the alias projection (r16): one
+            # select + one filter instead of top1_per_group's
+            # withColumn/where/drop chain plus a second select — each
+            # chained op re-analyzes the whole tier subtree. Row-identical:
+            # same window, same filter, and the surviving `_t{i}_rn` (
+            # constant 1) never reaches the caller — the final projection
+            # below selects explicit columns only.
+            w = Window.partitionBy(dim_col).orderBy(*order_cols)
+            tier_dim = tier_dim.select(
                 F.col(dim_col).alias(f"_t{i}_key"),
                 *[F.col(c).alias(f"_t{i}_{c}") for c in dim_cols],
-            )
+                F.row_number().over(w).alias(f"_t{i}_rn"),
+            ).where(F.col(f"_t{i}_rn") == 1)
             out = out.join(
                 F.broadcast(tier_dim),
                 out[fact_col] == tier_dim[f"_t{i}_key"],

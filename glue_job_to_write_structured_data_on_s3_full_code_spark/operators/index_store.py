@@ -78,6 +78,8 @@ from .similarity import (
     _as_double,
     _as_double_name,
     _cosine_cols,
+    _cosine_pre,
+    _norm_col,
     _corpus_fingerprint,
     _dot,
     _fp_core,
@@ -1361,7 +1363,9 @@ def gen_index_probe(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    q_side = q.withColumnRenamed("cent_id", "cell")
+    q_side = q.withColumnRenamed("cent_id", "cell").withColumn(
+        "_nq", _norm_col("qv")
+    )
     # the hint gate must be BYTE-aware, not row-only: 900k rows of
     # 768-dim doubles is ~6 GB — under any sane row cap yet far past
     # what a driver-built broadcast should carry
@@ -1372,12 +1376,13 @@ def gen_index_probe(
     ):
         q_side = F.broadcast(q_side)
     scored = (
-        index.join(q_side, "cell")
+        index.withColumn("_nc", _norm_col("cv"))
+        .join(q_side, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine_cols("qv", "cv").alias("cosine"),
+            _cosine_pre("qv", "cv", "_nq", "_nc").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2060,12 +2065,19 @@ def gen_index_rebalance(
             if not split:
                 return []
 
-        scored = sub_rows.join(F.broadcast(subcents), "parent").select(
-            "neighbor_id",
-            "cv",
-            "sub_id",
-            _cosine_cols("cv", "sub_v").alias("sub_cos"),
-            "parent",
+        scored = (
+            sub_rows.withColumn("_ncv", _norm_col("cv"))
+            .join(
+                F.broadcast(subcents.withColumn("_nsv", _norm_col("sub_v"))),
+                "parent",
+            )
+            .select(
+                "neighbor_id",
+                "cv",
+                "sub_id",
+                _cosine_pre("cv", "sub_v", "_ncv", "_nsv").alias("sub_cos"),
+                "parent",
+            )
         )
         wr = Window.partitionBy("parent", "neighbor_id").orderBy(
             F.col("sub_cos").desc(), F.col("sub_id")

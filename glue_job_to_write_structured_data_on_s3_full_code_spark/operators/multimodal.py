@@ -868,7 +868,17 @@ def perceptual_hash(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": packed})
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    return spread_small_input(src).mapInPandas(_phash, schema=PHASH_SCHEMA)
+    # Spread ONLY the decode path (r16): the PNG decode is heavyweight
+    # pure-Python work where a single-partition fixture runs serially (the
+    # r15 image_stats A/B: ~3× from spreading). The decode=False byte-tile
+    # kernel is a few vectorized numpy ops per batch — there the spread's
+    # payload exchange costs more than the parallelism buys (same-boot A/B
+    # at sf0.1: 1.33 s spread vs 0.65 s unspread — the 0.47× regression the
+    # r15 driver flagged), and skipping it keeps payloads in their scan
+    # partitions, which is the operator's own 100 TB contract.
+    if decode:
+        src = spread_small_input(src)
+    return src.mapInPandas(_phash, schema=PHASH_SCHEMA)
 
 
 AUDIO_ENERGY_SCHEMA = "doc_id long, frame_idx int, n_samples int, rms double"

@@ -71,6 +71,27 @@ def _cosine_cols(a: str, b: str) -> Column:
     )
 
 
+def _norm_col(vec: str) -> Column:
+    """``sqrt(dot(v, v))`` — EXACTLY the denominator factor
+    :func:`_cosine_cols` computes (same parsed tree over the same input,
+    so the same double), hoisted so pairwise scorers can evaluate it once
+    per ROW instead of once per PAIR."""
+    return F.expr(f"sqrt({_dot_sql(vec, vec)})")
+
+
+def _cosine_pre(a: str, b: str, na: str, nb: str) -> Column:
+    """Cosine over vector columns whose norms were precomputed with
+    :func:`_norm_col` (r16, guide §1.2 per-task work): every pairwise
+    scorer in this module evaluates cosine inside a join, where
+    ``_cosine_cols`` recomputes BOTH self-dots per pair — 3 dot products
+    where 1 suffices (the IVF corpus assignment scores N·max_centroids
+    pairs, the exact baseline N·Q). Bit-identical to ``_cosine_cols``:
+    ``na``/``nb`` hold the very same ``sqrt(dot(x, x))`` doubles the
+    inline form would produce, and IEEE multiply/divide of equal inputs
+    is equal output (pinned by tests/test_r16_optimizations.py)."""
+    return F.expr(f"{_dot_sql(a, b)} / (`{na}` * `{nb}`)")
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -114,19 +135,19 @@ def cosine_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double_name(vec_col).alias("qv")
-    )
+    ).withColumn("_nq", _norm_col("qv"))
     # broadcast probes inherit the scan's partitioning; a small corpus file
     # is ONE partition and would score single-threaded (see cosine_neardup)
     c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double_name(vec_col).alias("cv")
-    )
+    ).withColumn("_nc", _norm_col("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine_cols("qv", "cv").alias("cosine"),
+            _cosine_pre("qv", "cv", "_nq", "_nc").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -456,11 +477,18 @@ def _ivf_assign(
     the max_by key struct compares cosine first, then the negated id."""
     from pyspark.sql import Window
 
-    scored = df.crossJoin(F.broadcast(cents)).select(
-        side_id,
-        side_vec,
-        "cent_id",
-        _cosine_cols(side_vec, "cent_v").alias("cent_cos"),
+    # norms once per row / per centroid, not once per (row, centroid) pair:
+    # the assignment scores N·max_centroids pairs — with inline cosine that
+    # is 3 N·C dot products, with hoisted norms it is N·C + N + C (r16)
+    scored = (
+        df.withColumn("_nv", _norm_col(side_vec))
+        .crossJoin(F.broadcast(cents.withColumn("_ncent", _norm_col("cent_v"))))
+        .select(
+            side_id,
+            side_vec,
+            "cent_id",
+            _cosine_pre(side_vec, "cent_v", "_nv", "_ncent").alias("cent_cos"),
+        )
     )
     if keep == 1 and rank_col is None:
         return (
@@ -538,12 +566,13 @@ def ivf_topk(
     )
 
     scored = (
-        c.join(F.broadcast(q), "cent_id")
+        c.withColumn("_nc", _norm_col("cv"))
+        .join(F.broadcast(q.withColumn("_nq", _norm_col("qv"))), "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine_cols("qv", "cv").alias("cosine"),
+            _cosine_pre("qv", "cv", "_nq", "_nc").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -612,13 +641,14 @@ def ivf_topk_curve(
     )
 
     pairs = (
-        c.join(F.broadcast(q), "cent_id")
+        c.withColumn("_nc", _norm_col("cv"))
+        .join(F.broadcast(q.withColumn("_nq", _norm_col("qv"))), "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             "probe_rank",
-            _cosine_cols("qv", "cv").alias("cosine"),
+            _cosine_pre("qv", "cv", "_nq", "_nc").alias("cosine"),
         )
     )
     levels = corpus.sparkSession.range(1, nprobe_max + 1).select(
@@ -2224,12 +2254,13 @@ def ivf_index_probe(
     )
 
     scored = (
-        index.join(F.broadcast(q), "cell_id")
+        index.withColumn("_nc", _norm_col("cv"))
+        .join(F.broadcast(q.withColumn("_nq", _norm_col("qv"))), "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine_cols("qv", "cv").alias("cosine"),
+            _cosine_pre("qv", "cv", "_nq", "_nc").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2426,12 +2457,13 @@ def lsh_bucketed_topk(
     )
 
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.withColumn("_nc", _norm_col("cv"))
+        .join(F.broadcast(q.withColumn("_nq", _norm_col("qv"))), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine_cols("qv", "cv").alias("cosine"),
+            _cosine_pre("qv", "cv", "_nq", "_nc").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

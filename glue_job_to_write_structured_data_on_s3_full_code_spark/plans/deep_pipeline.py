@@ -124,7 +124,18 @@ def deep_prospect_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_clerk", "o_comment", "o_shippriority", "prio_value", "status_value",
     )
 
-    # 5-6. coalesce defaults + CASE bucket remap
+    # 5-7. coalesce defaults + CASE bucket remap + top-1 per customer
+    # (newest order, orderkey tiebreaker). The window rides the SAME
+    # projection (r16): each chained DataFrame op re-runs the analyzer
+    # over the WHOLE pre-checkpoint tree — at this depth the old
+    # select→withColumn(rn)→where→drop→withColumn(json) chain cost five
+    # full-tree analyses where two suffice (guide §7.3 / the r15 verdict's
+    # "flatten the construction" item). The window partitions/orders on
+    # pass-through input columns, so extracting it into the projection is
+    # row-identical.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
     shaped = star.select(
         "o_orderkey",
         "o_custkey",
@@ -141,29 +152,32 @@ def deep_prospect_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") < 150000, "MEDIUM")
         .otherwise("HIGH")
         .alias("price_bucket"),
-    )
-
-    # 7. top-1 per customer (newest order, orderkey tiebreaker)
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    latest = (
-        shaped.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        F.row_number().over(w).alias("__rn"),
     )
 
     # 8. response-array document (all leaves coalesced → Spark/DuckDB
-    # to_json byte-identical, same pattern as nested_document_json)
-    doc_stage = latest.withColumn(
-        "interests_json",
+    # to_json byte-identical, same pattern as nested_document_json); the
+    # top-1 filter and the __rn drop fold into this one projection
+    doc_stage = shaped.where(F.col("__rn") == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        "customer_name",
+        "segment",
+        "nation_name",
+        "cust_nk",
+        "region_name",
+        "prio_code",
+        "status_label",
+        "price_bucket",
         F.to_json(
             F.array(
                 F.struct(F.lit("QM001").alias("questionId"), F.col("segment").alias("answer")),
                 F.struct(F.lit("QM002").alias("questionId"), F.col("price_bucket").alias("answer")),
                 F.struct(F.lit("QM003").alias("questionId"), F.col("prio_code").alias("answer")),
             )
-        ),
+        ).alias("interests_json"),
     )
 
     # 9. lineage break before the branch fan-out

@@ -236,10 +236,17 @@ def entity_resolution_pipeline(
             F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("retail_cents"),
     )
-    names = eager_checkpoint(names, "linkage_name_histogram")
-    # one count over the already-materialized checkpoint (bounded: the
-    # distinct-name cardinality, the very quantity the dial is about)
-    if names.count() > blocked_vocab_threshold:
+    # the vocabulary count rides the checkpoint job as an observed metric
+    # (r16): one Spark job materializes the histogram AND answers the
+    # edge-stage dial, instead of checkpoint + a follow-up count
+    from pyspark.sql import Observation
+
+    vocab_obs = Observation()
+    names = eager_checkpoint(
+        names.observe(vocab_obs, F.count(F.lit(1)).alias("n_names")),
+        "linkage_name_histogram",
+    )
+    if (vocab_obs.get["n_names"] or 0) > blocked_vocab_threshold:
         edges = length_banded_levenshtein_pairs(
             names.select("p_name"), "p_name", max_dist=2
         ).select("name_a", "name_b")

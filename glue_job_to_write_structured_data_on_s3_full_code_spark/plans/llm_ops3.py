@@ -173,7 +173,19 @@ def five_gram_digests(with_text: DataFrame, *key_cols: str) -> DataFrame:
     return idx.select(*key_cols, F.md5(gram).alias("gh")).distinct()
 
 
-def ngram_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: documents-input size below which ngram_contamination_check takes the
+#: two-pass digest-join branch instead of the one-pass window. A pure
+#: performance dial — the branches are row-identical (pinned by
+#: tests/test_r16_optimizations.py and the shared oracle); see the
+#: function docstring for the regime analysis.
+_CONTAMINATION_SMALL_INPUT_MAX_BYTES = 1 << 30  # 1 GiB
+
+
+def ngram_contamination_check(
+    spark: SparkSession,
+    sf_dir: str,
+    small_input_max_bytes: int = _CONTAMINATION_SMALL_INPUT_MAX_BYTES,
+) -> DataFrame:
     """Eval-set decontamination: for every eval-split document, the share
     of its distinct 5-grams that also appear anywhere in the train split
     (the GPT-3/PaLM-style n-gram overlap check). Train/eval reuse the
@@ -183,31 +195,59 @@ def ngram_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width digests move instead of raw 5-gram text; both engines key
     on the digest, so collisions (if any) affect both identically.
 
-    The train-overlap test is a ``max(bucket < cut) over (partition by
-    gh)`` window on the ONE distinct gram table instead of a distinct
-    train-digest set joined back: the join formulation generated the
-    grams TWICE (once per branch — two full scan→tokenize→explode chains)
-    and re-shuffled both sides for the digest join, with the train-digest
-    build side an UNBOUNDED broadcast at scale (train grams are
-    corpus-sized). The window sees train and eval rows of a digest in the
-    same partition, so one gram generation and one digest exchange decide
-    contamination (guide §2.4). r15: 2 scans / 2 Generates / 4 Exchanges
-    + corpus-sized broadcast → 1 scan / 1 Generate / 3 Exchanges."""
+    The train-overlap test is SIZE-GATED (r16, the r15 verdict's
+    prescription) between two row-identical plans:
+
+    - **small inputs** (documents under ``small_input_max_bytes``, stat'ed
+      job-free from the filesystem): the distinct train-digest set is left-
+      joined back to the eval gram rows. This re-generates the grams once
+      per branch (two scan→tokenize→explode chains), which is cheap when
+      the corpus is small and lets AQE pick a broadcast for the tiny train
+      set — consistently the fastest local shape (r16 same-boot A/B medians
+      1.60-2.23 s vs the window's 1.77-3.11 s at sf0.1, and the r15 driver
+      clocked the window form at 0.34× the join form's r14 time).
+    - **at scale**: ``max(bucket < cut) over (partition by gh)`` on the ONE
+      distinct gram table — one gram generation, one digest exchange, no
+      second corpus pass and no unbounded broadcast build side (the r15
+      rationale, kept verbatim for the regime it was designed for). The
+      window's per-key sort also degrades more gracefully than any
+      per-group buffering alternative when one boilerplate gram is shared
+      by a huge share of the corpus (sorts spill; aggregation buffers
+      don't).
+
+    Unknown input size (non-local scheme) takes the scale branch."""
     tune(spark)
     from pyspark.sql import Window
+
+    from ..sources import table_input_bytes
 
     docs = read_table(spark, sf_dir, "documents")
     bucket = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
     grams = five_gram_digests(
         docs.select("doc_id", bucket.alias("bucket"), "text"), "doc_id", "bucket"
     )
-    hit = F.max(
-        F.when(F.col("bucket") < TRAIN_BUCKET_MAX, 1).otherwise(0)
-    ).over(Window.partitionBy("gh"))
+    if table_input_bytes(sf_dir, "documents") < small_input_max_bytes:
+        train_g = (
+            grams.where(F.col("bucket") < TRAIN_BUCKET_MAX)
+            .select("gh")
+            .distinct()
+        )
+        contaminated = (
+            grams.where(F.col("bucket") >= TRAIN_BUCKET_MAX)
+            .join(train_g.withColumn("_hit", F.lit(1)), "gh", "left")
+            .select("doc_id", F.coalesce("_hit", F.lit(0)).alias("hit"))
+        )
+    else:
+        hit = F.max(
+            F.when(F.col("bucket") < TRAIN_BUCKET_MAX, 1).otherwise(0)
+        ).over(Window.partitionBy("gh"))
+        contaminated = (
+            grams.withColumn("hit", hit)
+            .where(F.col("bucket") >= TRAIN_BUCKET_MAX)
+            .select("doc_id", "hit")
+        )
     return (
-        grams.withColumn("hit", hit)
-        .where(F.col("bucket") >= TRAIN_BUCKET_MAX)
-        .groupBy("doc_id")
+        contaminated.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_ngrams"),
             F.sum("hit").alias("n_contaminated"),

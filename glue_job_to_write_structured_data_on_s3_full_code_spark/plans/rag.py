@@ -420,6 +420,10 @@ FROM per_q
 
 
 QUERY_TERMS = ("vector", "stream", "window")  # the fixed lexical query
+# terms are interpolated into SQL string literals below (sum(CASE WHEN
+# tok = '{t}' ...)); a quote/backslash would break the parse or shift
+# semantics silently, so pin the invariant where the constant lives
+assert all(t.isalnum() for t in QUERY_TERMS), "QUERY_TERMS must be alphanumeric"
 _K1, _B = 1.2, 0.75  # standard BM25 constants
 _BM25_TOPK = 10
 _RRF_K = 60  # reciprocal-rank-fusion damping (Cormack et al. 2009)

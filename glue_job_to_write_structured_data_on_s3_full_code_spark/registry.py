@@ -120,14 +120,81 @@ def _load_last_verified() -> tuple[dict[str, int], int]:
 LAST_VERIFIED, CURRENT_ROUND = _load_last_verified()
 
 #: Any registered query must have been gate-green within this many rounds
-#: (never-gated queries must be in the upcoming prefix).  With ~190 queries
-#: and 50 slots/round, full rotation takes 4 rounds — the bound is exactly
-#: the steady-state maximum, so a single skipped rotation fails the test.
-MAX_STALENESS_ROUNDS = 4
+#: (never-gated queries must be in the upcoming prefix).  With ~200 queries
+#: and 50 slots/round, plain rotation needs 4 rounds; the bound is 5 so
+#: there is exactly ONE round of slack — the room the touched-query
+#: priority below spends.  (At 4 the rotation was saturated: 52 names were
+#: already at the bound every round, so prioritizing ANYTHING would have
+#: pushed a stale name past it.  The r15 verdict's gate-rotation item asked
+#: for exactly this trade: a rewrite must be driver-gated the NEXT round,
+#: at the cost of one extra round of worst-case staleness for the rest.)
+MAX_STALENESS_ROUNDS = 5
+
+#: name -> round whose build/optimization work CHANGED the query's
+#: implementation (rewrites, operator-internal changes — not pure comment
+#: edits).  A name ranks ahead of plain staleness until its first
+#: gate-green round at or after that change, then the priority expires on
+#: its own (LAST_VERIFIED catches up).  Updated by whoever rewrites a
+#: query; stale entries are harmless.
+TOUCHED_IN_ROUND: dict[str, int] = {
+    # r15 optimization rewrites (minhash signature checkpoint + F.expr
+    # construction; rag/bm25 aggregate exprs; curated-set checkpoint;
+    # gram-window rewrites) — gated r14 at the latest, rotated OUT of the
+    # r15 gate by staleness (the blind spot the r15 verdict flagged)
+    "minhash_lsh_dedup": 15,
+    "minhash_lsh_fast": 15,
+    "minhash_candidate_precision": 15,
+    "split_leakage_check": 15,
+    "contrastive_pair_mining": 15,
+    "pretraining_data_pipeline": 15,
+    "duplicated_ngram_spans": 15,
+    "rag_retrieval_pipeline": 15,
+    "bm25_retrieval": 15,
+    "hybrid_retrieval_rrf": 15,
+    "mmr_diverse_topk": 15,
+    "retrieval_ndcg": 15,
+    "text_hash_embeddings": 15,
+    # r16 optimization rewrites: size-gated contamination branch, digest
+    # checkpoint, simhash conv bits, phash spread gate, connected-
+    # components observed convergence, cosine norm hoisting (the whole
+    # ANN/IVF scoring surface), fallback-join/deep-pipeline flattening
+    "ngram_contamination_check": 16,
+    "incremental_corpus_dedup": 16,
+    "multimodal_phash_dedup": 16,
+    "multimodal_dedup_pipeline": 16,
+    "simhash_fingerprint": 16,
+    "entity_resolution_pipeline": 16,
+    "dedup_components": 16,
+    "deep_prospect_pipeline": 16,
+    "waterfall_fallback_join": 16,
+    "waterfall_disjunctive_join": 16,
+    "embedding_cosine_topk": 16,
+    "embedding_ivf_indexed_topk": 16,
+    "embedding_ivf_index_append": 16,
+    "embedding_ivf_cell_skew": 16,
+    "embedding_ivf_rebalanced_topk": 16,
+    "embedding_ivf_compacted_probe": 16,
+    "embedding_ivf_kmeans_topk": 16,
+    "embedding_ivfpq_topk": 16,
+    "embedding_lsh_topk": 16,
+    "ann_recall_report": 16,
+    "streaming_ivf_index_maintenance": 16,
+    "gen_ivf_probe": 16,
+    "gen_ivf_append": 16,
+    "gen_ivf_rollback_probe": 16,
+    "gen_streaming_ivf_maintenance": 16,
+}
 
 
-def _staleness_key(name: str) -> tuple[int, str]:
-    return (LAST_VERIFIED.get(name, 0), name)
+def _staleness_key(name: str) -> tuple[int, int, int, str]:
+    """Gate priority: (0) names that would EXCEED the staleness bound if
+    skipped — never displaced by anything; (1) names rewritten since
+    their last green gate — a rewrite is driver-gated the very next
+    round; (2) plain staleness order."""
+    last = LAST_VERIFIED.get(name, 0)
+    must = last == 0 or (CURRENT_ROUND - last) >= MAX_STALENESS_ROUNDS
+    touched = TOUCHED_IN_ROUND.get(name, 0) > last
+    return (0 if must else 1, 0 if touched else 1, last, name)
 
 _ALL_MODULES = (
     capstone,

@@ -68,20 +68,81 @@ def get_spark(app_name: str = "glue_job_to_write_structured_data_on_s3_full_code
     return tune(spark)
 
 
+def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ("4194304", "4m", "128MB", ...)."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
 def spread_small_input(df):
     """Round-robin repartition to ``defaultParallelism`` ONLY when the
-    input plan yields fewer partitions (r15, guide §2.4/§2.5).
+    input scan cannot reach that parallelism on its own (r15, guide
+    §2.4/§2.5; probe cheapened r16).
 
     The CPU-heavy map-side operators (tokenize/shingle/hash, PNG codec,
     IVF assignment) used an unconditional ``repartition(par)`` so a small
     single-file fixture doesn't run single-threaded — but an unconditional
     round-robin repartition is a FULL PAYLOAD SHUFFLE at 100 TB, where the
-    partitioned scan already provides the parallelism. This keeps the
-    local-mode knob (same partition count as before on the bench fixtures)
-    while making it a true no-op on an already-parallel scan: the
-    partition probe is plan-side only (no job runs).
+    partitioned scan already provides the parallelism.
+
+    The r15 probe read ``df.rdd.getNumPartitions()``, which forces a full
+    analysis + physical-planning pass and an RDD conversion per call —
+    and, with AQE on, FINALIZES the adaptive plan, i.e. actually executes
+    any shuffle stages in ``df`` at plan-construction time (the r15
+    advisor's hazard). r16 decides from the INPUT FILES instead:
+    ``df.inputFiles()`` is a single analysis/optimizer-only call (no
+    physical planning, no job), and Spark's own split packing can never
+    produce ``par`` scan partitions when the charged input size
+    (Σ file sizes + one ``openCostInBytes`` per file) is below
+    ``openCostInBytes × par`` — maxSplitBytes floors at the open cost
+    (FilePartition packing), so that is exactly the "scan comes up short,
+    spread it" regime. Bigger inputs split to ≥ ~minPartitionNum
+    (defaults to ``defaultParallelism``) partitions by Spark itself and
+    pass through untouched.
+
+    Non-local schemes (can't stat) pass through: spreading is a
+    small-local-fixture knob, and an unknown-size production input must
+    never be round-robin-shuffled on a guess. Inputs with no files at all
+    (localCheckpoint blocks, createDataFrame test frames) keep the
+    physical probe — their plans are trivial to plan, and callers there
+    control the partitioning directly. Callers passing a NON-file,
+    NON-trivial plan (one containing its own exchanges) should partition
+    explicitly rather than rely on this helper.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        open_cost = _size_conf_bytes(
+            spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+        )
+        charged = 0
+        for uri in files:
+            if uri.startswith("file:"):
+                path = uri[len("file:"):]
+            elif "://" in uri.split("/", 1)[0] or ":" in uri.split("/", 1)[0]:
+                return df  # non-local scheme — stat impossible, pass through
+            else:
+                path = uri
+            try:
+                charged += os.path.getsize(path) + open_cost
+            except OSError:
+                return df
+        if charged < open_cost * par:
+            return df.repartition(par)
+        return df
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

@@ -7,6 +7,7 @@ from .parquet import (
     materialize_result,
     register_views,
     read_table,
+    table_input_bytes,
 )
 from .snapshot import (
     write_snapshot,

@@ -48,6 +48,28 @@ def checkpoint_stage(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def table_input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk byte size of one table's parquet input — the cheap,
+    job-free size probe behind scale-adaptive plan choices (r16: the
+    contamination check's join-below/window-above branch). Returns a
+    huge sentinel when the size cannot be stat'ed locally (non-file
+    scheme, missing path): unknown size must take the SCALE-SAFE branch,
+    never the small-input one."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+    except OSError:
+        pass
+    return 1 << 62
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters applied by the caller push down to the scan.
 

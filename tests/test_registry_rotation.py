@@ -13,16 +13,47 @@ from __future__ import annotations
 from glue_job_to_write_structured_data_on_s3_full_code_spark import registry
 
 
-def test_prefix_is_the_stalest_slice() -> None:
-    """queries() must lead with exactly the GATE_SLOTS stalest names."""
+def test_prefix_is_the_priority_slice() -> None:
+    """queries() must lead with exactly the GATE_SLOTS highest-priority
+    names: bound-breakers first, then rewritten-since-last-gate names
+    (r16), then plain staleness."""
     names = list(registry.QUERIES)
     prefix = names[: registry.GATE_SLOTS]
     assert tuple(prefix) == registry.VERIFIED_PREFIX
-    expected = sorted(
-        names, key=lambda n: (registry.LAST_VERIFIED.get(n, 0), n)
-    )[: registry.GATE_SLOTS]
+    expected = sorted(names, key=registry._staleness_key)[: registry.GATE_SLOTS]
     assert prefix == expected
     assert len(set(prefix)) == registry.GATE_SLOTS
+
+
+def test_touched_queries_gate_next_round() -> None:
+    """A query rewritten since its last green gate must be in the very
+    next gate prefix (the r15 verdict's rotation blind spot), and the
+    priority must expire once the gate catches up."""
+    prefix = set(registry.VERIFIED_PREFIX)
+    pending = {
+        n
+        for n in registry.QUERIES
+        if registry.TOUCHED_IN_ROUND.get(n, 0) > registry.LAST_VERIFIED.get(n, 0)
+    }
+    assert pending <= prefix, sorted(pending - prefix)
+    # expiry: once LAST_VERIFIED reaches the touch round, the name sorts
+    # by plain staleness again (tier 1 in the key)
+    for n in registry.TOUCHED_IN_ROUND:
+        touch = registry.TOUCHED_IN_ROUND[n]
+        if registry.LAST_VERIFIED.get(n, 0) >= touch:
+            assert registry._staleness_key(n)[1] == 1
+
+
+def test_bound_breakers_always_gate() -> None:
+    """Touched-query priority must never displace a name that would
+    exceed the staleness bound if skipped."""
+    prefix = set(registry.VERIFIED_PREFIX)
+    for name in registry.QUERIES:
+        last = registry.LAST_VERIFIED.get(name, 0)
+        if last == 0 or (
+            registry.CURRENT_ROUND - last
+        ) >= registry.MAX_STALENESS_ROUNDS:
+            assert name in prefix, name
 
 
 def test_no_registered_query_exceeds_staleness_bound() -> None:
