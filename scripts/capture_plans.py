@@ -1,8 +1,9 @@
-"""Capture .explain("formatted") for every bench query into plans/r15/.
+"""Capture .explain("formatted") for every bench query into plans/<dir>/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
+       (set SPARK_GRAFT_PLANS_DIR to change the output dir; default r16)
 
-Writes plans/r15/<query>_<suffix>.txt for each bench query (default: all
+Writes plans/<dir>/<query>_<suffix>.txt for each bench query (default: all
 of bench.BENCH_QUERIES). Plans are captured at sf0.1 — the bench scale —
 so Exchange counts / join strategies / PushedFilters match what the bench
 times. Construction-time stages (eager checkpoints) execute during plan
@@ -26,7 +27,11 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or bench.BENCH_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = S.get_spark("capture_plans")
