@@ -85,100 +85,76 @@ def _dealer_waterfall(
 def deep_prospect_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
 
-    # 1. snapshot/timestamp-filtered fact scan
-    orders = read_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01"))
-    )
-
-    # 2. EAV option-set lookups: distinct CTEs over the fact itself,
-    # re-joined as broadcast dims (the reference builds 7 of these from
-    # one stringmap table; two carry the shape)
-    prio_lookup = orders.select(
-        F.col("o_orderpriority").alias("prio_value"),
-        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-    ).distinct()
-    status_lookup = orders.select(
-        F.col("o_orderstatus").alias("status_value"),
-        F.when(F.col("o_orderstatus") == "F", "FULFILLED")
-        .when(F.col("o_orderstatus") == "O", "OPEN")
-        .otherwise("PENDING")
-        .alias("status_label"),
-    ).distinct()
-
-    customer = read_table(spark, sf_dir, "customer")
-    nation = read_table(spark, sf_dir, "nation")
-    region = read_table(spark, sf_dir, "region")
-
-    # 3. star enrichment, dims broadcast
-    star = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
-        .join(F.broadcast(prio_lookup), orders.o_orderpriority == prio_lookup.prio_value, "left")
-        .join(F.broadcast(status_lookup), orders.o_orderstatus == status_lookup.status_value, "left")
-    )
-
-    # 4. wide-column drop (the reference drops ~280 leadbase columns)
-    star = star.drop(
-        "c_address", "c_phone", "c_comment", "n_comment", "r_comment",
-        "o_clerk", "o_comment", "o_shippriority", "prio_value", "status_value",
-    )
-
-    # 5-7. coalesce defaults + CASE bucket remap + top-1 per customer
-    # (newest order, orderkey tiebreaker). The window rides the SAME
-    # projection (r16): each chained DataFrame op re-runs the analyzer
-    # over the WHOLE pre-checkpoint tree — at this depth the old
-    # select→withColumn(rn)→where→drop→withColumn(json) chain cost five
-    # full-tree analyses where two suffice (guide §7.3 / the r15 verdict's
-    # "flatten the construction" item). The window partitions/orders on
-    # pass-through input columns, so extracting it into the projection is
-    # row-identical.
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    shaped = star.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
-        "o_totalprice",
-        F.coalesce("c_name", F.lit("NA")).alias("customer_name"),
-        F.coalesce("c_mktsegment", F.lit("NA")).alias("segment"),
-        F.coalesce("n_name", F.lit("NA")).alias("nation_name"),
-        F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("cust_nk"),
-        F.coalesce("r_name", F.lit("NA")).alias("region_name"),
-        F.coalesce("prio_code", F.lit("0")).alias("prio_code"),
-        F.coalesce("status_label", F.lit("NA")).alias("status_label"),
-        F.when(F.col("o_totalprice") < 50000, "LOW")
-        .when(F.col("o_totalprice") < 150000, "MEDIUM")
-        .otherwise("HIGH")
-        .alias("price_bucket"),
-        F.row_number().over(w).alias("__rn"),
-    )
-
+    # Stages 1-8 as ONE SQL statement (r16, guide §7.3 / the r15 verdict's
+    # "assemble as a single SQL string" option): the chained-DataFrame
+    # form re-ran the Catalyst analyzer over the whole growing
+    # pre-checkpoint tree once per op (~19 full-tree analyses before the
+    # staging write) — profiled at ~1 s of pure driver time at sf0.1. One
+    # spark.sql() call parses and analyzes the prefix exactly once and
+    # costs a handful of py4j round-trips. Expression-for-expression the
+    # same plan as the DataFrame form it replaces (direct parquet file
+    # relations, BROADCAST hints on every dim, CTEs inline), and the
+    # oracle hash pins the results:
+    # 1. timestamp-filtered fact scan
+    # 2. EAV option-set lookups — distinct CTEs over the fact itself
+    # 3. multi-way LEFT star enrichment, dims broadcast
+    # 4. wide-column drop (the narrow projection below; the reference
+    #    drops ~280 leadbase columns)
+    # 5-6. coalesce defaults + CASE bucket remap
+    # 7. top-1 per customer (newest order, orderkey tiebreaker)
     # 8. response-array document (all leaves coalesced → Spark/DuckDB
-    # to_json byte-identical, same pattern as nested_document_json); the
-    # top-1 filter and the __rn drop fold into this one projection
-    doc_stage = shaped.where(F.col("__rn") == 1).select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
-        "o_totalprice",
-        "customer_name",
-        "segment",
-        "nation_name",
-        "cust_nk",
-        "region_name",
-        "prio_code",
-        "status_label",
-        "price_bucket",
-        F.to_json(
-            F.array(
-                F.struct(F.lit("QM001").alias("questionId"), F.col("segment").alias("answer")),
-                F.struct(F.lit("QM002").alias("questionId"), F.col("price_bucket").alias("answer")),
-                F.struct(F.lit("QM003").alias("questionId"), F.col("prio_code").alias("answer")),
-            )
-        ).alias("interests_json"),
-    )
+    #    to_json byte-identical, same pattern as nested_document_json)
+    def _pq(name: str) -> str:
+        return "parquet.`" + os.path.join(sf_dir, f"{name}.parquet") + "`"
+
+    doc_stage = spark.sql(f"""
+WITH fact AS (
+    SELECT * FROM {_pq("orders")}
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+), prio_lookup AS (
+    SELECT DISTINCT o_orderpriority AS prio_value,
+           substring(o_orderpriority, 1, 1) AS prio_code
+    FROM fact
+), status_lookup AS (
+    SELECT DISTINCT o_orderstatus AS status_value,
+           CASE WHEN o_orderstatus = 'F' THEN 'FULFILLED'
+                WHEN o_orderstatus = 'O' THEN 'OPEN'
+                ELSE 'PENDING' END AS status_label
+    FROM fact
+), shaped AS (
+    SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r),
+               BROADCAST(p), BROADCAST(s) */
+           f.o_orderkey, f.o_custkey, f.o_orderdate, f.o_totalprice,
+           coalesce(c.c_name, 'NA')        AS customer_name,
+           coalesce(c.c_mktsegment, 'NA')  AS segment,
+           coalesce(n.n_name, 'NA')        AS nation_name,
+           coalesce(c.c_nationkey, -1)     AS cust_nk,
+           coalesce(r.r_name, 'NA')        AS region_name,
+           coalesce(p.prio_code, '0')      AS prio_code,
+           coalesce(s.status_label, 'NA')  AS status_label,
+           CASE WHEN f.o_totalprice < 50000  THEN 'LOW'
+                WHEN f.o_totalprice < 150000 THEN 'MEDIUM'
+                ELSE 'HIGH' END             AS price_bucket,
+           row_number() OVER (
+               PARTITION BY f.o_custkey
+               ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS __rn
+    FROM fact f
+    LEFT JOIN {_pq("customer")} c ON f.o_custkey = c.c_custkey
+    LEFT JOIN {_pq("nation")} n   ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN {_pq("region")} r   ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN prio_lookup p       ON f.o_orderpriority = p.prio_value
+    LEFT JOIN status_lookup s     ON f.o_orderstatus = s.status_value
+)
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, customer_name,
+       segment, nation_name, cust_nk, region_name, prio_code,
+       status_label, price_bucket,
+       to_json(array(
+           named_struct('questionId', 'QM001', 'answer', segment),
+           named_struct('questionId', 'QM002', 'answer', price_bucket),
+           named_struct('questionId', 'QM003', 'answer', prio_code)
+       )) AS interests_json
+FROM shaped WHERE __rn = 1
+""")
 
     # 9. lineage break before the branch fan-out
     staged = checkpoint_stage(
