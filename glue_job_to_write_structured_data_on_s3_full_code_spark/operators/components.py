@@ -12,11 +12,13 @@ graphs, where plain one-hop propagation needs O(diameter) and would
 blow the iteration bound on e.g. a 30-revision near-dup chain. Both
 steps are equality-shuffle joins + a min-aggregate, map-side-combinable.
 
-Driver involvement per round is a single `count()` convergence probe, and
-`localCheckpoint` truncates the lineage each round so the plan doesn't
-deepen with iterations (Catalyst re-analysis of an N-round chained plan is
-superlinear — same reason the reference breaks lineage with a staging
-write, OUTBOUND.py:227-229).
+Driver involvement per round is reading one observed metric (the
+changed-label count rides the round's own checkpoint job as a
+CollectMetrics — no separate probe job), and `localCheckpoint` truncates
+the lineage each round so the plan doesn't deepen with iterations
+(Catalyst re-analysis of an N-round chained plan is superlinear — same
+reason the reference breaks lineage with a staging write,
+OUTBOUND.py:227-229).
 """
 
 from __future__ import annotations
